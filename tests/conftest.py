@@ -1,0 +1,34 @@
+"""Test harness: force an 8-virtual-device CPU platform BEFORE jax imports.
+
+This is the TPU analog of a fake multi-chip backend: sharding/collective code
+paths compile and run on 8 host devices (SURVEY.md §4 test plan)."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# Env vars alone don't always win over a pre-registered TPU PJRT plugin
+# (this image tunnels a real chip); the config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
+
+import numpy as np
+import pytest
+
+
+REFERENCE_DIR = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
