@@ -1,0 +1,62 @@
+"""Instance-axis (sequence-parallel) sharded MIL inference.
+
+The reference caps bags at ``max_patches_per_slide`` because a full ResNet
+slide bag (10^4-10^5 x 1024) doesn't fit one GPU step (SURVEY.md §5
+long-context). Here the *instance axis itself is a mesh axis*: the bag is
+sharded [N/n_dev, D] per device inside ``shard_map``; the gated-attention
+softmax runs as local partials + two psums (global max, global sum), and the
+bag embedding M = A·h is a psum of local matmuls. Full-slide exact inference —
+no subsampling — scales linearly over ICI.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from hipt_abmil_atec23_tpu.ops.masking import NEG_INF
+
+
+def sharded_clam_forward(params: Any, bag: jax.Array, mask: jax.Array,
+                         mesh: Mesh, *, axis: str = "inst") -> Tuple[jax.Array, jax.Array]:
+    """CLAM_SB deterministic forward with the instance axis sharded.
+
+    params: unbatched CLAM_SB parameter tree ({'params': {...}}).
+    bag:    [N, D] with N divisible by mesh.shape[axis].
+    Returns (logits [1, C], a_raw [1, N] fully replicated).
+    """
+    p = params["params"]
+
+    def local_fwd(bag_l, mask_l):
+        # fc -> relu (local, elementwise over instances)
+        h = jax.nn.relu(bag_l @ p["fc"]["kernel"] + p["fc"]["bias"])
+        att = p["attention"]
+        a = jnp.tanh(h @ att["attn_a"]["kernel"] + att["attn_a"]["bias"])
+        b = jax.nn.sigmoid(h @ att["attn_b"]["kernel"] + att["attn_b"]["bias"])
+        scores = ((a * b) @ att["attn_c"]["kernel"] + att["attn_c"]["bias"])[:, 0]
+        scores = jnp.where(mask_l, scores, NEG_INF)
+
+        # distributed masked softmax over the sharded instance axis
+        gmax = jax.lax.pmax(jnp.max(scores), axis)
+        e = jnp.exp(scores - gmax) * mask_l.astype(scores.dtype)
+        gsum = jax.lax.psum(jnp.sum(e), axis)
+        w = e / jnp.maximum(gsum, 1e-30)
+
+        # bag embedding: psum of local weighted sums
+        m_local = w @ h                                    # [L]
+        m = jax.lax.psum(m_local, axis)                    # [L]
+        logits = m @ p["classifier"]["kernel"] + p["classifier"]["bias"]
+        a_full = jax.lax.all_gather(scores, axis, tiled=True)  # [N]
+        return logits[None, :], a_full[None, :]
+
+    fwd = shard_map(
+        local_fwd, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fwd(bag, mask)

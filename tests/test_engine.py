@@ -1,0 +1,118 @@
+"""End-to-end engine tests on synthetic feature bags (SURVEY.md §4 plan #5)."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hipt_abmil_atec23_tpu.data.synthetic import make_synthetic_bags
+from hipt_abmil_atec23_tpu.data.splits import (
+    generate_kfold_splits, save_split_csv, load_split_csv, check_split_disjoint)
+from hipt_abmil_atec23_tpu.engine.experiment import run_cv
+from hipt_abmil_atec23_tpu.utils.config import (
+    ExperimentConfig, BagConfig, ModelConfig, TrainConfig, TaskConfig)
+
+
+def _cfg(tmp_path, **over):
+    base = dict(
+        exp_code="t", results_dir=str(tmp_path / "results"),
+        task=TaskConfig(name="synth", n_classes=2,
+                        label_dict={"0": 0, "1": 1}),
+        bags=BagConfig(max_patches_per_slide=64, batch_size=1),
+        model=ModelConfig(model_type="clam_sb", model_size="hipt_smaller",
+                          drop_out=0.0),
+        train=TrainConfig(lr=1e-3, reg=1e-5, max_epochs=25, min_epochs=2,
+                          early_stopping=False, k=3, seed=3,
+                          weighted_sample=True, bag_loss="ce"),
+    )
+    base.update(over)
+    return ExperimentConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bags")
+    return make_synthetic_bags(str(d), n_slides=48, feat_dim=192,
+                               signal=1.5, signal_fraction=0.4, seed=1)
+
+
+def test_cv_learns_synthetic_signal(synth, tmp_path):
+    manifest, store = synth
+    cfg = _cfg(tmp_path)
+    summary, results = run_cv(cfg, manifest, store, verbose=False)
+    assert len(results) == 3
+    assert summary["test_auc"].mean() > 0.8, summary
+    assert os.path.exists(os.path.join(cfg.results_dir, "summary.csv"))
+    assert os.path.exists(os.path.join(cfg.results_dir, "fold_0.csv"))
+    assert os.path.exists(os.path.join(cfg.results_dir, "s_0_checkpoint.msgpack"))
+    fold0 = pd.read_csv(os.path.join(cfg.results_dir, "fold_0.csv"))
+    assert {"slide_id", "Y", "Y_hat", "p_0", "p_1"} <= set(fold0.columns)
+
+
+def test_determinism_same_seed(synth, tmp_path):
+    manifest, store = synth
+    cfg1 = _cfg(tmp_path / "a", train=TrainConfig(
+        lr=1e-3, max_epochs=2, min_epochs=1, early_stopping=False, k=3,
+        k_end=1, seed=7))
+    cfg2 = _cfg(tmp_path / "b", train=TrainConfig(
+        lr=1e-3, max_epochs=2, min_epochs=1, early_stopping=False, k=3,
+        k_end=1, seed=7))
+    s1, _ = run_cv(cfg1, manifest, store, verbose=False)
+    s2, _ = run_cv(cfg2, manifest, store, verbose=False)
+    np.testing.assert_allclose(s1["test_auc"], s2["test_auc"], rtol=1e-6)
+
+
+def test_abmil_mode_no_inst_cluster(synth, tmp_path):
+    """Winning-config shape: CLAM_SB + --no_inst_cluster == pure ABMIL."""
+    manifest, store = synth
+    cfg = _cfg(tmp_path, model=ModelConfig(
+        model_type="clam_sb", model_size="hipt_smaller", drop_out=0.0,
+        no_inst_cluster=True))
+    summary, _ = run_cv(cfg, manifest, store, verbose=False)
+    assert summary["test_auc"].mean() > 0.75
+
+
+def test_mil_fc_model_trains(synth, tmp_path):
+    manifest, store = synth
+    cfg = _cfg(tmp_path, model=ModelConfig(model_type="mil", model_size="small"))
+    # MIL_fc expects 1024-d 'small'; regenerate 1024-d bags
+    d2 = tmp_path / "bags1024"
+    manifest2, store2 = make_synthetic_bags(str(d2), n_slides=24,
+                                            feat_dim=1024, seed=2)
+    cfg.train.max_epochs = 4
+    summary, _ = run_cv(cfg, manifest2, store2, verbose=False)
+    assert np.isfinite(summary["test_auc"]).all()
+
+
+def test_split_csv_roundtrip(synth, tmp_path):
+    manifest, _ = synth
+    splits = generate_kfold_splits(manifest.labels, 5, seed=1)
+    for s in splits:
+        check_split_disjoint(s)
+    path = str(tmp_path / "splits_0.csv")
+    save_split_csv(path, list(manifest.slide_ids), splits[0])
+    tr, va, te = load_split_csv(path)
+    assert set(tr) == {manifest.slide_ids[i] for i in splits[0][0]}
+    assert set(te) == {manifest.slide_ids[i] for i in splits[0][2]}
+    # val = next fold's test (reference: utils/utils.py:142-152)
+    assert set(va) == {manifest.slide_ids[i] for i in splits[1][2]}
+
+
+def test_early_stopping_schedule():
+    from hipt_abmil_atec23_tpu.engine.train import EarlyStopper
+    es = EarlyStopper(min_epochs=3, patience=2, stop_epoch=4)
+    # warmup: always save
+    assert es.update(0, 1.0) and es.update(1, 2.0) and es.update(2, 1.5)
+    assert not es.early_stop
+    # first post-warmup epoch establishes best
+    assert es.update(3, 1.2)
+    # worse epochs accumulate patience; stop only past stop_epoch
+    assert not es.update(4, 1.3)
+    assert not es.early_stop
+    assert not es.update(5, 1.4)
+    assert es.early_stop
+    # improvement resets
+    es2 = EarlyStopper(min_epochs=0, patience=2, stop_epoch=0)
+    es2.update(0, 1.0)
+    es2.update(1, 2.0)
+    assert es2.update(2, 0.5) and es2.counter == 0

@@ -1,0 +1,63 @@
+"""Multi-device tests on the 8-virtual-CPU mesh (SURVEY.md §4 plan #4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hipt_abmil_atec23_tpu.data.synthetic import make_synthetic_bags
+from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets
+from hipt_abmil_atec23_tpu.models import CLAM_SB
+from hipt_abmil_atec23_tpu.parallel.mesh import make_mesh
+from hipt_abmil_atec23_tpu.parallel.fold_parallel import train_folds_parallel
+from hipt_abmil_atec23_tpu.parallel.sharded_bag import sharded_clam_forward
+from hipt_abmil_atec23_tpu.utils.config import (
+    ExperimentConfig, BagConfig, ModelConfig, TrainConfig, TaskConfig)
+
+
+def test_mesh_construction():
+    mesh = make_mesh([("fold", 4), ("data", 2)])
+    assert mesh.shape == {"fold": 4, "data": 2}
+    with pytest.raises(ValueError):
+        make_mesh([("fold", 3)])
+
+
+def test_fold_parallel_training_on_mesh(tmp_path):
+    manifest, store = make_synthetic_bags(
+        str(tmp_path / "bags"), n_slides=48, feat_dim=192, signal=1.5,
+        signal_fraction=0.4, seed=1)
+    cfg = ExperimentConfig(
+        exp_code="fp", results_dir=str(tmp_path / "results"),
+        task=TaskConfig(name="s", n_classes=2, label_dict={"0": 0, "1": 1}),
+        bags=BagConfig(max_patches_per_slide=64, batch_size=1),
+        model=ModelConfig(model_type="clam_sb", model_size="hipt_smaller"),
+        train=TrainConfig(lr=1e-3, reg=1e-5, max_epochs=12, min_epochs=1,
+                          early_stopping=False, k=4, seed=3,
+                          weighted_sample=True))
+    folds = [make_fold_datasets(manifest, store, cfg, f) for f in range(4)]
+    mesh = make_mesh([("fold", 4)], devices=jax.devices()[:4])
+    res = train_folds_parallel(cfg, folds, manifest.class_counts(),
+                               mesh, verbose=False)
+    assert res.summary["test_auc"].shape == (4,)
+    # fold-parallel training must actually learn the signal
+    assert res.summary["test_auc"].mean() > 0.7, res.summary
+
+
+def test_sharded_bag_matches_single_device(rng):
+    """Instance-sharded CLAM forward == unsharded forward."""
+    n, d = 256, 192
+    bag = rng.normal(size=(n, d)).astype(np.float32)
+    mask = np.ones((n,), bool)
+    mask[200:] = False
+    model = CLAM_SB(size_arg="hipt_smaller", n_classes=2)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(bag), None)
+    ref = model.apply(params, jnp.asarray(bag), jnp.asarray(mask))
+
+    mesh = make_mesh([("inst", 8)])
+    logits, a_raw = sharded_clam_forward(params, jnp.asarray(bag),
+                                         jnp.asarray(mask), mesh)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref.logits),
+                               rtol=2e-4, atol=1e-5)
+    # raw attention matches on valid instances
+    np.testing.assert_allclose(np.asarray(a_raw)[0, :200],
+                               np.asarray(ref.a_raw)[0, :200],
+                               rtol=2e-4, atol=1e-5)
