@@ -29,6 +29,21 @@ def has_reference() -> bool:
     return os.path.isdir(REFERENCE_DIR)
 
 
+def stub_reference_deps() -> None:
+    """Stub modules the reference imports but this image lacks (torchvision).
+    Only attribute access at import time needs to resolve."""
+    import sys
+    import types
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    for sub in ("transforms", "datasets", "models"):
+        m = types.ModuleType(f"torchvision.{sub}")
+        setattr(tv, sub, m)
+        sys.modules[f"torchvision.{sub}"] = m
+    sys.modules["torchvision"] = tv
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

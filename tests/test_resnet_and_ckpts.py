@@ -1,0 +1,185 @@
+"""ResNet encoder parity + golden-checkpoint tests (demo CLAM ckpt)."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_DIR, has_reference, stub_reference_deps
+
+from hipt_abmil_atec23_tpu.models.resnet import (
+    resnet50_trunc, resnet18, imagenet_normalize)
+from hipt_abmil_atec23_tpu.models.convert import (
+    resnet_params_from_torch, clam_params_from_torch, clam_params_to_torch,
+    load_torch_state_dict)
+from hipt_abmil_atec23_tpu.models import CLAM_SB
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+def test_resnet50_trunc_parity(rng):
+    """Our NHWC ResNet-50 trunk == the reference's ResNet_Baseline
+    (random weights, eval mode) to fp32 tolerance."""
+    import torch
+    stub_reference_deps()
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        from models.resnet_custom import ResNet_Baseline, Bottleneck_Baseline
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+    tmodel = ResNet_Baseline(Bottleneck_Baseline, [3, 4, 6, 3])
+    tmodel.eval()
+    # randomize BN stats so the test exercises running-stat conversion
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    variables = resnet_params_from_torch(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()},
+        layers=(3, 4, 6), bottleneck=True)
+    model = resnet50_trunc()
+
+    x = rng.normal(size=(2, 256, 256, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = tmodel(torch.tensor(x).permute(0, 3, 1, 2)).numpy()
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert ours.shape == (2, 1024)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_resnet18_parity_vs_inline_torch_oracle(rng):
+    """ResNet-18 trunk vs a from-scratch torch BasicBlock oracle."""
+    import torch
+    import torch.nn as tnn
+
+    class BB(tnn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(cout)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(cout)
+            self.down = None
+            if stride != 1 or cin != cout:
+                self.down = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            r = x if self.down is None else self.down(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + r)
+
+    class R18(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            chans = [64, 64, 128, 256, 512]
+            blocks = []
+            for li in range(4):
+                stride = 1 if li == 0 else 2
+                blocks.append(BB(chans[li], chans[li + 1], stride))
+                blocks.append(BB(chans[li + 1], chans[li + 1]))
+            self.layers = tnn.ModuleList(blocks)
+
+        def forward(self, x):
+            x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            for b in self.layers:
+                x = b(x)
+            return x.mean(dim=(2, 3))
+
+    tmodel = R18(); tmodel.eval()
+    # rename into torchvision layout for the converter
+    sd = {}
+    for k, v in tmodel.state_dict().items():
+        if k.startswith(("conv1", "bn1")):
+            sd[k] = v.numpy(); continue
+        parts = k.split(".")
+        bi = int(parts[1])
+        li, inner = bi // 2 + 1, bi % 2
+        rest = ".".join(parts[2:]).replace("down.0", "downsample.0") \
+                                  .replace("down.1", "downsample.1")
+        sd[f"layer{li}.{inner}.{rest}"] = v.numpy()
+
+    variables = resnet_params_from_torch(sd, layers=(2, 2, 2, 2),
+                                         bottleneck=False)
+    model = resnet18()
+    x = rng.normal(size=(2, 224, 224, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = tmodel(torch.tensor(x).permute(0, 3, 1, 2)).numpy()
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert ours.shape == (2, 512)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_imagenet_normalize():
+    x = np.full((1, 2, 2, 3), 255, np.uint8)
+    out = np.asarray(imagenet_normalize(jnp.asarray(x)))
+    np.testing.assert_allclose(
+        out[0, 0, 0], (1 - np.array([0.485, 0.456, 0.406])) /
+        np.array([0.229, 0.224, 0.225]), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Golden test: the demo CLAM checkpoint shipped with the reference
+# (heatmaps/demo/ckpts/s_0_checkpoint.pt, CLAM_SB 'small' 1024-d)
+# ---------------------------------------------------------------------------
+
+DEMO_CKPT = f"{REFERENCE_DIR}/heatmaps/demo/ckpts/s_0_checkpoint.pt"
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+def test_demo_checkpoint_golden(rng):
+    import os
+    if not os.path.exists(DEMO_CKPT):
+        pytest.skip("demo checkpoint not shipped")
+    import torch
+    sd = load_torch_state_dict(DEMO_CKPT, checkpoint_key=None)
+    params = clam_params_from_torch(sd, n_classes=2)
+    model = CLAM_SB(size_arg="small", n_classes=2, dropout=0.25)
+
+    bag = rng.normal(size=(120, 1024)).astype(np.float32)
+    out = model.apply(params, jnp.asarray(bag), None)
+
+    # oracle: reference torch model loading the same checkpoint
+    stub_reference_deps()
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        from models.model_clam import CLAM_SB as TorchSB
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+    tmodel = TorchSB(size_arg="small", n_classes=2, dropout=0.25)
+    clean = {k.replace(".module", ""): torch.tensor(v) for k, v in sd.items()
+             if "instance_loss_fn" not in k}
+    # reference eval loader renames '.module' (eval_utils.py:51-57)
+    tmodel.load_state_dict(clean, strict=False)
+    tmodel.eval()
+    with torch.no_grad():
+        tlogits, tprob, that, ta, _ = tmodel(torch.tensor(bag))
+    np.testing.assert_allclose(np.asarray(out.logits), tlogits.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.a_raw), ta.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_clam_torch_roundtrip(rng):
+    """Our params -> torch state_dict -> back == identity."""
+    import jax
+    model = CLAM_SB(size_arg="hipt_smaller", n_classes=2)
+    bag = jnp.asarray(rng.normal(size=(30, 192)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), bag, None,
+                        label=jnp.array(0), instance_eval=True)
+    sd = clam_params_to_torch(params)
+    back = clam_params_from_torch({k: v.numpy() for k, v in sd.items()})
+    for path in (("fc", "kernel"), ("attention", "attn_b", "bias"),
+                 ("classifier", "kernel"), ("instance_w",)):
+        a = params["params"]
+        b = back["params"]
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
