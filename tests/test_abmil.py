@@ -12,7 +12,7 @@ from hipt_abmil_atec23_tpu.models import (
 )
 from hipt_abmil_atec23_tpu.ops.masking import masked_softmax, masked_top_k
 
-from conftest import REFERENCE_DIR, has_reference
+from conftest import REFERENCE_DIR, has_reference, stub_reference_deps
 
 
 def _init_and_run(model, bag, mask=None, **kwargs):
@@ -110,19 +110,8 @@ def test_dropout_is_stochastic_in_train_mode(rng):
 # from /root/reference purely to compare behavior; skipped when absent).
 # ---------------------------------------------------------------------------
 
-def _stub_torchvision():
-    """The reference's utils.utils imports torchvision, which isn't in this
-    image; only `transforms` is touched at import time, so stub it."""
-    import types
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.transforms = types.ModuleType("torchvision.transforms")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tv.transforms
-
-
 def _torch_clam(model_type, size_arg, n_classes, k_sample):
-    _stub_torchvision()
+    stub_reference_deps()
     sys.path.insert(0, REFERENCE_DIR)
     try:
         from models.model_clam import CLAM_SB as TorchSB, CLAM_MB as TorchMB
