@@ -1,0 +1,180 @@
+"""Slide readers with an OpenSlide-compatible surface.
+
+API parity with the reference's OpenSlide usage (reference:
+wsi_core/WholeSlideImage.py:31-54): ``level_dimensions``,
+``level_downsamples``, ``read_region(loc_level0, level, size)``,
+``get_best_level_for_downsample``; plus the TPU-pipeline addition
+``read_regions`` — one call, N regions, decoded by the native thread pool
+into a single contiguous uint8 batch ready for device transfer (replaces
+the reference's per-patch ``read_region`` inside DataLoader workers,
+datasets/dataset_h5.py:194-207).
+
+Backends:
+  TiffSlide  — native C++ engine over tiled pyramidal TIFFs
+  ImageSlide — plain raster images (PNG/JPG) with synthesized levels; also
+               handles the reference's --pad_slide behavior (pad small
+               slides to >= 4096^2 with white, WholeSlideImage.py:23-46)
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hipt_abmil_atec23_tpu.slideio import native
+
+
+class BaseSlide:
+    level_dimensions: List[Tuple[int, int]]  # (width, height) per level
+
+    @property
+    def dimensions(self) -> Tuple[int, int]:
+        return self.level_dimensions[0]
+
+    @property
+    def level_count(self) -> int:
+        return len(self.level_dimensions)
+
+    @property
+    def level_downsamples(self) -> List[Tuple[float, float]]:
+        """Per-level (dx, dy) estimated from dims (reference:
+        _assertLevelDownsamples, WholeSlideImage.py:382-390)."""
+        w0, h0 = self.level_dimensions[0]
+        return [(w0 / w, h0 / h) for (w, h) in self.level_dimensions]
+
+    def get_best_level_for_downsample(self, downsample: float) -> int:
+        """Largest level whose downsample <= target (openslide semantics,
+        used by seg-level auto-pick at create_patches_fp.py:153)."""
+        best = 0
+        for i, (dx, _) in enumerate(self.level_downsamples):
+            if dx <= downsample + 1e-9:
+                best = i
+        return best
+
+    def read_region(self, location: Tuple[int, int], level: int,
+                    size: Tuple[int, int]) -> np.ndarray:
+        raise NotImplementedError
+
+    def read_regions(self, locations: np.ndarray, level: int,
+                     size: Tuple[int, int], n_threads: int = 0) -> np.ndarray:
+        """Batched reads; default implementation loops read_region."""
+        out = np.empty((len(locations), size[1], size[0], 3), np.uint8)
+        for i, loc in enumerate(locations):
+            out[i] = self.read_region((int(loc[0]), int(loc[1])), level, size)
+        return out
+
+    def read_level(self, level: int) -> np.ndarray:
+        w, h = self.level_dimensions[level]
+        return self.read_region((0, 0), level, (w, h))
+
+    def close(self) -> None:
+        pass
+
+
+class TiffSlide(BaseSlide):
+    """Native tiled-TIFF backend."""
+
+    def __init__(self, path: str):
+        self._lib = native.get_lib()
+        self._h = self._lib.ws_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open slide {path!r}")
+        self.path = path
+        n = self._lib.ws_level_count(self._h)
+        dims = []
+        w = ctypes.c_int64()
+        h = ctypes.c_int64()
+        for lvl in range(n):
+            self._lib.ws_level_dims(self._h, lvl, ctypes.byref(w),
+                                    ctypes.byref(h))
+            dims.append((int(w.value), int(h.value)))
+        self.level_dimensions = dims
+
+    def _to_level_coords(self, location, level):
+        dx, dy = self.level_downsamples[level]
+        return int(location[0] / dx), int(location[1] / dy)
+
+    def read_region(self, location, level, size):
+        lx, ly = self._to_level_coords(location, level)
+        w, h = size
+        out = np.empty((h, w, 3), np.uint8)
+        r = self._lib.ws_read_region(self._h, level, lx, ly, w, h,
+                                     out.ctypes.data_as(ctypes.c_void_p))
+        if r != 0:
+            raise IOError(f"read_region failed at {location} level {level}")
+        return out
+
+    def read_regions(self, locations, level, size, n_threads: int = 0):
+        locations = np.asarray(locations, np.int64)
+        dx, dy = self.level_downsamples[level]
+        lvl_coords = np.ascontiguousarray(
+            np.stack([(locations[:, 0] / dx).astype(np.int64),
+                      (locations[:, 1] / dy).astype(np.int64)], axis=1))
+        w, h = size
+        out = np.empty((len(locations), h, w, 3), np.uint8)
+        r = self._lib.ws_read_regions(
+            self._h, level, lvl_coords.ctypes.data_as(ctypes.c_void_p),
+            len(locations), w, h, out.ctypes.data_as(ctypes.c_void_p),
+            n_threads)
+        if r != 0:
+            raise IOError(f"read_regions failed ({r})")
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.ws_close(self._h)
+            self._h = None
+
+
+class ImageSlide(BaseSlide):
+    """Plain-image backend with synthesized 2x pyramid levels; supports white
+    padding to a minimum size (reference --pad_slide, WholeSlideImage.py:23-46)."""
+
+    def __init__(self, path_or_array, pad_to: int = 0, n_levels: int = 4):
+        if isinstance(path_or_array, np.ndarray):
+            img = path_or_array
+        else:
+            import cv2
+            img = cv2.cvtColor(cv2.imread(str(path_or_array)),
+                               cv2.COLOR_BGR2RGB)
+        if pad_to and (img.shape[0] < pad_to or img.shape[1] < pad_to):
+            h, w = img.shape[:2]
+            padded = np.full((max(h, pad_to), max(w, pad_to), 3), 255, np.uint8)
+            padded[:h, :w] = img
+            img = padded
+        self._levels = [np.ascontiguousarray(img, np.uint8)]
+        import cv2
+        for _ in range(n_levels - 1):
+            prev = self._levels[-1]
+            if min(prev.shape[:2]) < 2:
+                break
+            self._levels.append(cv2.resize(
+                prev, (prev.shape[1] // 2, prev.shape[0] // 2),
+                interpolation=cv2.INTER_AREA))
+        self.level_dimensions = [(l.shape[1], l.shape[0]) for l in self._levels]
+
+    def read_region(self, location, level, size):
+        dx, dy = self.level_downsamples[level]
+        lx, ly = int(location[0] / dx), int(location[1] / dy)
+        w, h = size
+        out = np.full((h, w, 3), 255, np.uint8)
+        lvl = self._levels[level]
+        x0, y0 = max(lx, 0), max(ly, 0)
+        x1 = min(lx + w, lvl.shape[1])
+        y1 = min(ly + h, lvl.shape[0])
+        if x0 < x1 and y0 < y1:
+            out[y0 - ly:y1 - ly, x0 - lx:x1 - lx] = lvl[y0:y1, x0:x1]
+        return out
+
+
+def open_slide(path: str, pad_to: int = 0) -> BaseSlide:
+    """Open a slide by extension (reference: openslide.open_slide call sites)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".tif", ".tiff", ".svs"):
+        try:
+            return TiffSlide(path)
+        except IOError:
+            return ImageSlide(path, pad_to=pad_to)
+    return ImageSlide(path, pad_to=pad_to)

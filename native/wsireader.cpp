@@ -1,0 +1,308 @@
+// wsireader: native pyramidal-slide I/O for the TPU WSI pipeline.
+//
+// Replaces the reference's OpenSlide dependency (reference:
+// wsi_core/WholeSlideImage.py:31 `openslide.open_slide`, :165/:340
+// `read_region`) with a C++ tiled-TIFF engine exposing a C ABI for ctypes:
+//
+//   - per-level metadata parsed once at open;
+//   - read_region at any level with tile-cache-free direct decode;
+//   - BATCHED multi-threaded region reads (ws_read_regions): the host-side
+//     producer that keeps TPU HBM fed — the reference hides decode latency
+//     behind 1-16 torch DataLoader workers (extract_features_fp.py:144-153);
+//     here a std::thread pool decodes N regions concurrently into one
+//     contiguous uint8 buffer ready for device transfer;
+//   - a pyramid writer (box-filtered levels, deflate or JPEG tiles) used by
+//     tests and benchmarks to fabricate synthetic slides.
+//
+// Build: make -C native   ->  native/libwsireader.so
+#include "tiff_api.h"
+
+#include <algorithm>
+#include <atomic>
+#include <cstdarg>
+#include <cstring>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+void quiet_handler(const char*, const char*, va_list) {}
+
+struct LevelInfo {
+  uint32_t width = 0, height = 0;
+  uint32_t tile_w = 0, tile_h = 0;
+  uint16_t dir = 0;
+  uint16_t spp = 3;
+  bool tiled = false;
+};
+
+struct Slide {
+  std::string path;
+  std::vector<LevelInfo> levels;  // sorted by area desc (level 0 = largest)
+  std::mutex pool_mu;
+  std::vector<TIFF*> pool;  // reusable handles for worker threads
+
+  ~Slide() {
+    for (TIFF* t : pool) TIFFClose(t);
+  }
+
+  TIFF* acquire() {
+    {
+      std::lock_guard<std::mutex> g(pool_mu);
+      if (!pool.empty()) {
+        TIFF* t = pool.back();
+        pool.pop_back();
+        return t;
+      }
+    }
+    return TIFFOpen(path.c_str(), "rm");  // m: no mmap (keeps RSS bounded)
+  }
+
+  void release(TIFF* t) {
+    std::lock_guard<std::mutex> g(pool_mu);
+    pool.push_back(t);
+  }
+};
+
+// Decode one tile (tx, ty are tile indices) into an RGB scratch buffer.
+// Primary path: 8-bit contiguous RGB tiles via TIFFReadEncodedTile.
+// Fallback: TIFFReadRGBATile (handles JPEG/YCbCr etc.), which returns
+// bottom-up ABGR and needs a flip + channel swizzle.
+bool decode_tile_rgb(TIFF* tif, const LevelInfo& L, uint32_t tx, uint32_t ty,
+                     uint8_t* rgb /* tile_w*tile_h*3 */) {
+  uint16_t photometric = 0, bps = 0, spp = 0, planar = 0, comp = 0;
+  TIFFGetField(tif, TAG_PHOTOMETRIC, &photometric);
+  TIFFGetField(tif, TAG_BITSPERSAMPLE, &bps);
+  TIFFGetField(tif, TAG_SAMPLESPERPIXEL, &spp);
+  TIFFGetField(tif, TAG_PLANARCONFIG, &planar);
+  TIFFGetField(tif, TAG_COMPRESSION, &comp);
+  const size_t npix = size_t(L.tile_w) * L.tile_h;
+
+  if (photometric == PHOTOMETRIC_RGB_ && bps == 8 && spp == 3 &&
+      planar == PLANARCONFIG_CONTIG_ && comp != COMPRESSION_JPEG_) {
+    uint32_t tile = TIFFComputeTile(tif, tx * L.tile_w, ty * L.tile_h, 0, 0);
+    tmsize_t n = TIFFReadEncodedTile(tif, tile, rgb, tmsize_t(npix * 3));
+    return n > 0;
+  }
+  // RGBA fallback (bottom-up raster)
+  std::vector<uint32_t> raster(npix);
+  if (!TIFFReadRGBATile(tif, tx * L.tile_w, ty * L.tile_h, raster.data()))
+    return false;
+  for (uint32_t r = 0; r < L.tile_h; ++r) {
+    const uint32_t* src = raster.data() + size_t(L.tile_h - 1 - r) * L.tile_w;
+    uint8_t* dst = rgb + size_t(r) * L.tile_w * 3;
+    for (uint32_t c = 0; c < L.tile_w; ++c) {
+      uint32_t px = src[c];
+      dst[c * 3 + 0] = px & 0xff;          // R
+      dst[c * 3 + 1] = (px >> 8) & 0xff;   // G
+      dst[c * 3 + 2] = (px >> 16) & 0xff;  // B
+    }
+  }
+  return true;
+}
+
+// Read a (w x h) RGB region at `level`, top-left (x, y) in level coords,
+// into out (row-major, white-padded past the slide boundary).
+bool read_region_impl(Slide* s, TIFF* tif, int level, int64_t x, int64_t y,
+                      int64_t w, int64_t h, uint8_t* out) {
+  const LevelInfo& L = s->levels[level];
+  if (!TIFFSetDirectory(tif, L.dir)) return false;
+  std::memset(out, 0xff, size_t(w) * h * 3);  // white background
+  if (!L.tiled) return false;
+
+  const int64_t x0 = std::max<int64_t>(x, 0), y0 = std::max<int64_t>(y, 0);
+  const int64_t x1 = std::min<int64_t>(x + w, L.width);
+  const int64_t y1 = std::min<int64_t>(y + h, L.height);
+  if (x0 >= x1 || y0 >= y1) return true;  // fully outside: stays white
+
+  std::vector<uint8_t> tilebuf(size_t(L.tile_w) * L.tile_h * 3);
+  const uint32_t tx0 = uint32_t(x0 / L.tile_w), tx1 = uint32_t((x1 - 1) / L.tile_w);
+  const uint32_t ty0 = uint32_t(y0 / L.tile_h), ty1 = uint32_t((y1 - 1) / L.tile_h);
+  for (uint32_t ty = ty0; ty <= ty1; ++ty) {
+    for (uint32_t tx = tx0; tx <= tx1; ++tx) {
+      if (!decode_tile_rgb(tif, L, tx, ty, tilebuf.data())) return false;
+      const int64_t gx0 = std::max<int64_t>(int64_t(tx) * L.tile_w, x0);
+      const int64_t gx1 = std::min<int64_t>(int64_t(tx + 1) * L.tile_w, x1);
+      const int64_t gy0 = std::max<int64_t>(int64_t(ty) * L.tile_h, y0);
+      const int64_t gy1 = std::min<int64_t>(int64_t(ty + 1) * L.tile_h, y1);
+      const int64_t row_bytes = (gx1 - gx0) * 3;
+      for (int64_t gy = gy0; gy < gy1; ++gy) {
+        const uint8_t* src = tilebuf.data() +
+            (size_t(gy - int64_t(ty) * L.tile_h) * L.tile_w +
+             (gx0 - int64_t(tx) * L.tile_w)) * 3;
+        uint8_t* dst = out + (size_t(gy - y) * w + (gx0 - x)) * 3;
+        std::memcpy(dst, src, size_t(row_bytes));
+      }
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ws_open(const char* path) {
+  TIFFSetErrorHandler(quiet_handler);
+  TIFFSetWarningHandler(quiet_handler);
+  TIFF* tif = TIFFOpen(path, "rm");
+  if (!tif) return nullptr;
+  auto s = std::make_unique<Slide>();
+  s->path = path;
+  uint16_t ndirs = TIFFNumberOfDirectories(tif);
+  for (uint16_t d = 0; d < ndirs; ++d) {
+    if (!TIFFSetDirectory(tif, d)) break;
+    LevelInfo L;
+    L.dir = d;
+    TIFFGetField(tif, TAG_IMAGEWIDTH, &L.width);
+    TIFFGetField(tif, TAG_IMAGELENGTH, &L.height);
+    L.tiled = TIFFGetField(tif, TAG_TILEWIDTH, &L.tile_w) &&
+              TIFFGetField(tif, TAG_TILELENGTH, &L.tile_h);
+    TIFFGetField(tif, TAG_SAMPLESPERPIXEL, &L.spp);
+    if (L.tiled && L.width && L.height) s->levels.push_back(L);
+  }
+  if (s->levels.empty()) {
+    TIFFClose(tif);
+    return nullptr;
+  }
+  std::sort(s->levels.begin(), s->levels.end(),
+            [](const LevelInfo& a, const LevelInfo& b) {
+              return uint64_t(a.width) * a.height > uint64_t(b.width) * b.height;
+            });
+  s->pool.push_back(tif);
+  return s.release();
+}
+
+void ws_close(void* handle) { delete static_cast<Slide*>(handle); }
+
+int32_t ws_level_count(void* handle) {
+  return int32_t(static_cast<Slide*>(handle)->levels.size());
+}
+
+void ws_level_dims(void* handle, int32_t level, int64_t* w, int64_t* h) {
+  const auto& L = static_cast<Slide*>(handle)->levels[level];
+  *w = L.width;
+  *h = L.height;
+}
+
+// Single region read.
+int32_t ws_read_region(void* handle, int32_t level, int64_t x, int64_t y,
+                       int64_t w, int64_t h, uint8_t* out) {
+  Slide* s = static_cast<Slide*>(handle);
+  TIFF* tif = s->acquire();
+  if (!tif) return -1;
+  bool ok = read_region_impl(s, tif, level, x, y, w, h, out);
+  s->release(tif);
+  return ok ? 0 : -1;
+}
+
+// Batched, thread-pooled region reads: n regions of (w x h) at `level`,
+// coords = int64[n*2] (x, y) pairs, out = uint8[n*h*w*3] contiguous.
+int32_t ws_read_regions(void* handle, int32_t level, const int64_t* coords,
+                        int32_t n, int64_t w, int64_t h, uint8_t* out,
+                        int32_t n_threads) {
+  Slide* s = static_cast<Slide*>(handle);
+  if (n_threads <= 0) n_threads = int32_t(std::thread::hardware_concurrency());
+  n_threads = std::max(1, std::min<int32_t>(n_threads, n));
+  std::atomic<int32_t> next(0), failed(0);
+  auto worker = [&]() {
+    TIFF* tif = s->acquire();
+    if (!tif) {
+      failed.fetch_add(1);
+      return;
+    }
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) break;
+      uint8_t* dst = out + size_t(i) * w * h * 3;
+      if (!read_region_impl(s, tif, level, coords[2 * i], coords[2 * i + 1],
+                            w, h, dst))
+        failed.fetch_add(1);
+    }
+    s->release(tif);
+  };
+  std::vector<std::thread> threads;
+  for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load() ? -int32_t(failed.load()) : 0;
+}
+
+// ---------------------------------------------------------------------------
+// Pyramid writer: level-0 RGB -> tiled multi-directory TIFF with 2x
+// box-filtered levels. compression: 1=none, 7=jpeg, 8=deflate.
+// ---------------------------------------------------------------------------
+static bool write_level(TIFF* tif, const uint8_t* img, int64_t w, int64_t h,
+                        uint32_t tile, uint16_t compression, int quality) {
+  TIFFSetField(tif, TAG_IMAGEWIDTH, uint32_t(w));
+  TIFFSetField(tif, TAG_IMAGELENGTH, uint32_t(h));
+  TIFFSetField(tif, TAG_BITSPERSAMPLE, uint16_t(8));
+  TIFFSetField(tif, TAG_SAMPLESPERPIXEL, uint16_t(3));
+  TIFFSetField(tif, TAG_PHOTOMETRIC, uint16_t(PHOTOMETRIC_RGB_));
+  TIFFSetField(tif, TAG_PLANARCONFIG, uint16_t(PLANARCONFIG_CONTIG_));
+  TIFFSetField(tif, TAG_COMPRESSION, compression);
+  TIFFSetField(tif, TAG_TILEWIDTH, tile);
+  TIFFSetField(tif, TAG_TILELENGTH, tile);
+  if (compression == COMPRESSION_JPEG_)
+    TIFFSetField(tif, TAG_JPEGQUALITY, quality);
+
+  std::vector<uint8_t> tilebuf(size_t(tile) * tile * 3, 0xff);
+  for (int64_t ty = 0; ty < (h + tile - 1) / tile; ++ty) {
+    for (int64_t tx = 0; tx < (w + tile - 1) / tile; ++tx) {
+      std::fill(tilebuf.begin(), tilebuf.end(), 0xff);
+      const int64_t x0 = tx * tile, y0 = ty * tile;
+      const int64_t cw = std::min<int64_t>(tile, w - x0);
+      const int64_t ch = std::min<int64_t>(tile, h - y0);
+      for (int64_t r = 0; r < ch; ++r)
+        std::memcpy(tilebuf.data() + size_t(r) * tile * 3,
+                    img + (size_t(y0 + r) * w + x0) * 3, size_t(cw) * 3);
+      uint32_t tnum =
+          TIFFComputeTile(tif, uint32_t(x0), uint32_t(y0), 0, 0);
+      if (TIFFWriteEncodedTile(tif, tnum, tilebuf.data(),
+                               tmsize_t(tilebuf.size())) < 0)
+        return false;
+    }
+  }
+  return TIFFWriteDirectory(tif) == 1;
+}
+
+int32_t ws_write_pyramid(const char* path, const uint8_t* level0, int64_t w,
+                         int64_t h, int32_t tile, int32_t n_levels,
+                         int32_t compression, int32_t quality) {
+  TIFFSetErrorHandler(quiet_handler);
+  TIFFSetWarningHandler(quiet_handler);
+  TIFF* tif = TIFFOpen(path, "w");
+  if (!tif) return -1;
+  std::vector<uint8_t> cur(level0, level0 + size_t(w) * h * 3);
+  int64_t cw = w, ch = h;
+  for (int32_t lvl = 0; lvl < n_levels; ++lvl) {
+    if (!write_level(tif, cur.data(), cw, ch, uint32_t(tile),
+                     uint16_t(compression), quality)) {
+      TIFFClose(tif);
+      return -2;
+    }
+    if (lvl + 1 < n_levels) {  // 2x box downsample
+      int64_t nw = std::max<int64_t>(1, cw / 2), nh = std::max<int64_t>(1, ch / 2);
+      std::vector<uint8_t> nxt(size_t(nw) * nh * 3);
+      for (int64_t r = 0; r < nh; ++r)
+        for (int64_t c = 0; c < nw; ++c)
+          for (int k = 0; k < 3; ++k) {
+            int sum = cur[(size_t(2 * r) * cw + 2 * c) * 3 + k] +
+                      cur[(size_t(2 * r) * cw + std::min(2 * c + 1, cw - 1)) * 3 + k] +
+                      cur[(size_t(std::min(2 * r + 1, ch - 1)) * cw + 2 * c) * 3 + k] +
+                      cur[(size_t(std::min(2 * r + 1, ch - 1)) * cw +
+                           std::min(2 * c + 1, cw - 1)) * 3 + k];
+            nxt[(size_t(r) * nw + c) * 3 + k] = uint8_t(sum / 4);
+          }
+      cur.swap(nxt);
+      cw = nw;
+      ch = nh;
+    }
+  }
+  TIFFClose(tif);
+  return 0;
+}
+
+}  // extern "C"

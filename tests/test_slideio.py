@@ -1,0 +1,166 @@
+"""Slide I/O tests: native reader/writer, segmentation, patching, stitch
+(SURVEY.md §4 plan #2: golden tests on synthetic pyramidal slides)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_DIR, has_reference, stub_reference_deps
+
+from hipt_abmil_atec23_tpu.slideio import native
+from hipt_abmil_atec23_tpu.slideio.reader import open_slide, TiffSlide, ImageSlide
+from hipt_abmil_atec23_tpu.slideio.seg import segment_tissue, SegmentationResult, draw_segmentation
+from hipt_abmil_atec23_tpu.slideio.patching import (
+    enumerate_coords, enumerate_contour_coords, save_coords_h5, load_coords_h5,
+    coords_attrs)
+from hipt_abmil_atec23_tpu.slideio.stitch import stitch_coords
+from hipt_abmil_atec23_tpu.slideio.synthetic import (
+    make_tissue_image, write_synthetic_slide)
+from hipt_abmil_atec23_tpu.utils.config import SegConfig, TileConfig
+
+
+@pytest.fixture(scope="module")
+def slide_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("slides")
+    path = str(d / "synth.tif")
+    img = write_synthetic_slide(path, 3072, 2048, n_levels=4,
+                                compression=native.COMPRESSION_DEFLATE, seed=3)
+    return path, img
+
+
+def test_native_roundtrip_lossless(slide_file):
+    path, img = slide_file
+    s = TiffSlide(path)
+    assert s.level_count == 4
+    assert s.dimensions == (3072, 2048)
+    region = s.read_region((512, 256), 0, (320, 240))
+    np.testing.assert_array_equal(region, img[256:496, 512:832])
+    # level-1 read with level-0 location semantics (openslide-style)
+    lvl1 = s.read_region((512, 256), 1, (64, 64))
+    assert lvl1.shape == (64, 64, 3)
+    # out-of-bounds reads are white-padded
+    edge = s.read_region((3000, 1990), 0, (128, 128))
+    assert (edge[:, 100:] == 255).all()
+    s.close()
+
+
+def test_native_batched_matches_single(slide_file):
+    path, img = slide_file
+    s = TiffSlide(path)
+    rng = np.random.default_rng(0)
+    coords = np.stack([rng.integers(0, 2800, 32), rng.integers(0, 1800, 32)],
+                      axis=1).astype(np.int64)
+    batch = s.read_regions(coords, 0, (256, 256), n_threads=8)
+    for i, c in enumerate(coords):
+        np.testing.assert_array_equal(
+            batch[i], s.read_region((int(c[0]), int(c[1])), 0, (256, 256)))
+    s.close()
+
+
+def test_jpeg_pyramid_reads(tmp_path):
+    path = str(tmp_path / "jpeg.tif")
+    img = write_synthetic_slide(path, 1024, 1024, n_levels=3,
+                                compression=native.COMPRESSION_JPEG, seed=1)
+    s = TiffSlide(path)
+    region = s.read_region((128, 128), 0, (256, 256))
+    # JPEG is lossy; structural agreement only
+    err = np.abs(region.astype(int) - img[128:384, 128:384].astype(int)).mean()
+    assert err < 8.0, err
+    s.close()
+
+
+def test_image_slide_padding():
+    img = np.full((1000, 900, 3), 200, np.uint8)
+    s = ImageSlide(img, pad_to=4096)
+    assert s.dimensions == (4096, 4096)
+    r = s.read_region((3500, 3500), 0, (64, 64))
+    assert (r == 255).all()  # white pad region
+
+
+def test_segmentation_finds_tissue_and_holes(slide_file):
+    path, img = slide_file
+    s = TiffSlide(path)
+    seg = segment_tissue(s, SegConfig(seg_level=-1, sthresh=8, use_otsu=True,
+                                      close=4, a_t=1, a_h=1))
+    assert len(seg.contours) >= 1
+    # contours are in level-0 coordinates
+    allpts = np.concatenate([c.reshape(-1, 2) for c in seg.contours])
+    assert allpts[:, 0].max() <= 3072 and allpts[:, 1].max() <= 2048
+    overlay = draw_segmentation(s, seg)
+    assert overlay.ndim == 3
+    s.close()
+
+
+def test_enumerate_coords_inside_tissue(slide_file, tmp_path):
+    path, img = slide_file
+    s = TiffSlide(path)
+    seg = segment_tissue(s, SegConfig(use_otsu=True, close=4, a_t=1))
+    cfg = TileConfig(patch_size=256, step_size=256, contour_fn="four_pt")
+    coords = enumerate_coords(s, seg, cfg)
+    assert len(coords) > 4
+    # each kept patch must contain a reasonable fraction of tissue
+    patches = s.read_regions(coords, 0, (256, 256))
+    nonwhite = (patches.min(axis=-1) < 220).mean(axis=(1, 2))
+    assert (nonwhite > 0.1).mean() > 0.9, nonwhite
+
+    # h5 round-trip with reference schema
+    h5 = str(tmp_path / "coords.h5")
+    save_coords_h5(h5, coords, coords_attrs(s, cfg, "synth", str(tmp_path)))
+    back, attrs = load_coords_h5(h5)
+    np.testing.assert_array_equal(back, coords)
+    assert attrs["patch_size"] == 256 and attrs["patch_level"] == 0
+    s.close()
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+def test_contour_fn_parity_with_reference(slide_file):
+    """Vectorized mask-based checks vs the reference's pointPolygonTest
+    functors; boundary-straddling candidates may differ by <= 2%."""
+    stub_reference_deps()
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        from wsi_core.util_classes import (
+            isInContourV3_Easy, isInContourV3_Hard, isInContourV2, isInContourV1)
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+
+    path, img = slide_file
+    s = TiffSlide(path)
+    seg = segment_tissue(s, SegConfig(use_otsu=True, close=4, a_t=1))
+    cont, holes = seg.contours[0], seg.holes[0]
+
+    ref_fns = {
+        "four_pt": isInContourV3_Easy(contour=cont, patch_size=256,
+                                      center_shift=0.5),
+        "four_pt_hard": isInContourV3_Hard(contour=cont, patch_size=256,
+                                           center_shift=0.5),
+        "center": isInContourV2(contour=cont, patch_size=256),
+        "basic": isInContourV1(contour=cont),
+    }
+    import cv2
+    x0, y0, w, h = cv2.boundingRect(cont)
+    xs = np.arange(x0, x0 + w, 256)
+    ys = np.arange(y0, y0 + h, 256)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    cand = np.stack([gx.ravel(), gy.ravel()], axis=1)
+
+    for name, ref_fn in ref_fns.items():
+        cfg = TileConfig(patch_size=256, step_size=256, contour_fn=name)
+        ours = enumerate_contour_coords(s, cont, [], cfg, mask_downsample=1.0)
+        ours_set = set(map(tuple, ours.tolist()))
+        ref_keep = {tuple(c.tolist()) for c in cand if ref_fn(c)}
+        sym_diff = len(ours_set ^ ref_keep)
+        assert sym_diff <= max(2, 0.02 * max(len(ref_keep), 1)), (
+            name, sym_diff, len(ref_keep), len(ours_set))
+    s.close()
+
+
+def test_stitch(slide_file):
+    path, img = slide_file
+    s = TiffSlide(path)
+    seg = segment_tissue(s, SegConfig(use_otsu=True, close=4, a_t=1))
+    coords = enumerate_coords(s, seg, TileConfig())
+    canvas = stitch_coords(s, coords, 256, downscale=8)
+    assert canvas.shape[0] > 0 and (canvas.sum() > 0)
+    s.close()
