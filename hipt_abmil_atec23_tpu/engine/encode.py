@@ -1,0 +1,229 @@
+"""Feature extraction: slide + coords -> per-slide feature bags.
+
+Re-designs the reference's encode stage (reference: extract_features_fp.py):
+the per-patch ``wsi.read_region`` calls inside 1-16 DataLoader workers and the
+HIPT minibatch-of-256 host loop become:
+
+  native batched tile decode (C++ thread pool)  ->  pinned host batch
+      ->  ONE device step per batch (normalize + encoder fused under jit)
+
+with double buffering: the next batch decodes on host threads while the TPU
+computes the current one. Artifacts keep the reference's schema
+(h5 features+coords, pt tensors — extract_features_fp.py:240-255).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hipt_abmil_atec23_tpu.data.bags import FeatureBagStore
+from hipt_abmil_atec23_tpu.models.hipt import HIPT4K, hipt_eval_normalize, make_hipt_encoder
+from hipt_abmil_atec23_tpu.models.resnet import (
+    resnet50_trunc, resnet18, imagenet_normalize)
+from hipt_abmil_atec23_tpu.slideio.reader import BaseSlide
+from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+
+
+@dataclass
+class Encoder:
+    """A jitted fixed-batch encoder: uint8 [B, S, S, 3] -> [B, D]."""
+    name: str
+    apply: Callable[[np.ndarray], jax.Array]
+    batch_size: int
+    input_size: int      # spatial size S of one input (region or patch)
+    feat_dim: int
+    variables: Dict
+
+
+def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
+    """Encoder zoo dispatch (reference: extract_features_fp.py:207-214).
+
+    Checkpoints are optional — absent, encoders run with deterministic random
+    init (useful for pipeline tests/benches; quality runs must supply the
+    DINO/ImageNet weights via the converters in models/convert.py).
+    """
+    key = jax.random.PRNGKey(rng_seed)
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+    if cfg.model_type in ("HIPT_4K", "hipt_4k"):
+        model = make_hipt_encoder(dtype=dtype)
+        input_size, feat_dim = 4096, 192
+        init_in = jnp.zeros((1, 512, 512, 3), jnp.float32)
+        variables = model.init(key, init_in)
+        if cfg.vit256_ckpt and cfg.vit4k_ckpt:
+            from hipt_abmil_atec23_tpu.models.convert import (
+                load_torch_state_dict, hipt_params_from_torch)
+            variables = hipt_params_from_torch(
+                load_torch_state_dict(cfg.vit256_ckpt),
+                load_torch_state_dict(cfg.vit4k_ckpt))
+
+        @jax.jit
+        def apply(batch_u8):
+            x = hipt_eval_normalize(batch_u8)
+            return model.apply(variables, x)
+
+    elif cfg.model_type == "vit256":
+        from hipt_abmil_atec23_tpu.models.vit import vit_small
+        import dataclasses as dc
+        model = vit_small(dtype=dtype)
+        input_size, feat_dim = 256, 384
+        variables = model.init(key, jnp.zeros((1, 256, 256, 3), jnp.float32))
+        if cfg.vit256_ckpt:
+            from hipt_abmil_atec23_tpu.models.convert import (
+                load_torch_state_dict, vit256_params_from_torch)
+            variables = vit256_params_from_torch(
+                load_torch_state_dict(cfg.vit256_ckpt))
+
+        @jax.jit
+        def apply(batch_u8):
+            return model.apply(variables, hipt_eval_normalize(batch_u8))
+
+    elif cfg.model_type in ("resnet50", "resnet18"):
+        model = resnet50_trunc(dtype=dtype) if cfg.model_type == "resnet50" \
+            else resnet18(dtype=dtype)
+        input_size = 256
+        feat_dim = 1024 if cfg.model_type == "resnet50" else 512
+        variables = model.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        if cfg.resnet_ckpt:
+            from hipt_abmil_atec23_tpu.models.convert import (
+                load_torch_state_dict, resnet_params_from_torch)
+            layers = (3, 4, 6) if cfg.model_type == "resnet50" else (2, 2, 2, 2)
+            variables = resnet_params_from_torch(
+                load_torch_state_dict(cfg.resnet_ckpt, checkpoint_key=None),
+                layers=layers, bottleneck=cfg.model_type == "resnet50")
+
+        @jax.jit
+        def apply(batch_u8):
+            return model.apply(variables, imagenet_normalize(batch_u8))
+
+    elif cfg.model_type == "levit_128s":
+        from hipt_abmil_atec23_tpu.models.levit import levit_texture_encoder
+        model = levit_texture_encoder(dtype=dtype)
+        input_size, feat_dim = 224, 384
+        variables = model.init(key, jnp.zeros((1, 224, 224, 3), jnp.float32))
+
+        @jax.jit
+        def apply(batch_u8):
+            # reference center-crops 256->224 before LeViT
+            # (extract_features_fp.py:149-150)
+            x = batch_u8
+            if x.shape[1] != 224:
+                off = (x.shape[1] - 224) // 2
+                x = x[:, off:off + 224, off:off + 224, :]
+            return model.apply(variables, imagenet_normalize(x))
+
+    else:
+        raise ValueError(f"unknown encoder {cfg.model_type!r}")
+
+    return Encoder(name=cfg.model_type, apply=apply,
+                   batch_size=cfg.batch_size, input_size=input_size,
+                   feat_dim=feat_dim, variables=variables)
+
+
+# --------------------------------------------------------------------------
+# Double-buffered slide encoding
+# --------------------------------------------------------------------------
+
+def _batches(coords: np.ndarray, batch: int) -> Iterable[np.ndarray]:
+    for i in range(0, len(coords), batch):
+        yield coords[i:i + batch]
+
+
+def encode_slide(
+    slide: BaseSlide,
+    coords: np.ndarray,
+    encoder: Encoder,
+    *,
+    patch_level: int = 0,
+    region_size: Optional[int] = None,
+    transform: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    n_io_threads: int = 0,
+    prefetch: int = 2,
+) -> np.ndarray:
+    """Encode all coords of one slide -> [N, D] features.
+
+    region_size defaults to the encoder's input size (4096 for HIPT, 256 for
+    patch encoders). A background thread keeps `prefetch` decoded batches
+    ahead of the device.
+    """
+    size = region_size or encoder.input_size
+    bs = encoder.batch_size
+    n = len(coords)
+    if n == 0:
+        return np.zeros((0, encoder.feat_dim), np.float32)
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+    def producer():
+        try:
+            for chunk in _batches(coords, bs):
+                batch = slide.read_regions(chunk, patch_level, (size, size),
+                                           n_threads=n_io_threads)
+                if transform is not None:
+                    batch = transform(batch)
+                q.put((len(chunk), batch))
+            q.put(None)
+        except Exception as e:  # surface IO errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    feats = np.empty((n, encoder.feat_dim), np.float32)
+    done = 0
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, Exception):
+            raise item
+        k, batch = item
+        if k < bs:  # pad tail batch to the compiled shape
+            pad = np.zeros((bs - k,) + batch.shape[1:], batch.dtype)
+            batch = np.concatenate([batch, pad])
+        out = np.asarray(encoder.apply(jnp.asarray(batch)))
+        feats[done:done + k] = out[:k]
+        done += k
+    t.join()
+    return feats
+
+
+def encode_and_store(
+    slide_path: str,
+    coords_h5: str,
+    encoder: Encoder,
+    store: FeatureBagStore,
+    slide_id: str,
+    *,
+    formats=("h5", "pt"),
+    skip_existing: bool = True,
+    transform=None,
+) -> Optional[str]:
+    """Per-slide encode stage with idempotent resume (the reference skips
+    slides whose pt exists — extract_features_fp.py:231-238)."""
+    from hipt_abmil_atec23_tpu.slideio.patching import load_coords_h5
+    from hipt_abmil_atec23_tpu.slideio.reader import open_slide
+
+    if skip_existing and store.exists(slide_id):
+        return None
+    coords, attrs = load_coords_h5(coords_h5)
+    slide = open_slide(slide_path)
+    try:
+        feats = encode_slide(slide, coords, encoder,
+                             patch_level=int(attrs.get("patch_level", 0)),
+                             region_size=int(attrs.get("patch_size",
+                                                       encoder.input_size)),
+                             transform=transform)
+    finally:
+        slide.close()
+    store.save(slide_id, feats, coords=coords, formats=formats)
+    return store.pt_path(slide_id) if "pt" in formats else \
+        store.h5_path(slide_id)

@@ -1,0 +1,116 @@
+"""Encode-stage tests: tile -> encoder -> feature bag, end-to-end on a
+synthetic slide, plus transforms/Macenko."""
+import os
+
+import numpy as np
+import pytest
+
+from hipt_abmil_atec23_tpu.data.bags import FeatureBagStore
+from hipt_abmil_atec23_tpu.engine.encode import build_encoder, encode_slide, encode_and_store
+from hipt_abmil_atec23_tpu.ops.augment import (
+    build_transform, MacenkoNormalizer, TRANSFORM_PRESETS)
+from hipt_abmil_atec23_tpu.slideio import native
+from hipt_abmil_atec23_tpu.slideio.patching import (
+    enumerate_coords, save_coords_h5, coords_attrs)
+from hipt_abmil_atec23_tpu.slideio.reader import TiffSlide
+from hipt_abmil_atec23_tpu.slideio.seg import segment_tissue
+from hipt_abmil_atec23_tpu.slideio.synthetic import write_synthetic_slide, make_tissue_image
+from hipt_abmil_atec23_tpu.utils.config import EncoderConfig, SegConfig, TileConfig
+
+
+@pytest.fixture(scope="module")
+def tiled_slide(tmp_path_factory):
+    d = tmp_path_factory.mktemp("enc")
+    path = str(d / "s1.tif")
+    write_synthetic_slide(path, 2048, 1536, n_levels=3,
+                          compression=native.COMPRESSION_DEFLATE, seed=7)
+    slide = TiffSlide(path)
+    seg = segment_tissue(slide, SegConfig(use_otsu=True, close=4, a_t=1))
+    cfg = TileConfig(patch_size=256, step_size=256)
+    coords = enumerate_coords(slide, seg, cfg)
+    h5 = str(d / "s1_coords.h5")
+    save_coords_h5(h5, coords, coords_attrs(slide, cfg, "s1", str(d)))
+    return path, h5, coords, slide
+
+
+def test_encode_slide_resnet(tiled_slide):
+    path, h5, coords, slide = tiled_slide
+    enc = build_encoder(EncoderConfig(model_type="resnet50", batch_size=8,
+                                      dtype="float32"))
+    feats = encode_slide(slide, coords, enc)
+    assert feats.shape == (len(coords), 1024)
+    assert np.isfinite(feats).all()
+    # determinism: same input -> same features
+    feats2 = encode_slide(slide, coords, enc)
+    np.testing.assert_allclose(feats, feats2, atol=1e-5)
+
+
+def test_encode_and_store_resume(tiled_slide, tmp_path):
+    path, h5, coords, slide = tiled_slide
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=8,
+                                      dtype="float32"))
+    store = FeatureBagStore(str(tmp_path / "feats"))
+    out = encode_and_store(path, h5, enc, store, "s1")
+    assert out is not None and store.exists("s1")
+    feats = store.load_features("s1")
+    assert feats.shape == (len(coords), 512)
+    f2, c2 = store.load_with_coords("s1")
+    np.testing.assert_array_equal(c2, coords)
+    # idempotent resume: second call skips
+    assert encode_and_store(path, h5, enc, store, "s1") is None
+
+
+def test_encode_hipt_small_region(tmp_path):
+    """HIPT encoder over 512x512 regions (2x2 tiles) end to end."""
+    img = make_tissue_image(1024, 1024, seed=2)
+    path = str(tmp_path / "r.tif")
+    native.write_pyramid(path, img, n_levels=2,
+                         compression=native.COMPRESSION_DEFLATE)
+    slide = TiffSlide(path)
+    enc = build_encoder(EncoderConfig(model_type="HIPT_4K", batch_size=2,
+                                      dtype="float32"))
+    coords = np.array([[0, 0], [512, 0], [0, 512], [512, 512]], np.int64)
+    feats = encode_slide(slide, coords, enc, region_size=512)
+    assert feats.shape == (4, 192)
+    assert np.isfinite(feats).all()
+    slide.close()
+
+
+def test_levit_texture_encoder():
+    enc = build_encoder(EncoderConfig(model_type="levit_128s", batch_size=4,
+                                      dtype="float32"))
+    batch = np.random.default_rng(0).integers(
+        0, 255, size=(4, 256, 256, 3)).astype(np.uint8)
+    import jax.numpy as jnp
+    out = np.asarray(enc.apply(jnp.asarray(batch)))
+    assert out.shape == (4, 384)
+    assert np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("preset", [p for p in TRANSFORM_PRESETS
+                                    if p != "macenko"])
+def test_transform_presets_shapes(preset, rng):
+    t = build_transform(preset, seed=1)
+    batch = rng.integers(0, 255, size=(3, 64, 64, 3)).astype(np.uint8)
+    if t is None:
+        assert preset in ("none", "HIPT")
+        return
+    out = t(batch)
+    assert out.shape == batch.shape and out.dtype == np.uint8
+
+
+def test_macenko_normalizes_and_counts_failures():
+    rng = np.random.default_rng(0)
+    # H&E-like patch: two stain vectors mixed
+    he = np.array([[0.65, 0.70, 0.29], [0.07, 0.99, 0.11]])
+    conc = rng.uniform(0.05, 1.0, size=(64 * 64, 2))
+    od = conc @ he
+    img = np.clip(240 * np.exp(-od), 0, 255).astype(np.uint8).reshape(64, 64, 3)
+    norm = MacenkoNormalizer()
+    out = norm(np.stack([img, img]))
+    assert out.shape == (2, 64, 64, 3) and norm.failures == 0
+    # a constant white patch has no stained pixels -> failure passthrough
+    white = np.full((1, 64, 64, 3), 255, np.uint8)
+    out2 = norm(white)
+    np.testing.assert_array_equal(out2, white)
+    assert norm.failures == 1
