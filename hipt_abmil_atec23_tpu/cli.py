@@ -1,0 +1,485 @@
+"""Single CLI with subcommands for every pipeline stage.
+
+Replaces the reference's script-per-stage layout (create_patches_fp.py,
+extract_features_fp.py, main.py, eval.py, create_heatmaps.py,
+create_splits_seq.py, bootstrapping.py, count_patches.py) with:
+
+    python -m hipt_abmil_atec23_tpu.cli <tile|encode|train|eval|splits|
+                                         bootstrap|heatmap|count> [flags]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _add_tile(sub):
+    p = sub.add_parser("tile", help="segment tissue + enumerate patch coords "
+                       "(reference: create_patches_fp.py)")
+    p.add_argument("--source", required=True)
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--patch_size", type=int, default=256)
+    p.add_argument("--step_size", type=int, default=256)
+    p.add_argument("--patch_level", type=int, default=0)
+    p.add_argument("--contour_fn", default="four_pt",
+                   choices=["four_pt", "four_pt_hard", "center", "basic"])
+    p.add_argument("--preset", default=None)
+    p.add_argument("--process_list", default=None)
+    p.add_argument("--sthresh", type=int, default=8)
+    p.add_argument("--mthresh", type=int, default=7)
+    p.add_argument("--close", type=int, default=4)
+    p.add_argument("--use_otsu", action="store_true")
+    p.add_argument("--a_t", type=int, default=100)
+    p.add_argument("--a_h", type=int, default=16)
+    p.add_argument("--max_n_holes", type=int, default=8)
+    p.add_argument("--seg_level", type=int, default=-1)
+    p.add_argument("--pad_slide", action="store_true")
+    p.add_argument("--no_seg", action="store_true")
+    p.add_argument("--no_patch", action="store_true")
+    p.add_argument("--no_stitch", action="store_true")
+    p.add_argument("--no_auto_skip", action="store_true")
+
+
+def _cmd_tile(a):
+    from hipt_abmil_atec23_tpu.slideio.pipeline import seg_and_patch
+    from hipt_abmil_atec23_tpu.utils.config import SegConfig, TileConfig
+    cfg = TileConfig(
+        patch_size=a.patch_size, step_size=a.step_size,
+        patch_level=a.patch_level, contour_fn=a.contour_fn,
+        pad_slide=a.pad_slide,
+        seg=SegConfig(seg_level=a.seg_level, sthresh=a.sthresh,
+                      mthresh=a.mthresh, use_otsu=a.use_otsu, close=a.close,
+                      a_t=a.a_t, a_h=a.a_h, max_n_holes=a.max_n_holes))
+    res = seg_and_patch(a.source, a.save_dir, cfg, preset=a.preset,
+                        process_list=a.process_list, do_seg=not a.no_seg,
+                        do_patch=not a.no_patch, do_stitch=not a.no_stitch,
+                        auto_skip=not a.no_auto_skip,
+                        pad_slide=a.pad_slide)
+    print(f"[tile] done in {res.total_time:.1f}s; statuses:\n"
+          f"{res.df['status'].value_counts().to_string()}")
+
+
+def _add_encode(sub):
+    p = sub.add_parser("encode", help="extract per-slide feature bags "
+                       "(reference: extract_features_fp.py)")
+    p.add_argument("--data_h5_dir", required=True,
+                   help="dir containing patches/*.h5 coords")
+    p.add_argument("--data_slide_dir", required=True)
+    p.add_argument("--csv_path", default=None,
+                   help="optional slide list CSV (slide_id column)")
+    p.add_argument("--feat_dir", required=True)
+    p.add_argument("--model_type", default="HIPT_4K",
+                   choices=["resnet18", "resnet50", "levit_128s", "HIPT_4K",
+                            "vit256"])
+    p.add_argument("--pretraining_dataset", default="ImageNet",
+                   choices=["ImageNet", "Histo"])
+    p.add_argument("--use_transforms", default="none")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--slide_ext", default=".tif")
+    p.add_argument("--vit256_ckpt", default=None)
+    p.add_argument("--vit4k_ckpt", default=None)
+    p.add_argument("--resnet_ckpt", default=None)
+    p.add_argument("--no_skip", action="store_true")
+    p.add_argument("--float32", action="store_true")
+
+
+def _cmd_encode(a):
+    import pandas as pd
+    from hipt_abmil_atec23_tpu.data.bags import FeatureBagStore
+    from hipt_abmil_atec23_tpu.engine.encode import build_encoder, encode_and_store
+    from hipt_abmil_atec23_tpu.ops.augment import build_transform
+    from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+
+    cfg = EncoderConfig(model_type=a.model_type,
+                        pretraining_dataset=a.pretraining_dataset,
+                        transforms=a.use_transforms, batch_size=a.batch_size,
+                        vit256_ckpt=a.vit256_ckpt, vit4k_ckpt=a.vit4k_ckpt,
+                        resnet_ckpt=a.resnet_ckpt,
+                        dtype="float32" if a.float32 else "bfloat16")
+    encoder = build_encoder(cfg)
+    transform = build_transform(a.use_transforms)
+    store = FeatureBagStore(a.feat_dir)
+
+    patches_dir = os.path.join(a.data_h5_dir, "patches")
+    if a.csv_path:
+        slide_ids = pd.read_csv(a.csv_path)["slide_id"].astype(str).tolist()
+        slide_ids = [os.path.splitext(s)[0] for s in slide_ids]
+    else:
+        slide_ids = sorted(os.path.splitext(f)[0]
+                           for f in os.listdir(patches_dir)
+                           if f.endswith(".h5"))
+    import time
+    t0 = time.perf_counter()
+    done = 0
+    for sid in slide_ids:
+        h5 = os.path.join(patches_dir, f"{sid}.h5")
+        if not os.path.exists(h5):
+            print(f"[encode] {sid}: no coords h5, skipping")
+            continue
+        slide_path = os.path.join(a.data_slide_dir, sid + a.slide_ext)
+        out = encode_and_store(slide_path, h5, encoder, store, sid,
+                               skip_existing=not a.no_skip,
+                               transform=transform)
+        done += out is not None
+        print(f"[encode] {sid}: {'done' if out else 'skipped (exists)'}")
+    dt = time.perf_counter() - t0
+    print(f"[encode] {done} slides in {dt:.1f}s "
+          f"({done / max(dt, 1e-9) * 3600:.1f} slides/hour)")
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="k-fold CV MIL training "
+                       "(reference: main.py)")
+    p.add_argument("--task", default="treatment")
+    p.add_argument("--csv_path", required=True)
+    p.add_argument("--feat_dir", required=True)
+    p.add_argument("--results_dir", required=True)
+    p.add_argument("--exp_code", default="exp")
+    p.add_argument("--split_dir", default="")
+    p.add_argument("--model_type", default="clam_sb",
+                   choices=["clam_sb", "clam_mb", "mil"])
+    p.add_argument("--model_size", default="hipt_smaller")
+    p.add_argument("--drop_out", type=float, default=0.0)
+    p.add_argument("--no_inst_cluster", action="store_true")
+    p.add_argument("--subtyping", action="store_true")
+    p.add_argument("--B", type=int, default=8, help="k_sample")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--reg", type=float, default=1e-5)
+    p.add_argument("--opt", default="adam", choices=["adam", "sgd"])
+    p.add_argument("--bag_loss", default="ce",
+                   choices=["ce", "balanced_ce", "svm"])
+    p.add_argument("--bag_weight", type=float, default=0.7)
+    p.add_argument("--max_epochs", type=int, default=100)
+    p.add_argument("--min_epochs", type=int, default=50)
+    p.add_argument("--no_early_stopping", action="store_true")
+    p.add_argument("--weighted_sample", action="store_true")
+    p.add_argument("--max_patches_per_slide", type=int, default=75)
+    p.add_argument("--perturb_variance", type=float, default=0.0)
+    p.add_argument("--number_of_augs", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="bags per optimizer step (1 = reference-faithful)")
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--k_start", type=int, default=-1)
+    p.add_argument("--k_end", type=int, default=-1)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--continue_training", action="store_true")
+    p.add_argument("--fold_parallel", action="store_true",
+                   help="train all folds at once, sharded over the mesh")
+    p.add_argument("--profile", action="store_true")
+
+
+def _train_cfg(a):
+    from hipt_abmil_atec23_tpu.data.tasks import get_task
+    from hipt_abmil_atec23_tpu.utils.config import (
+        ExperimentConfig, BagConfig, ModelConfig, TrainConfig)
+    import dataclasses
+    task = dataclasses.replace(get_task(a.task), csv_path=a.csv_path)
+    return ExperimentConfig(
+        exp_code=a.exp_code, results_dir=a.results_dir, split_dir=a.split_dir,
+        task=task,
+        bags=BagConfig(feat_dir=a.feat_dir,
+                       max_patches_per_slide=a.max_patches_per_slide,
+                       perturb_variance=a.perturb_variance,
+                       number_of_augs=a.number_of_augs,
+                       batch_size=a.batch_size),
+        model=ModelConfig(model_type=a.model_type, model_size=a.model_size,
+                          drop_out=a.drop_out,
+                          no_inst_cluster=a.no_inst_cluster,
+                          subtyping=a.subtyping, k_sample=a.B),
+        train=TrainConfig(lr=a.lr, reg=a.reg, opt=a.opt, bag_loss=a.bag_loss,
+                          bag_weight=a.bag_weight, max_epochs=a.max_epochs,
+                          min_epochs=a.min_epochs,
+                          early_stopping=not a.no_early_stopping,
+                          weighted_sample=a.weighted_sample, seed=a.seed,
+                          k=a.k, k_start=a.k_start, k_end=a.k_end,
+                          continue_training=a.continue_training,
+                          fold_parallel=a.fold_parallel))
+
+
+def _cmd_train(a):
+    from hipt_abmil_atec23_tpu.data.bags import FeatureBagStore
+    from hipt_abmil_atec23_tpu.data.manifest import SlideManifest
+    cfg = _train_cfg(a)
+    manifest = SlideManifest.from_csv(a.csv_path, cfg.task.label_dict,
+                                      ignore=cfg.task.ignore)
+    store = FeatureBagStore(a.feat_dir)
+
+    def run():
+        if a.fold_parallel:
+            from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets
+            from hipt_abmil_atec23_tpu.parallel.fold_parallel import train_folds_parallel
+            from hipt_abmil_atec23_tpu.parallel.mesh import make_mesh
+            import jax
+            folds = [make_fold_datasets(manifest, store, cfg, f)
+                     for f in range(cfg.train.k)]
+            n_dev = min(len(jax.devices()), cfg.train.k)
+            mesh = None
+            if cfg.train.k % n_dev == 0 and n_dev > 1:
+                mesh = make_mesh([("fold", n_dev)],
+                                 devices=jax.devices()[:n_dev])
+            res = train_folds_parallel(cfg, folds, manifest.class_counts(),
+                                       mesh)
+            import pandas as pd
+            summary = pd.DataFrame(
+                {"folds": np.arange(cfg.train.k), **res.summary})
+            os.makedirs(cfg.results_dir, exist_ok=True)
+            summary.to_csv(os.path.join(cfg.results_dir, "summary.csv"),
+                           index=False)
+            print(summary)
+        else:
+            from hipt_abmil_atec23_tpu.engine.experiment import run_cv
+            summary, _ = run_cv(cfg, manifest, store)
+            print(summary)
+
+    if a.profile:
+        # reference: --profile wraps main in cProfile (main.py:514-521)
+        import cProfile
+        import pstats
+        pr = cProfile.Profile()
+        pr.enable()
+        run()
+        pr.disable()
+        pstats.Stats(pr).sort_stats("cumulative").print_stats(25)
+    else:
+        run()
+
+
+def _add_eval(sub):
+    p = sub.add_parser("eval", help="per-fold checkpoint inference "
+                       "(reference: eval.py)")
+    p.add_argument("--task", default="treatment")
+    p.add_argument("--csv_path", required=True)
+    p.add_argument("--feat_dir", required=True)
+    p.add_argument("--models_dir", required=True)
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--split_dir", default="")
+    p.add_argument("--splits", default="test", choices=["test", "val", "all"])
+    p.add_argument("--model_type", default="clam_sb")
+    p.add_argument("--model_size", default="hipt_smaller")
+    p.add_argument("--drop_out", type=float, default=0.0)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--folds", type=int, nargs="*", default=None)
+    p.add_argument("--max_patches_per_slide", type=int, default=75)
+    p.add_argument("--seed", type=int, default=1)
+
+
+def _cmd_eval(a):
+    from hipt_abmil_atec23_tpu.data.bags import FeatureBagStore
+    from hipt_abmil_atec23_tpu.data.manifest import SlideManifest
+    from hipt_abmil_atec23_tpu.data.tasks import get_task
+    from hipt_abmil_atec23_tpu.engine.evaluate import run_eval
+    from hipt_abmil_atec23_tpu.utils.config import (
+        ExperimentConfig, BagConfig, ModelConfig, TrainConfig)
+    import dataclasses
+    task = dataclasses.replace(get_task(a.task), csv_path=a.csv_path)
+    cfg = ExperimentConfig(
+        exp_code="eval", results_dir=a.save_dir, split_dir=a.split_dir,
+        task=task,
+        bags=BagConfig(feat_dir=a.feat_dir,
+                       max_patches_per_slide=a.max_patches_per_slide),
+        model=ModelConfig(model_type=a.model_type, model_size=a.model_size,
+                          drop_out=a.drop_out),
+        train=TrainConfig(k=a.k, seed=a.seed))
+    manifest = SlideManifest.from_csv(a.csv_path, task.label_dict)
+    store = FeatureBagStore(a.feat_dir)
+    run_eval(cfg, manifest, store, a.models_dir, a.save_dir,
+             splits=a.splits, folds=a.folds)
+
+
+def _add_splits(sub):
+    p = sub.add_parser("splits", help="generate k-fold split CSVs "
+                       "(reference: create_splits_seq.py)")
+    p.add_argument("--task", default="treatment")
+    p.add_argument("--csv_path", required=True)
+    p.add_argument("--split_dir", required=True)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--seed", type=int, default=1)
+
+
+def _cmd_splits(a):
+    from hipt_abmil_atec23_tpu.data.manifest import SlideManifest
+    from hipt_abmil_atec23_tpu.data.splits import (
+        generate_kfold_splits, save_split_csv, save_split_bool_csv,
+        save_split_descriptor, check_split_disjoint)
+    from hipt_abmil_atec23_tpu.data.tasks import get_task
+    task = get_task(a.task)
+    manifest = SlideManifest.from_csv(a.csv_path, task.label_dict,
+                                      ignore=task.ignore)
+    os.makedirs(a.split_dir, exist_ok=True)
+    splits = generate_kfold_splits(manifest.labels, a.k, seed=a.seed)
+    ids = list(manifest.slide_ids)
+    for i, s in enumerate(splits):
+        check_split_disjoint(s)
+        save_split_csv(os.path.join(a.split_dir, f"splits_{i}.csv"), ids, s)
+        save_split_bool_csv(
+            os.path.join(a.split_dir, f"splits_{i}_bool.csv"), ids, s)
+        save_split_descriptor(
+            os.path.join(a.split_dir, f"splits_{i}_descriptor.csv"),
+            manifest.labels, s, task.n_classes)
+    print(f"[splits] wrote {a.k} folds to {a.split_dir}")
+
+
+def _add_bootstrap(sub):
+    p = sub.add_parser("bootstrap", help="bootstrap CIs from fold CSVs "
+                       "(reference: bootstrapping.py)")
+    p.add_argument("--dirs", nargs="+", required=True)
+    p.add_argument("--folds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
+    p.add_argument("--bootstraps", type=int, default=100_000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None)
+
+
+def _cmd_bootstrap(a):
+    from hipt_abmil_atec23_tpu.engine.evaluate import bootstrap_from_fold_csvs
+    out = bootstrap_from_fold_csvs(a.dirs, a.folds,
+                                   n_bootstraps=a.bootstraps, seed=a.seed)
+    text = json.dumps(out, indent=2)
+    print(text)
+    if a.out:
+        with open(a.out, "w") as f:
+            f.write(text)
+
+
+def _add_heatmap(sub):
+    p = sub.add_parser("heatmap", help="attention heatmaps "
+                       "(reference: create_heatmaps.py)")
+    p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--slide", required=True)
+    p.add_argument("--coords_h5", required=True)
+    p.add_argument("--features", default=None,
+                   help="precomputed features (.pt/.h5/.npy); if absent, "
+                   "encode on the fly")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--model_type", default="clam_sb")
+    p.add_argument("--model_size", default="hipt_smaller")
+    p.add_argument("--encoder", default="HIPT_4K")
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--cmap", default="coolwarm")
+    p.add_argument("--alpha", type=float, default=0.4)
+    p.add_argument("--n_classes", type=int, default=2)
+    p.add_argument("--sample_topk", type=int, default=8)
+
+
+def _cmd_heatmap(a):
+    import cv2
+    import jax
+    from hipt_abmil_atec23_tpu.explain.heatmaps import (
+        infer_attention, draw_heatmap, save_blockmap, sample_rois)
+    from hipt_abmil_atec23_tpu.models import build_mil_model
+    from hipt_abmil_atec23_tpu.slideio.patching import load_coords_h5
+    from hipt_abmil_atec23_tpu.slideio.reader import open_slide
+    from hipt_abmil_atec23_tpu.engine.checkpoint import load_params
+
+    os.makedirs(a.save_dir, exist_ok=True)
+    coords, attrs = load_coords_h5(a.coords_h5)
+    slide = open_slide(a.slide)
+    sid = os.path.splitext(os.path.basename(a.slide))[0]
+
+    if a.features:
+        from hipt_abmil_atec23_tpu.data.bags import _load_pt
+        feats = (_load_pt(a.features) if a.features.endswith(".pt")
+                 else np.load(a.features) if a.features.endswith(".npy")
+                 else None)
+        if feats is None:
+            import h5py
+            with h5py.File(a.features) as f:
+                feats = np.asarray(f["features"])
+    else:
+        from hipt_abmil_atec23_tpu.engine.encode import build_encoder, encode_slide
+        from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+        enc = build_encoder(EncoderConfig(model_type=a.encoder))
+        feats = encode_slide(slide, coords, enc,
+                             patch_level=int(attrs.get("patch_level", 0)),
+                             region_size=int(attrs["patch_size"]))
+
+    model = build_mil_model(a.model_type, size_arg=a.model_size,
+                            n_classes=a.n_classes)
+    import jax.numpy as jnp
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((8, feats.shape[1]), jnp.float32), None)
+    if a.ckpt.endswith(".pt"):
+        from hipt_abmil_atec23_tpu.models.convert import (
+            load_torch_state_dict, clam_params_from_torch)
+        params = clam_params_from_torch(
+            load_torch_state_dict(a.ckpt, checkpoint_key=None),
+            n_classes=a.n_classes, multi_branch=a.model_type == "clam_mb")
+        merged = dict(template["params"])
+        merged.update(params["params"])
+        params = {"params": merged}
+    else:
+        params = load_params(a.ckpt, template)
+
+    scores = infer_attention(model, params, feats)
+    save_blockmap(os.path.join(a.save_dir, f"{sid}_blockmap.h5"),
+                  coords, scores)
+    hm = draw_heatmap(slide, coords, scores, int(attrs["patch_size"]),
+                      patch_level=int(attrs.get("patch_level", 0)),
+                      cmap=a.cmap, alpha=a.alpha)
+    cv2.imwrite(os.path.join(a.save_dir, f"{sid}_heatmap.jpg"),
+                cv2.cvtColor(hm, cv2.COLOR_RGB2BGR))
+    rois = sample_rois(coords, scores, k=a.sample_topk)
+    patches = slide.read_regions(rois["sampled_coords"],
+                                 int(attrs.get("patch_level", 0)),
+                                 (int(attrs["patch_size"]),) * 2)
+    for j, (patch, score) in enumerate(zip(patches, rois["sampled_scores"])):
+        cv2.imwrite(os.path.join(
+            a.save_dir, f"{sid}_roi{j}_{score:.3f}.png"),
+            cv2.cvtColor(patch, cv2.COLOR_RGB2BGR))
+    slide.close()
+    print(f"[heatmap] wrote heatmap + blockmap + {len(patches)} ROIs "
+          f"to {a.save_dir}")
+
+
+def _add_count(sub):
+    p = sub.add_parser("count", help="patch-count statistics "
+                       "(reference: count_patches.py)")
+    p.add_argument("--patches_dir", required=True)
+    p.add_argument("--csv_path", default=None)
+
+
+def _cmd_count(a):
+    import h5py
+    import pandas as pd
+    rows = []
+    for f in sorted(os.listdir(a.patches_dir)):
+        if not f.endswith(".h5"):
+            continue
+        with h5py.File(os.path.join(a.patches_dir, f)) as h:
+            rows.append({"slide_id": os.path.splitext(f)[0],
+                         "n_patches": len(h["coords"])})
+    df = pd.DataFrame(rows)
+    if a.csv_path and os.path.exists(a.csv_path):
+        labels = pd.read_csv(a.csv_path)
+        labels["slide_id"] = labels["slide_id"].astype(str)
+        df = df.merge(labels[["slide_id", "label"]], on="slide_id",
+                      how="left")
+        print(df.groupby("label")["n_patches"].agg(["count", "sum", "mean"]))
+    print(f"total {df['n_patches'].sum()} patches over {len(df)} slides; "
+          f"mean {df['n_patches'].mean():.1f} "
+          f"median {df['n_patches'].median():.1f}")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="hipt_abmil_atec23_tpu",
+        description="TPU-native WSI MIL pipeline")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for add in (_add_tile, _add_encode, _add_train, _add_eval, _add_splits,
+                _add_bootstrap, _add_heatmap, _add_count):
+        add(sub)
+    a = parser.parse_args(argv)
+    cmd = {"tile": _cmd_tile, "encode": _cmd_encode, "train": _cmd_train,
+           "eval": _cmd_eval, "splits": _cmd_splits,
+           "bootstrap": _cmd_bootstrap, "heatmap": _cmd_heatmap,
+           "count": _cmd_count}[a.cmd]
+    cmd(a)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
