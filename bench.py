@@ -1,134 +1,105 @@
 """Benchmark driver. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Current scope (round 1): the CLAM-SB gated-attention ABMIL training stage on
-precomputed HIPT feature bags — BASELINE.json config #1 and the reference's
-primary workflow (main.py on pt files, winning config: hipt_smaller, 75
-patches/slide). Measures optimizer steps over slides/sec on the TPU chip via
-the jitted scan-epoch engine, against the PyTorch reference loop semantics
-executed with torch on this host's CPU (the reference's own published env is
-a GTX 1660 desktop; no GPU is available here, so vs_baseline understates
-nothing — it is our chip vs their loop on available hardware).
+Headline metric (BASELINE.json north star): end-to-end WSI throughput —
+tile (segment + patch-coordinate enumeration) -> HIPT_4K hierarchical
+features (ViT-256 -> ViT-4K, fused bf16 graph) -> ABMIL gated-attention
+inference — in slides/hour on one TPU chip. Target: >= 50 TCGA-scale
+slides/hour/chip.
 
-As encode/tile stages land, this bench graduates to the BASELINE.json
-north-star metric: end-to-end WSI slides/hour (tile -> HIPT -> ABMIL).
+Slides are synthetic 16384x16384 (268 Mpx, TCGA-20x scale) JPEG-tiled
+pyramids fabricated by the native writer; decode cost is therefore real
+(libtiff JPEG on host threads). Setup/compile is excluded; the timed loop is
+the production path: native batched decode overlapping fused TPU encode.
+
+vs_baseline = value / 50 (the target from BASELINE.json; the reference
+publishes no throughput numbers — SURVEY.md §6).
 """
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
 
-
-N_SLIDES = 512          # synthetic slides per epoch
-BAG = 75                # instances/bag (winning config)
-PAD = 80
-DIM = 192               # HIPT feature dim
-BATCH = 8               # bags per optimizer step on TPU
-EPOCHS_TIMED = 3
-
-
-def bench_tpu() -> float:
-    import jax
-    import jax.numpy as jnp
-
-    from hipt_abmil_atec23_tpu.engine.train import build_step_fns
-    from hipt_abmil_atec23_tpu.utils.config import (
-        ExperimentConfig, BagConfig, ModelConfig, TrainConfig, TaskConfig)
-
-    cfg = ExperimentConfig(
-        task=TaskConfig(n_classes=2, label_dict={"0": 0, "1": 1}),
-        bags=BagConfig(max_patches_per_slide=BAG, batch_size=BATCH),
-        model=ModelConfig(model_type="clam_sb", model_size="hipt_smaller",
-                          drop_out=0.85),
-        train=TrainConfig(lr=1e-3, reg=0.5, bag_loss="ce"))
-    fns = build_step_fns(cfg, np.array([N_SLIDES // 2] * 2), PAD, DIM)
-
-    rng = np.random.default_rng(0)
-    steps = N_SLIDES // BATCH
-    feats = jnp.asarray(rng.normal(size=(steps, BATCH, PAD, DIM))
-                        .astype(np.float32))
-    mask = jnp.asarray(np.ones((steps, BATCH, PAD), bool))
-    labels = jnp.asarray(rng.integers(0, 2, size=(steps, BATCH))
-                         .astype(np.int32))
-    params = fns.init_params(jax.random.PRNGKey(0))
-    opt_state = fns.tx.init(params)
-    key = jax.random.PRNGKey(1)
-
-    # warmup/compile
-    out = fns.train_epoch(params, opt_state, feats, mask, labels, key)
-    jax.block_until_ready(out)
-
-    t0 = time.perf_counter()
-    for e in range(EPOCHS_TIMED):
-        params, opt_state, bl, _, _ = fns.train_epoch(
-            params, opt_state, feats, mask, labels,
-            jax.random.fold_in(key, e))
-    jax.block_until_ready(params)
-    dt = time.perf_counter() - t0
-    return (N_SLIDES * EPOCHS_TIMED) / dt
-
-
-def bench_torch_reference_loop() -> float:
-    """The reference's training semantics (one slide per optimizer step,
-    CLAM_SB forward/backward/adam — utils/core_utils.py:300-371) on host CPU
-    torch, on identical data shapes."""
-    import torch
-    import torch.nn as nn
-
-    torch.set_num_threads(max(1, torch.get_num_threads()))
-
-    class GatedAttn(nn.Module):
-        def __init__(self, L, D):
-            super().__init__()
-            self.a = nn.Sequential(nn.Linear(L, D), nn.Tanh())
-            self.b = nn.Sequential(nn.Linear(L, D), nn.Sigmoid())
-            self.c = nn.Linear(D, 1)
-
-        def forward(self, h):
-            return self.c(self.a(h) * self.b(h))
-
-    class SB(nn.Module):
-        def __init__(self, in_dim=DIM, L=16, D=8, C=2):
-            super().__init__()
-            self.fc = nn.Sequential(nn.Linear(in_dim, L), nn.ReLU())
-            self.attn = GatedAttn(L, D)
-            self.cls = nn.Linear(L, C)
-
-        def forward(self, x):
-            h = self.fc(x)
-            a = torch.softmax(self.attn(h).T, dim=1)
-            return self.cls(a @ h)
-
-    model = SB()
-    opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=0.5)
-    ce = nn.CrossEntropyLoss()
-    rng = np.random.default_rng(0)
-    bags = torch.tensor(rng.normal(size=(64, BAG, DIM)).astype(np.float32))
-    labels = torch.tensor(rng.integers(0, 2, size=64))
-
-    # warmup
-    for i in range(8):
-        loss = ce(model(bags[i]), labels[i:i + 1])
-        loss.backward(); opt.step(); opt.zero_grad()
-    n = 128
-    t0 = time.perf_counter()
-    for i in range(n):
-        j = i % 64
-        loss = ce(model(bags[j]), labels[j:j + 1])
-        loss.backward(); opt.step(); opt.zero_grad()
-    return n / (time.perf_counter() - t0)
+SLIDE_PX = 16384
+N_SLIDES = 8
+REGION = 4096
+REGION_BATCH = 2
+TARGET_SLIDES_PER_HOUR = 50.0
 
 
 def main():
-    tpu_rate = bench_tpu()
-    ref_rate = bench_torch_reference_loop()
+    import jax
+    import jax.numpy as jnp
+
+    from hipt_abmil_atec23_tpu.engine.encode import build_encoder, encode_slide
+    from hipt_abmil_atec23_tpu.models import build_mil_model
+    from hipt_abmil_atec23_tpu.slideio import native
+    from hipt_abmil_atec23_tpu.slideio.patching import enumerate_coords
+    from hipt_abmil_atec23_tpu.slideio.reader import TiffSlide
+    from hipt_abmil_atec23_tpu.slideio.seg import segment_tissue
+    from hipt_abmil_atec23_tpu.slideio.synthetic import write_synthetic_slide
+    from hipt_abmil_atec23_tpu.utils.config import (
+        EncoderConfig, SegConfig, TileConfig)
+
+    tmp = tempfile.mkdtemp(prefix="bench_")
+    slide_path = os.path.join(tmp, "tcga_scale.tif")
+
+    # ---- setup (untimed): fabricate slide, build + warm the compiled path
+    write_synthetic_slide(slide_path, SLIDE_PX, SLIDE_PX, n_levels=5,
+                          compression=native.COMPRESSION_JPEG, seed=0)
+    encoder = build_encoder(EncoderConfig(
+        model_type="HIPT_4K", batch_size=REGION_BATCH, dtype="bfloat16"))
+    mil = build_mil_model("clam_sb", size_arg="hipt_smaller", n_classes=2)
+    mil_params = mil.init(jax.random.PRNGKey(0),
+                          jnp.zeros((32, 192), jnp.float32), None)
+
+    @jax.jit
+    def mil_forward(params, bag, mask):
+        out = mil.apply(params, bag, mask)
+        return out.logits, out.a_raw
+
+    warm = np.zeros((REGION_BATCH, REGION, REGION, 3), np.uint8)
+    jax.block_until_ready(encoder.apply(jnp.asarray(warm)))
+    N_PAD = 32  # max regions per bag (16 full regions typical + margin)
+    jax.block_until_ready(mil_forward(
+        mil_params, jnp.zeros((N_PAD, 192), jnp.float32),
+        jnp.ones((N_PAD,), bool)))
+
+    tile_cfg = TileConfig(patch_size=REGION, step_size=REGION,
+                          contour_fn="four_pt",
+                          seg=SegConfig(use_otsu=True, close=4, a_t=1))
+
+    # ---- timed: the per-slide production path
+    regions_done = 0
+    t0 = time.perf_counter()
+    for i in range(N_SLIDES):
+        slide = TiffSlide(slide_path)
+        seg = segment_tissue(slide, tile_cfg.seg)
+        coords = enumerate_coords(slide, seg, tile_cfg)
+        feats = encode_slide(slide, coords, encoder, region_size=REGION,
+                             n_io_threads=0, prefetch=2)
+        bag = np.zeros((N_PAD, 192), np.float32)
+        mask = np.zeros((N_PAD,), bool)
+        k = min(len(feats), N_PAD)
+        bag[:k], mask[:k] = feats[:k], True
+        logits, a = mil_forward(mil_params, jnp.asarray(bag),
+                                jnp.asarray(mask))
+        jax.block_until_ready(logits)
+        regions_done += len(coords)
+        slide.close()
+    dt = time.perf_counter() - t0
+
+    slides_per_hour = N_SLIDES / dt * 3600.0
     print(json.dumps({
-        "metric": "abmil_train_slides_per_sec",
-        "value": round(tpu_rate, 2),
-        "unit": "slides/sec",
-        "vs_baseline": round(tpu_rate / ref_rate, 2),
+        "metric": "e2e_slides_per_hour_tile_hipt_abmil",
+        "value": round(slides_per_hour, 1),
+        "unit": f"slides/hour (16k x 16k px, {regions_done // N_SLIDES} "
+                f"4096px regions/slide)",
+        "vs_baseline": round(slides_per_hour / TARGET_SLIDES_PER_HOUR, 2),
     }))
 
 

@@ -1,0 +1,385 @@
+"""DRAS-MIL: attention-guided active patch sampling.
+
+Capability parity with the reference's sampling subsystem (reference:
+utils/sampling_utils.py, utils/core_utils_sampling.py): approximate
+full-slide inference/training by iteratively sampling patches, scoring them
+with the MIL attention head, propagating scores to spatial/textural
+neighbors, and resampling from the updated weights.
+
+TPU redesign:
+- neighbor search is a brute-force distance matrix on device (an einsum —
+  bags are <= ~10^4 instances, so exact kNN on the MXU beats a ball tree;
+  reference: sklearn NearestNeighbors at core_utils_sampling.py:408);
+- weight propagation is a vectorized scatter (np.maximum.at / bincount)
+  instead of the reference's nested Python loops
+  (sampling_utils.py:66-187);
+- the attention forward over a sampled subset is one jitted call.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+SAMPLING_UPDATES = ("max", "average", "newest", "none")
+
+
+@dataclass
+class SamplingConfig:
+    """Flags mirror the reference CLI (reference: main.py:359-371)."""
+    sampling_type: str = "spatial"       # spatial | textural
+    texture_model: str = "levit_128s"    # resnet50 | levit_128s
+    samples_per_iteration: int = 100
+    resampling_iterations: int = 10
+    sampling_random: float = 0.2
+    sampling_random_delta: float = 0.02
+    sampling_neighbors: int = 20
+    final_sample_size: int = 100
+    weight_smoothing: float = 0.15       # 'power'
+    sampling_update: str = "max"
+    no_sampling_epochs: int = 20
+    fully_random: bool = False
+    grid_initial_sample: bool = False
+    sampling_average: bool = False
+
+
+def generate_sample_idxs(n: int, previous: Sequence[int],
+                         weights: Optional[np.ndarray],
+                         samples_per_iteration: int, num_random: int,
+                         rng: np.random.Generator,
+                         grid: bool = False,
+                         coords: Optional[np.ndarray] = None) -> List[int]:
+    """Weighted + epsilon-random sample, optionally grid-stratified initial
+    sample (reference: generate_sample_idxs, sampling_utils.py:11-48)."""
+    if grid:
+        assert coords is not None and len(coords) > 0
+        splits = int(math.sqrt(samples_per_iteration))
+        xs, ys = coords[:, 0], coords[:, 1]
+        xb = np.linspace(xs.min(), xs.max() + 1e-5, splits + 1)
+        yb = np.linspace(ys.min(), ys.max() + 1e-5, splits + 1)
+        cell = (np.searchsorted(xb, xs, side="right") - 1) * (splits + 1) + \
+            (np.searchsorted(yb, ys, side="right") - 1)
+        idxs: List[int] = []
+        for c in np.unique(cell):
+            members = np.flatnonzero(cell == c)
+            idxs.append(int(rng.choice(members)))
+        if len(idxs) < samples_per_iteration:
+            extra = rng.choice(n, samples_per_iteration - len(idxs),
+                               replace=False)
+            idxs.extend(int(e) for e in extra)
+        return idxs[:samples_per_iteration]
+
+    nonrandom: List[int] = []
+    n_weighted = int(samples_per_iteration - num_random)
+    if n_weighted > 0:
+        p = weights / weights.sum()
+        nonrandom = list(rng.choice(n, size=n_weighted, replace=False, p=p))
+    if num_random > 0:
+        available = np.setdiff1d(np.arange(n),
+                                 np.asarray(list(previous) + nonrandom,
+                                            dtype=int))
+        k = min(num_random, len(available))
+        return list(rng.choice(available, k, replace=False)) + nonrandom
+    return nonrandom
+
+
+def update_sampling_weights(weights: np.ndarray, attention: np.ndarray,
+                            all_sample_idxs: Sequence[int],
+                            neighbor_idxs: np.ndarray, neighbors: int,
+                            power: float = 0.15, normalise: bool = True,
+                            sampling_update: str = "max",
+                            repeats_allowed: bool = False) -> np.ndarray:
+    """Propagate attention to k nearest neighbors and fold into the weights
+    (reference: update_sampling_weights, sampling_utils.py:66-187), as
+    vectorized scatters."""
+    assert sampling_update in SAMPLING_UPDATES
+    weights = np.asarray(weights, np.float64).copy()
+    if sampling_update != "none":
+        nbr = np.asarray(neighbor_idxs)[:, :neighbors]       # [S, k]
+        flat = nbr.ravel()
+        rep = np.repeat(np.asarray(attention, np.float64), nbr.shape[1])
+        new = np.zeros(len(weights))
+        if sampling_update == "max":
+            np.maximum.at(new, flat, rep)
+            new = np.power(new, power)
+            weights = np.maximum(weights, new)
+        elif sampling_update == "average":
+            total = np.bincount(flat, weights=rep, minlength=len(weights))
+            count = np.bincount(flat, minlength=len(weights))
+            touched = count > 0
+            new[touched] = total[touched] / count[touched]
+            new = np.power(new, power)
+            weights[touched] = new[touched]
+        elif sampling_update == "newest":
+            new[flat] = rep  # last write wins, like the reference loop order
+            touched = np.zeros(len(weights), bool)
+            touched[flat] = True
+            weights[touched] = np.power(new[touched], power)
+    if not repeats_allowed and len(all_sample_idxs):
+        weights[np.asarray(list(all_sample_idxs), int)] = 0.0
+    if normalise:
+        s = weights.sum()
+        if s > 0:
+            weights = weights / s
+        else:
+            weights = np.full_like(weights, 1.0 / len(weights))
+    return weights
+
+
+def knn_indices(X: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
+    """Exact kNN of `queries` among all rows of X — one device einsum + top_k
+    (replaces ball_tree, reference: core_utils_sampling.py:408)."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.asarray(X, jnp.float32)
+    q = jnp.asarray(queries, jnp.float32)
+    d2 = (jnp.sum(q * q, 1)[:, None] - 2.0 * q @ x.T + jnp.sum(x * x, 1)[None])
+    _, idx = jax.lax.top_k(-d2, k)
+    return np.asarray(idx)
+
+
+@dataclass
+class DrasResult:
+    final_idxs: np.ndarray
+    weights: np.ndarray
+    all_sampled: List[int]
+    logits_history: List[np.ndarray] = field(default_factory=list)
+
+
+def dras_sample_slide(
+    features: np.ndarray,          # [N, D] full bag
+    coords: np.ndarray,            # [N, 2]
+    attention_fn: Callable[[np.ndarray], np.ndarray],  # subset -> [n] scores
+    cfg: SamplingConfig,
+    rng: np.random.Generator,
+    texture_features: Optional[np.ndarray] = None,
+) -> DrasResult:
+    """The per-slide DRAS loop (reference: core_utils_sampling.py:302-512 /
+    eval_utils.py summary_sampling): initial (grid or random) sample ->
+    attention -> kNN propagate -> weighted+epsilon-random resample, for
+    `resampling_iterations`; returns the final weighted sample."""
+    n = len(features)
+    if cfg.fully_random or n <= cfg.final_sample_size:
+        k = min(cfg.final_sample_size, n)
+        return DrasResult(final_idxs=rng.choice(n, k, replace=False),
+                          weights=np.full(n, 1.0 / n), all_sampled=[])
+
+    if cfg.sampling_type == "spatial":
+        X = np.asarray(coords, np.float32)
+    else:
+        X = np.asarray(texture_features if texture_features is not None
+                       else features, np.float32)
+
+    weights = np.full(n, 1.0 / n)
+    all_sampled: List[int] = []
+    spi = min(cfg.samples_per_iteration, n)
+    idxs = generate_sample_idxs(
+        n, [], weights, spi, num_random=spi, rng=rng,
+        grid=cfg.grid_initial_sample, coords=coords)
+    sampling_random = cfg.sampling_random
+    neighbors = min(cfg.sampling_neighbors, n)
+
+    for it in range(cfg.resampling_iterations):
+        all_sampled.extend(idxs)
+        attn = np.asarray(attention_fn(features[np.asarray(idxs)]))
+        nbrs = knn_indices(X, X[np.asarray(idxs)], neighbors)
+        weights = update_sampling_weights(
+            weights, attn, all_sampled, nbrs, neighbors,
+            power=cfg.weight_smoothing, sampling_update=cfg.sampling_update)
+        sampling_random = max(0.0, sampling_random - cfg.sampling_random_delta)
+        num_random = int(spi * sampling_random)
+        if it < cfg.resampling_iterations - 1:
+            idxs = generate_sample_idxs(n, all_sampled, weights, spi,
+                                        num_random, rng)
+
+    k = min(cfg.final_sample_size, n)
+    p = weights / weights.sum()
+    nz = int((p > 0).sum())
+    final = rng.choice(n, min(k, nz), replace=False, p=p)
+    return DrasResult(final_idxs=final, weights=weights,
+                      all_sampled=all_sampled)
+
+
+# ---------------------------------------------------------------------------
+# DRAS training / evaluation (reference: utils/core_utils_sampling.py:106-671,
+# utils/eval_utils.py summary_sampling :180-566)
+# ---------------------------------------------------------------------------
+
+def make_attention_fn(model, subset_size: int):
+    """Jitted attention-only forward at a fixed subset shape; ragged subsets
+    are padded+masked."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _attn(params, bag, mask):
+        a = model.apply(params, bag, mask, attention_only=True)  # [1, n]
+        # masked softmax over the sampled subset -> probabilities the weight
+        # update can smooth with `power`
+        from hipt_abmil_atec23_tpu.ops.masking import masked_softmax
+        return masked_softmax(a, mask[None, :], axis=-1)[0]
+
+    def attention_fn(params, subset: np.ndarray) -> np.ndarray:
+        n = len(subset)
+        bag = np.zeros((subset_size, subset.shape[1]), np.float32)
+        msk = np.zeros((subset_size,), bool)
+        bag[:n], msk[:n] = subset, True
+        out = np.asarray(_attn(params, jnp.asarray(bag), jnp.asarray(msk)))
+        return out[:n]
+
+    return attention_fn
+
+
+def train_fold_sampling(cfg, scfg: SamplingConfig, fold, train_ds, val_ds,
+                        test_ds, class_counts, *, coords_lookup,
+                        texture_lookup=None, verbose: bool = True):
+    """Train one fold with DRAS active sampling after `no_sampling_epochs`
+    full-bag epochs (reference: train_sampling, core_utils_sampling.py:106-299).
+
+    coords_lookup: slide_id -> [N, 2] patch coords (spatial features).
+    texture_lookup: slide_id -> [N, Dt] texture features (textural mode).
+    """
+    import dataclasses
+    import os
+    import jax
+    import jax.numpy as jnp
+    from hipt_abmil_atec23_tpu.engine import metrics as M
+    from hipt_abmil_atec23_tpu.engine.checkpoint import ckpt_path, save_params, load_params
+    from hipt_abmil_atec23_tpu.engine.train import (
+        EarlyStopper, build_step_fns, evaluate_split, FoldResult)
+    from hipt_abmil_atec23_tpu.utils.seeding import host_rng, jax_key
+
+    tc = cfg.train
+    feat_dim = train_ds._full_bag(train_ds.slide_ids[0]).shape[1]
+    for ds in (train_ds, val_ds, test_ds):
+        ds._feat_dim = feat_dim
+    n_pad = max(train_ds.pad_size(), val_ds.pad_size(), test_ds.pad_size())
+    fns = build_step_fns(cfg, class_counts, n_pad, feat_dim)
+    from hipt_abmil_atec23_tpu.models.abmil import build_mil_model
+    model = build_mil_model(cfg.model.model_type, size_arg=cfg.model.model_size,
+                            dropout=cfg.model.drop_out,
+                            n_classes=cfg.task.n_classes,
+                            k_sample=cfg.model.k_sample,
+                            subtyping=cfg.model.subtyping)
+    attention_fn = make_attention_fn(model, scfg.samples_per_iteration)
+
+    key = jax_key(tc.seed, fold)
+    params = fns.init_params(key)
+    opt_state = fns.tx.init(params)
+    rng = host_rng(tc.seed, fold)
+    stopper = EarlyStopper(tc.min_epochs, tc.patience, tc.stop_epoch) \
+        if tc.early_stopping else None
+    cpath = ckpt_path(cfg.results_dir, fold)
+    os.makedirs(cfg.results_dir, exist_ok=True)
+
+    from hipt_abmil_atec23_tpu.data.bags import epoch_order
+    from hipt_abmil_atec23_tpu.engine.train import _epoch_tensors
+    history = []
+    n_final = _round8(scfg.final_sample_size)
+
+    for epoch in range(tc.max_epochs):
+        order = epoch_order(train_ds.labels, cfg.task.n_classes, rng,
+                            tc.weighted_sample)
+        if epoch < scfg.no_sampling_epochs:
+            feats, mask, labels = _epoch_tensors(train_ds, order, 1, n_pad, rng)
+            params, opt_state, bl, _, _ = fns.train_epoch(
+                params, opt_state, jnp.asarray(feats), jnp.asarray(mask),
+                jnp.asarray(labels), jax.random.fold_in(key, epoch + 1))
+            train_loss = float(bl)
+        else:
+            # DRAS epoch: per slide, sample with the current model then take
+            # one optimizer step on the final sample
+            losses = []
+            for si, idx in enumerate(order):
+                sid = train_ds.slide_ids[idx]
+                full = train_ds._full_bag(sid)
+                res = dras_sample_slide(
+                    full, coords_lookup[sid],
+                    lambda sub: attention_fn(params, sub), scfg, rng,
+                    texture_features=(texture_lookup or {}).get(sid))
+                sub = full[res.final_idxs]
+                fb = np.zeros((1, 1, n_final, feat_dim), np.float32)
+                mb = np.zeros((1, 1, n_final), bool)
+                fb[0, 0, :len(sub)], mb[0, 0, :len(sub)] = sub, True
+                lb = np.full((1, 1), train_ds.labels[idx], np.int32)
+                params, opt_state, bl, _, _ = fns.train_epoch(
+                    params, opt_state, jnp.asarray(fb), jnp.asarray(mb),
+                    jnp.asarray(lb),
+                    jax.random.fold_in(key, (epoch + 1) * 100000 + si))
+                losses.append(float(bl))
+            train_loss = float(np.mean(losses))
+
+        val_probs, val_loss = evaluate_split(fns, params, val_ds, n_pad, rng)
+        val_auc = M.auc_score(val_ds.labels, val_probs, cfg.task.n_classes)
+        history.append(dict(epoch=epoch, train_loss=train_loss,
+                            val_loss=val_loss, val_auc=val_auc))
+        if verbose:
+            print(f"[dras fold {fold}] epoch {epoch} "
+                  f"{'full' if epoch < scfg.no_sampling_epochs else 'sampled'}"
+                  f": train {train_loss:.4f} val {val_loss:.4f} "
+                  f"auc {val_auc:.4f}")
+        if stopper is not None:
+            if stopper.update(epoch, val_loss):
+                save_params(cpath, params)
+            if stopper.early_stop:
+                break
+
+    if stopper is not None and os.path.exists(cpath):
+        params = load_params(cpath, params)
+    else:
+        save_params(cpath, params)
+
+    val_probs, val_loss = evaluate_split(fns, params, val_ds, n_pad, rng)
+    test_probs, test_loss = evaluate_split(fns, params, test_ds, n_pad, rng)
+    return FoldResult(
+        fold=fold,
+        val_auc=M.auc_score(val_ds.labels, val_probs, cfg.task.n_classes),
+        test_auc=M.auc_score(test_ds.labels, test_probs, cfg.task.n_classes),
+        val_acc=M.accuracy(val_ds.labels, val_probs.argmax(1)),
+        test_acc=M.accuracy(test_ds.labels, test_probs.argmax(1)),
+        val_loss=val_loss, test_loss=test_loss,
+        stopped_epoch=len(history) - 1, test_probs=test_probs,
+        test_labels=test_ds.labels, test_slide_ids=list(test_ds.slide_ids),
+        history=history)
+
+
+def eval_sampling(cfg, scfg: SamplingConfig, ds, params, model, *,
+                  coords_lookup, texture_lookup=None, seed: int = 0):
+    """Sampling-based inference (reference: summary_sampling,
+    eval_utils.py:180-566): per slide, DRAS-select a final sample and
+    classify it; returns per-slide probs + per-iteration tracking."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    attention_fn = make_attention_fn(model, scfg.samples_per_iteration)
+    n_final = _round8(scfg.final_sample_size)
+    feat_dim = ds._full_bag(ds.slide_ids[0]).shape[1]
+
+    @jax.jit
+    def _fwd(p, bag, mask):
+        out = model.apply(p, bag, mask)
+        return out.logits
+
+    probs = np.zeros((len(ds), cfg.task.n_classes), np.float32)
+    sampled_counts = np.zeros(len(ds), np.int64)
+    for i, sid in enumerate(ds.slide_ids):
+        full = ds._full_bag(sid)
+        res = dras_sample_slide(full, coords_lookup[sid],
+                                lambda sub: attention_fn(params, sub), scfg,
+                                rng,
+                                texture_features=(texture_lookup or {}).get(sid))
+        sub = full[res.final_idxs]
+        bag = np.zeros((n_final, feat_dim), np.float32)
+        mask = np.zeros((n_final,), bool)
+        bag[:len(sub)], mask[:len(sub)] = sub, True
+        logits = np.asarray(_fwd(params, jnp.asarray(bag), jnp.asarray(mask)))
+        e = np.exp(logits[0] - logits[0].max())
+        probs[i] = e / e.sum()
+        sampled_counts[i] = len(set(res.all_sampled)) + len(res.final_idxs)
+    return probs, sampled_counts
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8

@@ -42,6 +42,10 @@ def stub_reference_deps() -> None:
         setattr(tv, sub, m)
         sys.modules[f"torchvision.{sub}"] = m
     sys.modules["torchvision"] = tv
+    if "openslide" not in sys.modules:
+        sys.modules["openslide"] = types.ModuleType("openslide")
+    if "timm" not in sys.modules:
+        sys.modules["timm"] = types.ModuleType("timm")
 
 
 @pytest.fixture
