@@ -35,6 +35,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: first bench run pays the (minutes-long)
+    # tunnel compile; subsequent runs start hot
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from hipt_abmil_atec23_tpu.engine.encode import build_encoder, encode_slide
     from hipt_abmil_atec23_tpu.models import build_mil_model
     from hipt_abmil_atec23_tpu.slideio import native
