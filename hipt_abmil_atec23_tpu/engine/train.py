@@ -288,8 +288,10 @@ def train_fold(
         rec = dict(epoch=epoch, train_loss=float(bl), train_inst_loss=float(inst),
                    train_acc=float(acc), val_loss=val_loss, val_auc=val_auc)
         history.append(rec)
-        if log_cb:
-            log_cb(epoch, rec)
+        if log_cb and log_cb(epoch, rec):
+            # external stop request (ASHA kill / plateau stopper in tuning)
+            stopped_epoch = epoch
+            break
         if verbose:
             print(f"[fold {fold}] epoch {epoch}: train_loss {float(bl):.4f} "
                   f"val_loss {val_loss:.4f} val_auc {val_auc:.4f}")

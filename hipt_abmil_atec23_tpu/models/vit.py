@@ -44,6 +44,7 @@ class ViTConfig:
     in_chans: int = 3
     ln_eps: float = 1e-6
     dtype: Any = jnp.float32       # compute dtype (bfloat16 on TPU hot path)
+    use_flash: bool = False        # Pallas fused attention (no HBM attn matrix)
 
 
 VIT_CONFIGS = {
@@ -67,10 +68,13 @@ class Mlp(nn.Module):
 
 class Attention(nn.Module):
     """Multi-head self-attention returning (out, attn) like the reference
-    (vision_transformer.py:119-131) so attention heatmaps stay available."""
+    (vision_transformer.py:119-131) so attention heatmaps stay available.
+    With use_flash=True the softmax(QK^T)V runs as a Pallas fused kernel
+    (ops/flash_attention.py) and the attention matrix never hits HBM."""
     num_heads: int
     qkv_bias: bool
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, return_attn: bool = False):
@@ -83,17 +87,24 @@ class Attention(nn.Module):
         q = q.transpose(0, 2, 1, 3)  # [b, h, n, hd]
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
-        scale = hd ** -0.5
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        if self.use_flash and not return_attn:
+            from hipt_abmil_atec23_tpu.ops.flash_attention import attention
+            out = attention(q.reshape(b * self.num_heads, n, hd),
+                            k.reshape(b * self.num_heads, n, hd),
+                            v.reshape(b * self.num_heads, n, hd))
+            out = out.reshape(b, self.num_heads, n, hd)
+            attn = None
+        else:
+            scale = hd ** -0.5
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                              preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                             preferred_element_type=jnp.float32
+                             ).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
-        if return_attn:
-            return out, attn
-        return out, None
+        return out, attn
 
 
 class Block(nn.Module):
@@ -102,12 +113,13 @@ class Block(nn.Module):
     qkv_bias: bool
     ln_eps: float
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, return_attn: bool = False):
         c = x.shape[-1]
         y, attn = Attention(self.num_heads, self.qkv_bias, self.dtype,
-                            name="attn")(
+                            self.use_flash, name="attn")(
             nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x), return_attn)
         x = x + y
         x = x + Mlp(int(c * self.mlp_ratio), c, self.dtype, name="mlp")(
@@ -138,7 +150,8 @@ class VisionTransformer(nn.Module):
             "patch_bias", nn.initializers.zeros_init(), (cfg.embed_dim,))
         self.blocks = [
             Block(cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias, cfg.ln_eps,
-                  cfg.dtype, name=f"block{i}") for i in range(cfg.depth)]
+                  cfg.dtype, cfg.use_flash, name=f"block{i}")
+            for i in range(cfg.depth)]
         self.norm = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")
 
     def _patchify(self, x):
@@ -201,6 +214,7 @@ class ViT4KConfig:
     pretrain_grid: int = 14     # 224//16 -> 196 native pos-embed slots
     ln_eps: float = 1e-6
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
 
 class VisionTransformer4K(nn.Module):
@@ -220,7 +234,8 @@ class VisionTransformer4K(nn.Module):
             (1, s * s + 1, cfg.output_embed_dim))
         self.blocks = [
             Block(cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias, cfg.ln_eps,
-                  cfg.dtype, name=f"block{i}") for i in range(cfg.depth)]
+                  cfg.dtype, cfg.use_flash, name=f"block{i}")
+            for i in range(cfg.depth)]
         self.norm = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")
 
     def prepare_tokens(self, grid):

@@ -1,0 +1,190 @@
+"""Pallas TPU attention kernels for the ViT hot path.
+
+The reference materializes softmax(QK^T)V with full [B, H, N, N] attention
+matrices in HBM (reference: HIPT_4K/vision_transformer.py:119-131,
+vision_transformer4k.py:125-137). Both HIPT ViTs run tiny sequences
+(257 tokens) over huge batches (256 tiles per 4096^2 region), so the right
+kernel is a single-pass fused block: per (batch*head, q-block) program, keep
+K/V resident in VMEM, compute scores -> masked softmax -> PV without ever
+writing the attention matrix to HBM. For longer sequences (instance bags,
+future full-slide attention) `flash_attention` tiles K/V with the standard
+online-softmax recurrence and fp32 accumulators in VMEM scratch.
+
+Both paths are numerically validated against the naive jnp reference in
+tests (interpret mode on CPU, compiled on TPU).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def attention_reference(q, k, v, valid_len: Optional[int] = None):
+    """Naive jnp oracle: q,k,v [BH, N, D] -> [BH, N, D]."""
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    if valid_len is not None:
+        col = jnp.arange(s.shape[-1])[None, None, :]
+        s = jnp.where(col < valid_len, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+# --------------------------------------------------------------------------
+# single-pass kernel (K/V fully VMEM-resident) — the ViT path (N <= ~1024)
+# --------------------------------------------------------------------------
+
+def _fused_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
+    q = q_ref[0].astype(jnp.float32)                   # [BQ, D]
+    k = k_ref[0].astype(jnp.float32)                   # [NK, D]
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    nk = s.shape[-1]
+    if n_valid < nk:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    valid_len: Optional[int] = None,
+                    block_q: int = 128) -> jax.Array:
+    """q,k,v: [BH, N, D]; returns [BH, N, D]. N is padded internally to a
+    multiple of block_q; `valid_len` masks padded keys (default: true N)."""
+    bh, n, d = q.shape
+    n_valid = valid_len if valid_len is not None else n
+    n_pad = _round_up(n, block_q)
+    if n_pad != n:
+        pad = [(0, 0), (0, n_pad - n), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    nq_blocks = n_pad // block_q
+
+    out = pl.pallas_call(
+        functools.partial(_fused_attn_kernel, scale=d ** -0.5,
+                          n_valid=n_valid),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        grid=(bh, nq_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n_pad * n_pad * d,
+            bytes_accessed=bh * n_pad * d * 3 * q.dtype.itemsize,
+            transcendentals=bh * n_pad * n_pad),
+    )(q, k, v)
+    return out[:, :n, :]
+
+
+# --------------------------------------------------------------------------
+# tiled flash attention (online softmax) — long sequences
+# --------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                  *, scale, n_valid, block_k):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32)                   # [BQ, D]
+    k = k_ref[0].astype(jnp.float32)                   # [BK, D]
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+    s = jnp.where(col < n_valid, s, NEG_INF)
+
+    m_prev = m_ref[:]                                  # [BQ, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
+            o_ref.dtype)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    valid_len: Optional[int] = None,
+                    block_q: int = 128, block_k: int = 256) -> jax.Array:
+    """Tiled online-softmax attention; q,k,v [BH, N, D] -> [BH, N, D]."""
+    bh, n, d = q.shape
+    n_valid = valid_len if valid_len is not None else n
+    n_pad = _round_up(n, max(block_q, block_k))
+    if n_pad != n:
+        pad = [(0, 0), (0, n_pad - n), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=d ** -0.5, n_valid=n_valid,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        grid=(bh, n_pad // block_q, n_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n_pad * n_pad * d,
+            bytes_accessed=bh * n_pad * d * 3 * q.dtype.itemsize,
+            transcendentals=bh * n_pad * n_pad),
+    )(q, k, v)
+    return out[:, :n, :]
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              valid_len: Optional[int] = None,
+              interpret_threshold: int = 1024) -> jax.Array:
+    """Dispatch: single-pass fused kernel for short sequences (K/V fit VMEM),
+    tiled flash for long ones."""
+    n = q.shape[1]
+    if n <= interpret_threshold:
+        return fused_attention(q, k, v, valid_len)
+    return flash_attention(q, k, v, valid_len)

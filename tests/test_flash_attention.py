@@ -1,0 +1,60 @@
+"""Pallas attention kernels vs the naive jnp oracle (interpret mode on CPU)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hipt_abmil_atec23_tpu.ops import flash_attention as fa
+
+
+def _run_interpret(fn, *args, **kwargs):
+    from jax.experimental import pallas as pl
+    import unittest.mock as mock
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        # the module imported pallas as pl too; patch its reference
+        with mock.patch.object(fa.pl, "pallas_call",
+                               functools.partial(orig, interpret=True)):
+            return fn(*args, **kwargs)
+
+
+@pytest.mark.parametrize("n,valid", [(257, 257), (384, 257), (128, 100)])
+def test_fused_attention_matches_reference(n, valid, rng):
+    bh, d = 4, 64
+    q = jnp.asarray(rng.normal(size=(bh, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(bh, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(bh, n, d)).astype(np.float32))
+    ref = fa.attention_reference(q, k, v, valid_len=valid)
+    out = _run_interpret(fa.fused_attention, q, k, v, valid_len=valid)
+    np.testing.assert_allclose(np.asarray(out)[:, :valid],
+                               np.asarray(ref)[:, :valid],
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n,valid", [(512, 512), (768, 700)])
+def test_flash_attention_matches_reference(n, valid, rng):
+    bh, d = 2, 64
+    q = jnp.asarray(rng.normal(size=(bh, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(bh, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(bh, n, d)).astype(np.float32))
+    ref = fa.attention_reference(q, k, v, valid_len=valid)
+    out = _run_interpret(fa.flash_attention, q, k, v, valid_len=valid,
+                         block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out)[:, :valid],
+                               np.asarray(ref)[:, :valid],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bf16(rng):
+    bh, n, d = 2, 256, 64
+    q = jnp.asarray(rng.normal(size=(bh, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(bh, n, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(bh, n, d)), jnp.bfloat16)
+    ref = fa.attention_reference(q, k, v)
+    out = _run_interpret(fa.fused_attention, q, k, v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.05)

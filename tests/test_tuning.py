@@ -1,0 +1,83 @@
+"""Hyperparameter tuning: spaces, ASHA, plateau stopper, full search run."""
+import numpy as np
+import pytest
+
+from hipt_abmil_atec23_tpu.engine.tune import (
+    Uniform, LogUniform, Choice, GridSearch, sample_configs,
+    TrialPlateauStopper, ASHAScheduler, apply_trial_config, run_tuning)
+from hipt_abmil_atec23_tpu.utils.config import (
+    ExperimentConfig, BagConfig, ModelConfig, TrainConfig, TaskConfig)
+
+
+def test_sample_configs_grid_cross():
+    space = {"lr": LogUniform(1e-4, 1e-2),
+             "model_size": GridSearch(["hipt_small", "hipt_smaller"])}
+    cfgs = sample_configs(space, 3, seed=0)
+    assert len(cfgs) == 6  # 3 samples x 2 grid values
+    assert all(1e-4 <= c["lr"] <= 1e-2 for c in cfgs)
+    sizes = {c["model_size"] for c in cfgs}
+    assert sizes == {"hipt_small", "hipt_smaller"}
+
+
+def test_plateau_stopper_on_flat_and_rising():
+    s = TrialPlateauStopper(std=0.01, num_results=3, grace_period=3)
+    flat = [1.0, 1.0, 1.0, 1.0]
+    assert any(s(v) for v in flat)
+    s2 = TrialPlateauStopper(std=1e-9, num_results=3, grace_period=3)
+    rising = [1.0, 1.2, 1.4, 1.6, 1.8, 2.0, 2.2, 2.4]
+    assert any(s2(v) for v in rising)
+    s3 = TrialPlateauStopper(std=1e-9, num_results=3, grace_period=3)
+    falling = [2.0, 1.8, 1.6, 1.4, 1.2, 1.0, 0.8]
+    assert not any(s3(v) for v in falling)
+
+
+def test_asha_kills_bottom_of_rung():
+    asha = ASHAScheduler(max_t=32, grace_period=4, reduction_factor=2)
+    assert asha.rungs == [4, 8, 16]
+    # three trials report at rung 4; worst should be stopped
+    assert not asha.should_stop(4, 0.5)   # first: no peers
+    assert not asha.should_stop(4, 0.4)   # second: top half
+    assert asha.should_stop(4, 0.9)       # third: bottom
+    assert not asha.should_stop(3, 99.0)  # non-rung epochs never stop
+
+
+def test_apply_trial_config():
+    cfg = ExperimentConfig(task=TaskConfig(), bags=BagConfig(),
+                           model=ModelConfig(), train=TrainConfig())
+    out = apply_trial_config(cfg, {"lr": 3e-4, "drop_out": 0.5,
+                                   "model_size": "hipt_big", "B": 16,
+                                   "max_patches_per_slide": 150,
+                                   "reg": 1e-3})
+    assert out.train.lr == 3e-4 and out.train.reg == 1e-3
+    assert out.model.drop_out == 0.5 and out.model.model_size == "hipt_big"
+    assert out.model.k_sample == 16
+    assert out.bags.max_patches_per_slide == 150
+    assert cfg.train.lr != 3e-4  # original untouched
+
+
+def test_run_tuning_end_to_end(tmp_path):
+    from hipt_abmil_atec23_tpu.data.synthetic import make_synthetic_bags
+    from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets
+    manifest, store = make_synthetic_bags(str(tmp_path / "bags"), n_slides=24,
+                                          feat_dim=192, signal=1.5,
+                                          signal_fraction=0.4, seed=2)
+    cfg = ExperimentConfig(
+        exp_code="tune", results_dir=str(tmp_path / "results"),
+        task=TaskConfig(n_classes=2, label_dict={"0": 0, "1": 1}),
+        bags=BagConfig(max_patches_per_slide=32, batch_size=1),
+        model=ModelConfig(model_type="clam_sb", model_size="hipt_smaller",
+                          no_inst_cluster=True),
+        train=TrainConfig(max_epochs=6, min_epochs=1, early_stopping=False,
+                          k=3, seed=0, weighted_sample=True))
+    folds = make_fold_datasets(manifest, store, cfg, 0)
+    space = {"lr": Choice([1e-3, 1e-4]), "drop_out": Choice([0.0, 0.25])}
+    out_csv = str(tmp_path / "tuning.csv")
+    best, df, trials = run_tuning(cfg, folds, manifest.class_counts(),
+                                  space=space, num_samples=3, max_epochs=6,
+                                  grace_period=3, output_csv=out_csv,
+                                  verbose=False, seed=1)
+    assert len(trials) == 3
+    assert set(best) == {"lr", "drop_out"}
+    assert df["last10_val_loss"].notna().all()
+    import os
+    assert os.path.exists(out_csv)
