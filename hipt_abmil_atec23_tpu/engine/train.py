@@ -250,6 +250,12 @@ def train_fold(
 ) -> FoldResult:
     """Train one CV fold end-to-end (reference: train(), utils/core_utils.py:102-297)."""
     tc = cfg.train
+    logger = None
+    if cfg.log_data:
+        # tensorboardX-or-JSONL scalars per epoch (reference: --log_data,
+        # utils/core_utils.py:126-128, 365-371)
+        from hipt_abmil_atec23_tpu.utils.logging import MetricsLogger
+        logger = MetricsLogger(os.path.join(cfg.results_dir, str(fold)))
     if n_pad is None:
         n_pad = max(train_ds.pad_size(), val_ds.pad_size(), test_ds.pad_size())
     if feat_dim is None:
@@ -288,6 +294,9 @@ def train_fold(
         rec = dict(epoch=epoch, train_loss=float(bl), train_inst_loss=float(inst),
                    train_acc=float(acc), val_loss=val_loss, val_auc=val_auc)
         history.append(rec)
+        if logger is not None:
+            logger.scalars({k: v for k, v in rec.items() if k != "epoch"},
+                           epoch)
         if log_cb and log_cb(epoch, rec):
             # external stop request (ASHA kill / plateau stopper in tuning)
             stopped_epoch = epoch
@@ -310,6 +319,8 @@ def train_fold(
     else:
         save_params(cpath, params)           # reference :276
 
+    if logger is not None:
+        logger.close()
     val_probs, val_loss = evaluate_split(fns, params, val_ds, n_pad, rng)
     test_probs, test_loss = evaluate_split(fns, params, test_ds, n_pad, rng)
     val_auc = M.auc_score(val_ds.labels, val_probs, cfg.task.n_classes)
