@@ -171,6 +171,28 @@ def _add_train(sub):
     p.add_argument("--fold_parallel", action="store_true",
                    help="train all folds at once, sharded over the mesh")
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--log_data", action="store_true")
+    # DRAS active sampling (reference: main.py:358-371)
+    p.add_argument("--sampling", action="store_true")
+    p.add_argument("--sampling_type", default="spatial",
+                   choices=["spatial", "textural"])
+    p.add_argument("--samples_per_iteration", type=int, default=100)
+    p.add_argument("--resampling_iterations", type=int, default=10)
+    p.add_argument("--sampling_random", type=float, default=0.2)
+    p.add_argument("--sampling_random_delta", type=float, default=0.02)
+    p.add_argument("--sampling_neighbors", type=int, default=20)
+    p.add_argument("--final_sample_size", type=int, default=100)
+    p.add_argument("--weight_smoothing", type=float, default=0.15)
+    p.add_argument("--sampling_update", default="max",
+                   choices=["max", "average", "newest", "none"])
+    p.add_argument("--no_sampling_epochs", type=int, default=20)
+    p.add_argument("--fully_random", action="store_true")
+    p.add_argument("--grid_sample", action="store_true")
+    # hyperparameter tuning (reference: main.py --tuning)
+    p.add_argument("--tuning", action="store_true")
+    p.add_argument("--num_tuning_samples", type=int, default=20)
+    p.add_argument("--tuning_output_file", default=None)
+    p.add_argument("--grace_period", type=int, default=8)
 
 
 def _train_cfg(a):
@@ -181,6 +203,7 @@ def _train_cfg(a):
     task = dataclasses.replace(get_task(a.task), csv_path=a.csv_path)
     return ExperimentConfig(
         exp_code=a.exp_code, results_dir=a.results_dir, split_dir=a.split_dir,
+        log_data=getattr(a, "log_data", False),
         task=task,
         bags=BagConfig(feat_dir=a.feat_dir,
                        max_patches_per_slide=a.max_patches_per_slide,
@@ -210,6 +233,65 @@ def _cmd_train(a):
     store = FeatureBagStore(a.feat_dir)
 
     def run():
+        if a.tuning:
+            # hyperparameter search on fold 0 (reference: main.py --tuning)
+            from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets
+            from hipt_abmil_atec23_tpu.engine.tune import run_tuning
+            folds = make_fold_datasets(manifest, store, cfg, 0)
+            out_csv = a.tuning_output_file or os.path.join(
+                cfg.results_dir, "tuning_results.csv")
+            os.makedirs(cfg.results_dir, exist_ok=True)
+            best, df, _ = run_tuning(
+                cfg, folds, manifest.class_counts(),
+                num_samples=a.num_tuning_samples,
+                grace_period=a.grace_period, output_csv=out_csv)
+            print(f"[tune] best config: {best}")
+            return
+        if a.sampling:
+            # DRAS training across folds; spatial coords come from feature h5s
+            from hipt_abmil_atec23_tpu.engine.experiment import (
+                make_fold_datasets, _write_fold_csv)
+            from hipt_abmil_atec23_tpu.engine.sampling import (
+                SamplingConfig, train_fold_sampling)
+            import pandas as pd
+            scfg = SamplingConfig(
+                sampling_type=a.sampling_type,
+                samples_per_iteration=a.samples_per_iteration,
+                resampling_iterations=a.resampling_iterations,
+                sampling_random=a.sampling_random,
+                sampling_random_delta=a.sampling_random_delta,
+                sampling_neighbors=a.sampling_neighbors,
+                final_sample_size=a.final_sample_size,
+                weight_smoothing=a.weight_smoothing,
+                sampling_update=a.sampling_update,
+                no_sampling_epochs=a.no_sampling_epochs,
+                fully_random=a.fully_random,
+                grid_initial_sample=a.grid_sample)
+            coords_lookup = {}
+            for sid in manifest.slide_ids:
+                try:
+                    _, coords = store.load_with_coords(sid)
+                except (FileNotFoundError, KeyError, OSError):
+                    raise SystemExit(
+                        f"--sampling needs h5 feature bags with coords "
+                        f"(missing for {sid}); encode with h5 output")
+                coords_lookup[sid] = coords
+            rows = []
+            k_start = cfg.train.k_start if cfg.train.k_start != -1 else 0
+            k_end = cfg.train.k_end if cfg.train.k_end != -1 else cfg.train.k
+            for fold in range(k_start, k_end):
+                tr, va, te = make_fold_datasets(manifest, store, cfg, fold)
+                res = train_fold_sampling(
+                    cfg, scfg, fold, tr, va, te, manifest.class_counts(),
+                    coords_lookup=coords_lookup)
+                _write_fold_csv(cfg.results_dir, res)
+                rows.append({"folds": fold, "test_auc": res.test_auc,
+                             "val_auc": res.val_auc, "test_acc": res.test_acc,
+                             "val_acc": res.val_acc})
+            pd.DataFrame(rows).to_csv(
+                os.path.join(cfg.results_dir, "summary.csv"), index=False)
+            print(pd.DataFrame(rows))
+            return
         if a.fold_parallel:
             from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets
             from hipt_abmil_atec23_tpu.parallel.fold_parallel import train_folds_parallel
@@ -348,17 +430,19 @@ def _cmd_bootstrap(a):
 def _add_heatmap(sub):
     p = sub.add_parser("heatmap", help="attention heatmaps "
                        "(reference: create_heatmaps.py)")
-    p.add_argument("--config", default=None, help="JSON config file")
-    p.add_argument("--slide", required=True)
-    p.add_argument("--coords_h5", required=True)
+    p.add_argument("--config", default=None,
+                   help="JSON job config: batch mode over many slides "
+                        "(explain/driver.py); other flags ignored")
+    p.add_argument("--slide", default=None)
+    p.add_argument("--coords_h5", default=None)
     p.add_argument("--features", default=None,
                    help="precomputed features (.pt/.h5/.npy); if absent, "
                    "encode on the fly")
-    p.add_argument("--ckpt", required=True)
+    p.add_argument("--ckpt", default=None)
     p.add_argument("--model_type", default="clam_sb")
     p.add_argument("--model_size", default="hipt_smaller")
     p.add_argument("--encoder", default="HIPT_4K")
-    p.add_argument("--save_dir", required=True)
+    p.add_argument("--save_dir", default=None)
     p.add_argument("--cmap", default="coolwarm")
     p.add_argument("--alpha", type=float, default=0.4)
     p.add_argument("--n_classes", type=int, default=2)
@@ -366,6 +450,15 @@ def _add_heatmap(sub):
 
 
 def _cmd_heatmap(a):
+    if a.config:
+        # config-driven batch mode (reference: create_heatmaps.py YAML)
+        from hipt_abmil_atec23_tpu.explain.driver import (
+            HeatmapJobConfig, run_heatmap_job)
+        run_heatmap_job(HeatmapJobConfig.load(a.config))
+        return
+    for req in ("slide", "coords_h5", "ckpt", "save_dir"):
+        if getattr(a, req) is None:
+            raise SystemExit(f"--{req} is required without --config")
     import cv2
     import jax
     from hipt_abmil_atec23_tpu.explain.heatmaps import (
