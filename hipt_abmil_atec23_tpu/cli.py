@@ -348,6 +348,16 @@ def _add_eval(sub):
     p.add_argument("--folds", type=int, nargs="*", default=None)
     p.add_argument("--max_patches_per_slide", type=int, default=75)
     p.add_argument("--seed", type=int, default=1)
+    # inference-time DRAS sampling (reference: eval.py --use_sampling path)
+    p.add_argument("--use_sampling", action="store_true")
+    p.add_argument("--samples_per_iteration", type=int, default=100)
+    p.add_argument("--resampling_iterations", type=int, default=10)
+    p.add_argument("--sampling_neighbors", type=int, default=20)
+    p.add_argument("--final_sample_size", type=int, default=100)
+    p.add_argument("--weight_smoothing", type=float, default=0.15)
+    p.add_argument("--sampling_random", type=float, default=0.2)
+    p.add_argument("--sampling_random_delta", type=float, default=0.02)
+    p.add_argument("--fully_random", action="store_true")
 
 
 def _cmd_eval(a):
@@ -369,8 +379,69 @@ def _cmd_eval(a):
         train=TrainConfig(k=a.k, seed=a.seed))
     manifest = SlideManifest.from_csv(a.csv_path, task.label_dict)
     store = FeatureBagStore(a.feat_dir)
+    if a.use_sampling:
+        _eval_with_sampling(a, cfg, manifest, store)
+        return
     run_eval(cfg, manifest, store, a.models_dir, a.save_dir,
              splits=a.splits, folds=a.folds)
+
+
+def _eval_with_sampling(a, cfg, manifest, store):
+    """DRAS inference-time evaluation (reference: eval.py sampling path +
+    eval_utils.summary_sampling)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+    from hipt_abmil_atec23_tpu.data.bags import BagDataset
+    from hipt_abmil_atec23_tpu.engine import metrics as M
+    from hipt_abmil_atec23_tpu.engine.checkpoint import ckpt_path, load_params
+    from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets
+    from hipt_abmil_atec23_tpu.engine.sampling import SamplingConfig, eval_sampling
+    from hipt_abmil_atec23_tpu.models import build_mil_model
+
+    scfg = SamplingConfig(
+        samples_per_iteration=a.samples_per_iteration,
+        resampling_iterations=a.resampling_iterations,
+        sampling_neighbors=a.sampling_neighbors,
+        final_sample_size=a.final_sample_size,
+        weight_smoothing=a.weight_smoothing,
+        sampling_random=a.sampling_random,
+        sampling_random_delta=a.sampling_random_delta,
+        fully_random=a.fully_random)
+    coords_lookup = {}
+    for sid in manifest.slide_ids:
+        _, coords = store.load_with_coords(sid)
+        coords_lookup[sid] = coords
+    model = build_mil_model(cfg.model.model_type,
+                            size_arg=cfg.model.model_size,
+                            n_classes=cfg.task.n_classes)
+    bags_full = dataclasses.replace(cfg.bags, max_patches_per_slide=0)
+    rows = []
+    os.makedirs(a.save_dir, exist_ok=True)
+    folds = a.folds if a.folds else list(range(cfg.train.k))
+    for fold in folds:
+        _, _, te = make_fold_datasets(manifest, store, cfg, fold)
+        ds = BagDataset(te.slide_ids, te.labels, store, bags_full)
+        feat_dim = ds._full_bag(ds.slide_ids[0]).shape[1]
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((8, feat_dim), jnp.float32), None)
+        params = load_params(ckpt_path(a.models_dir, fold), template)
+        probs, counts = eval_sampling(cfg, scfg, ds, params, model,
+                                      coords_lookup=coords_lookup,
+                                      seed=cfg.train.seed + fold)
+        auc = M.auc_score(ds.labels, probs, cfg.task.n_classes)
+        rows.append({"folds": fold, "test_auc": auc,
+                     "test_acc": M.accuracy(ds.labels, probs.argmax(1)),
+                     "mean_patches_used": float(counts.mean())})
+        df = pd.DataFrame({"slide_id": ds.slide_ids, "Y": ds.labels,
+                           "Y_hat": probs.argmax(1)})
+        for c in range(cfg.task.n_classes):
+            df[f"p_{c}"] = probs[:, c]
+        df.to_csv(os.path.join(a.save_dir, f"fold_{fold}.csv"), index=False)
+        print(f"[eval-sampling] fold {fold}: auc {auc:.4f}")
+    pd.DataFrame(rows).to_csv(os.path.join(a.save_dir, "summary.csv"),
+                              index=False)
 
 
 def _add_splits(sub):

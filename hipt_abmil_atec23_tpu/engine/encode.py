@@ -14,10 +14,9 @@ computes the current one. Artifacts keep the reference's schema
 from __future__ import annotations
 
 import os
-import queue
-import threading
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax
@@ -52,12 +51,17 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
     """
     key = jax.random.PRNGKey(rng_seed)
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    # Initialize EAGERLY on CPU with the smallest valid input: parameter
+    # shapes are input-size independent, and a jitted init would pay a
+    # throwaway multi-minute compile (TPU) or a slow XLA:CPU compile.
+    cpu = jax.devices("cpu")[0]
 
     if cfg.model_type in ("HIPT_4K", "hipt_4k"):
         model = make_hipt_encoder(dtype=dtype)
         input_size, feat_dim = 4096, 192
-        init_in = jnp.zeros((1, 512, 512, 3), jnp.float32)
-        variables = model.init(key, init_in)
+        with jax.default_device(cpu):
+            variables = model.init(key, jnp.zeros((1, 256, 256, 3),
+                                                  jnp.float32))
         if cfg.vit256_ckpt and cfg.vit4k_ckpt:
             from hipt_abmil_atec23_tpu.models.convert import (
                 load_torch_state_dict, hipt_params_from_torch)
@@ -66,16 +70,19 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
                 load_torch_state_dict(cfg.vit4k_ckpt))
 
         @jax.jit
-        def apply(batch_u8):
-            x = hipt_eval_normalize(batch_u8)
-            return model.apply(variables, x)
+        def _fwd(v, batch_u8):
+            # weights as ARGUMENTS, not closure constants: a weight-embedding
+            # HLO costs minutes to (re)compile through the device tunnel
+            return model.apply(v, hipt_eval_normalize(batch_u8))
 
     elif cfg.model_type == "vit256":
         from hipt_abmil_atec23_tpu.models.vit import vit_small
         import dataclasses as dc
         model = vit_small(dtype=dtype)
         input_size, feat_dim = 256, 384
-        variables = model.init(key, jnp.zeros((1, 256, 256, 3), jnp.float32))
+        with jax.default_device(cpu):
+            variables = model.init(key, jnp.zeros((1, 256, 256, 3),
+                                                  jnp.float32))
         if cfg.vit256_ckpt:
             from hipt_abmil_atec23_tpu.models.convert import (
                 load_torch_state_dict, vit256_params_from_torch)
@@ -83,15 +90,17 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
                 load_torch_state_dict(cfg.vit256_ckpt))
 
         @jax.jit
-        def apply(batch_u8):
-            return model.apply(variables, hipt_eval_normalize(batch_u8))
+        def _fwd(v, batch_u8):
+            return model.apply(v, hipt_eval_normalize(batch_u8))
 
     elif cfg.model_type in ("resnet50", "resnet18"):
         model = resnet50_trunc(dtype=dtype) if cfg.model_type == "resnet50" \
             else resnet18(dtype=dtype)
         input_size = 256
         feat_dim = 1024 if cfg.model_type == "resnet50" else 512
-        variables = model.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        with jax.default_device(cpu):
+            variables = model.init(key, jnp.zeros((1, 64, 64, 3),
+                                                  jnp.float32))
         if cfg.resnet_ckpt:
             from hipt_abmil_atec23_tpu.models.convert import (
                 load_torch_state_dict, resnet_params_from_torch)
@@ -101,27 +110,35 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
                 layers=layers, bottleneck=cfg.model_type == "resnet50")
 
         @jax.jit
-        def apply(batch_u8):
-            return model.apply(variables, imagenet_normalize(batch_u8))
+        def _fwd(v, batch_u8):
+            return model.apply(v, imagenet_normalize(batch_u8))
 
     elif cfg.model_type == "levit_128s":
         from hipt_abmil_atec23_tpu.models.levit import levit_texture_encoder
         model = levit_texture_encoder(dtype=dtype)
         input_size, feat_dim = 224, 384
-        variables = model.init(key, jnp.zeros((1, 224, 224, 3), jnp.float32))
+        with jax.default_device(cpu):
+            variables = model.init(key, jnp.zeros((1, 224, 224, 3),
+                                                  jnp.float32))
 
         @jax.jit
-        def apply(batch_u8):
+        def _fwd(v, batch_u8):
             # reference center-crops 256->224 before LeViT
             # (extract_features_fp.py:149-150)
             x = batch_u8
             if x.shape[1] != 224:
                 off = (x.shape[1] - 224) // 2
                 x = x[:, off:off + 224, off:off + 224, :]
-            return model.apply(variables, imagenet_normalize(x))
+            return model.apply(v, imagenet_normalize(x))
 
     else:
         raise ValueError(f"unknown encoder {cfg.model_type!r}")
+
+    # Pin weights to the compute device ONCE (init happened on CPU; leaving
+    # them there would re-ship ~100MB per call through the device link).
+    variables = jax.device_put(variables, jax.devices()[0])
+    jax.block_until_ready(variables)
+    apply = partial(_fwd, variables)
 
     return Encoder(name=cfg.model_type, apply=apply,
                    batch_size=cfg.batch_size, input_size=input_size,
@@ -146,53 +163,61 @@ def encode_slide(
     region_size: Optional[int] = None,
     transform: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     n_io_threads: int = 0,
-    prefetch: int = 2,
+    prefetch: int = 3,
 ) -> np.ndarray:
     """Encode all coords of one slide -> [N, D] features.
 
     region_size defaults to the encoder's input size (4096 for HIPT, 256 for
-    patch encoders). A background thread keeps `prefetch` decoded batches
-    ahead of the device.
+    patch encoders). Three-way overlap:
+    - up to `prefetch` compute batches decode concurrently in a sliding
+      window (each batch's regions decode on the native thread pool);
+    - the consumer DISPATCHES the device step asynchronously and only then
+      collects the previous step's result, so the host->device transfer of
+      batch i+1 rides under the device compute of batch i.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     size = region_size or encoder.input_size
     bs = encoder.batch_size
     n = len(coords)
     if n == 0:
         return np.zeros((0, encoder.feat_dim), np.float32)
 
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    def read_batch(chunk):
+        batch = slide.read_regions(chunk, patch_level, (size, size),
+                                   n_threads=n_io_threads or len(chunk))
+        if transform is not None:
+            batch = transform(batch)
+        return batch
 
-    def producer():
-        try:
-            for chunk in _batches(coords, bs):
-                batch = slide.read_regions(chunk, patch_level, (size, size),
-                                           n_threads=n_io_threads)
-                if transform is not None:
-                    batch = transform(batch)
-                q.put((len(chunk), batch))
-            q.put(None)
-        except Exception as e:  # surface IO errors to the consumer
-            q.put(e)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-
+    chunks = list(_batches(coords, bs))
+    window = max(1, prefetch)
     feats = np.empty((n, encoder.feat_dim), np.float32)
     done = 0
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, Exception):
-            raise item
-        k, batch = item
-        if k < bs:  # pad tail batch to the compiled shape
-            pad = np.zeros((bs - k,) + batch.shape[1:], batch.dtype)
-            batch = np.concatenate([batch, pad])
-        out = np.asarray(encoder.apply(jnp.asarray(batch)))
-        feats[done:done + k] = out[:k]
-        done += k
-    t.join()
+    pending = None  # (k, device result) of the previous dispatched batch
+
+    with ThreadPoolExecutor(max_workers=window) as ex:
+        futures = [ex.submit(read_batch, c) for c in chunks[:window]]
+        next_submit = window
+        for ci in range(len(chunks)):
+            batch = futures[ci].result()
+            if next_submit < len(chunks):  # slide the decode window
+                futures.append(ex.submit(read_batch, chunks[next_submit]))
+                next_submit += 1
+            k = len(chunks[ci])
+            if k < bs:  # pad tail batch to the compiled shape
+                pad = np.zeros((bs - k,) + batch.shape[1:], batch.dtype)
+                batch = np.concatenate([batch, pad])
+            out = encoder.apply(jnp.asarray(batch))  # async dispatch
+            if pending is not None:
+                pk, pout = pending
+                feats[done:done + pk] = np.asarray(pout)[:pk]
+                done += pk
+            pending = (k, out)
+    if pending is not None:
+        pk, pout = pending
+        feats[done:done + pk] = np.asarray(pout)[:pk]
+        done += pk
     return feats
 
 
