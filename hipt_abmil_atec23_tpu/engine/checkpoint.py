@@ -27,3 +27,22 @@ def save_params(path: str, params: Any) -> None:
 def load_params(path: str, template: Any) -> Any:
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(template, f.read())
+
+
+def save_train_state(path: str, params: Any, opt_state: Any,
+                     epoch: int) -> None:
+    """Full (params, optimizer, epoch) checkpoint — the reference saves
+    (model, optimizer) tuples per epoch during tuning
+    (reference: core_utils_tuning.py:235-237)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"params": params, "opt_state": opt_state, "epoch": epoch}
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(payload))
+
+
+def load_train_state(path: str, params_template: Any,
+                     opt_state_template: Any) -> Any:
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(
+            {"params": params_template, "opt_state": opt_state_template,
+             "epoch": 0}, f.read())

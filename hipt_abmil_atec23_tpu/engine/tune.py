@@ -280,3 +280,51 @@ def run_tuning(
     df = pd.DataFrame(rows)
     best = trials[int(np.argmin([t.last10_mean_loss for t in trials]))]
     return best.config, df, trials
+
+
+# --------------------------------------------------------------------------
+# eval-time sampling-parameter search (reference: eval.py:172-227 tunes DRAS
+# parameters with Ray at evaluation time)
+# --------------------------------------------------------------------------
+
+SAMPLING_SEARCH_SPACE: Dict[str, Any] = {
+    "weight_smoothing": LogUniform(1e-4, 0.5),
+    "resampling_iterations": Choice([2, 4, 6, 8, 10, 12, 16]),
+    "sampling_neighbors": Choice([4, 8, 16, 32, 64]),
+    "sampling_random": Uniform(0.25, 0.95),
+    "sampling_random_delta": LogUniform(1e-4, 0.5),
+}
+
+
+def tune_sampling_params(
+    cfg, ds, params, model, *, coords_lookup,
+    space: Optional[Dict[str, Any]] = None,
+    num_samples: int = 20, seed: int = 0,
+    output_csv: Optional[str] = None, verbose: bool = True,
+) -> Tuple[Dict[str, Any], pd.DataFrame]:
+    """Search DRAS sampling parameters against eval AUC on `ds` (typically a
+    validation split). Returns (best_params, results_df)."""
+    from hipt_abmil_atec23_tpu.engine import metrics as M
+    from hipt_abmil_atec23_tpu.engine.sampling import SamplingConfig, eval_sampling
+
+    space = space or SAMPLING_SEARCH_SPACE
+    configs = sample_configs(space, num_samples, seed)
+    rows = []
+    best, best_auc = None, -1.0
+    for ti, trial in enumerate(configs):
+        scfg = SamplingConfig(**{k: (int(v) if k in (
+            "resampling_iterations", "sampling_neighbors") else float(v))
+            for k, v in trial.items()})
+        probs, counts = eval_sampling(cfg, scfg, ds, params, model,
+                                      coords_lookup=coords_lookup,
+                                      seed=seed + ti)
+        auc = M.auc_score(ds.labels, probs, cfg.task.n_classes)
+        rows.append({**trial, "auc": auc,
+                     "mean_patches": float(counts.mean())})
+        if auc > best_auc:
+            best, best_auc = trial, auc
+        if verbose:
+            print(f"[tune-sampling] {ti}: auc {auc:.4f} {trial}")
+        if output_csv:
+            pd.DataFrame(rows).to_csv(output_csv, index=False)
+    return best, pd.DataFrame(rows)
