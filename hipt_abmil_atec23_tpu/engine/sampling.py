@@ -75,7 +75,13 @@ def generate_sample_idxs(n: int, previous: Sequence[int],
     n_weighted = int(samples_per_iteration - num_random)
     if n_weighted > 0:
         p = weights / weights.sum()
-        nonrandom = list(rng.choice(n, size=n_weighted, replace=False, p=p))
+        # no-repeat zeroing can exhaust the weighted pool on small bags;
+        # cap at the number of drawable entries (top-up happens below)
+        drawable = int(np.count_nonzero(p))
+        k_w = min(n_weighted, drawable)
+        if k_w > 0:
+            nonrandom = list(rng.choice(n, size=k_w, replace=False, p=p))
+        num_random += n_weighted - k_w
     if num_random > 0:
         available = np.setdiff1d(np.arange(n),
                                  np.asarray(list(previous) + nonrandom,

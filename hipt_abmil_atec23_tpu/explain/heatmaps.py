@@ -172,3 +172,57 @@ def vit_attention_heatmaps(attn: np.ndarray, grid_hw: Tuple[int, int],
                                    (gw * patch_px, gh * patch_px),
                                    interpolation=cv2.INTER_NEAREST)
     return out
+
+
+def hierarchical_region_heatmaps(
+    attn256: np.ndarray,      # [R*gh*gw, h256, 257, 257] ViT-256 last-block attn
+    attn4k: np.ndarray,       # [R, h4k, N4k, N4k] ViT-4K last-block attn
+    grid_hw: Tuple[int, int],
+    patch_px: int = 16,
+) -> Dict[str, np.ndarray]:
+    """Factorized hierarchical attention maps for a region (reference:
+    HIPT_4K/hipt_heatmap_utils.py create_hierarchical_heatmaps /
+    hipt_4k.get_region_attention_heatmaps :167-305): the ViT-4K CLS attention
+    over its gh x gw token grid is upsampled to tile resolution and multiplied
+    with each tile's ViT-256 CLS attention map, giving region-resolution
+    heatmaps per (4k-head, 256-head) combination plus the marginals.
+
+    Returns:
+      'map256'   [R, h256, gh*256, gw*256]  tile-level detail
+      'map4k'    [R, h4k, gh*256, gw*256]   region-level context
+      'combined' [R, h4k, h256, gh*256, gw*256]  factorized product
+    """
+    import cv2
+    gh, gw = grid_hw
+    tiles_per = gh * gw
+    r = attn4k.shape[0]
+    h4k = attn4k.shape[1]
+    h256 = attn256.shape[1]
+    side = 256  # pixels per 256-tile
+
+    # tile-level: CLS->patch attention, 16x16 grid -> 256px, normalized 0..1
+    t256 = attn256[:, :, 0, 1:]                        # [R*T, h256, 256]
+    t256 = t256.reshape(r, tiles_per, h256, patch_px, patch_px)
+    map256 = np.zeros((r, h256, gh * side, gw * side), np.float32)
+    for ri in range(r):
+        for ti in range(tiles_per):
+            ty, tx = divmod(ti, gw)
+            for hi in range(h256):
+                m = t256[ri, ti, hi]
+                m = (m - m.min()) / max(m.max() - m.min(), 1e-8)
+                map256[ri, hi, ty * side:(ty + 1) * side,
+                       tx * side:(tx + 1) * side] = cv2.resize(
+                    m, (side, side), interpolation=cv2.INTER_NEAREST)
+
+    # region-level: ViT-4K CLS attention over the tile grid -> tile px
+    t4k = attn4k[:, :, 0, 1:1 + tiles_per].reshape(r, h4k, gh, gw)
+    map4k = np.zeros((r, h4k, gh * side, gw * side), np.float32)
+    for ri in range(r):
+        for hi in range(h4k):
+            m = t4k[ri, hi]
+            m = (m - m.min()) / max(m.max() - m.min(), 1e-8)
+            map4k[ri, hi] = cv2.resize(m, (gw * side, gh * side),
+                                       interpolation=cv2.INTER_NEAREST)
+
+    combined = map4k[:, :, None] * map256[:, None]     # [R, h4k, h256, H, W]
+    return {"map256": map256, "map4k": map4k, "combined": combined}
