@@ -193,6 +193,16 @@ def _add_train(sub):
     p.add_argument("--num_tuning_samples", type=int, default=20)
     p.add_argument("--tuning_output_file", default=None)
     p.add_argument("--grace_period", type=int, default=8)
+    # online feature extraction (reference: --extract_features,
+    # core_utils.py:106-119)
+    p.add_argument("--extract_features", action="store_true")
+    p.add_argument("--data_h5_dir", default=None)
+    p.add_argument("--data_slide_dir", default=None)
+    p.add_argument("--slide_ext", default=".tif")
+    p.add_argument("--model_architecture", default="resnet50",
+                   choices=["resnet18", "resnet50", "levit_128s", "HIPT_4K"])
+    p.add_argument("--pretraining_dataset", default="ImageNet")
+    p.add_argument("--use_transforms", default="none")
 
 
 def _train_cfg(a):
@@ -292,6 +302,9 @@ def _cmd_train(a):
                 os.path.join(cfg.results_dir, "summary.csv"), index=False)
             print(pd.DataFrame(rows))
             return
+        if a.extract_features:
+            _train_online(a, cfg, manifest)
+            return
         if a.fold_parallel:
             from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets
             from hipt_abmil_atec23_tpu.parallel.fold_parallel import train_folds_parallel
@@ -329,6 +342,68 @@ def _cmd_train(a):
         pstats.Stats(pr).sort_stats("cumulative").print_stats(25)
     else:
         run()
+
+
+def _train_online(a, cfg, manifest):
+    """MIL training with a frozen encoder in the loop — no feature artifacts
+    (reference: --extract_features path)."""
+    import dataclasses
+    import os as _os
+    import pandas as pd
+    from hipt_abmil_atec23_tpu.data.online import OnlineEncodingBagDataset
+    from hipt_abmil_atec23_tpu.data.splits import load_split_csv, generate_kfold_splits
+    from hipt_abmil_atec23_tpu.engine.encode import build_encoder
+    from hipt_abmil_atec23_tpu.engine.experiment import _write_fold_csv
+    from hipt_abmil_atec23_tpu.engine.train import train_fold
+    from hipt_abmil_atec23_tpu.ops.augment import build_transform
+    from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+
+    if not (a.data_h5_dir and a.data_slide_dir):
+        raise SystemExit("--extract_features requires --data_h5_dir and "
+                         "--data_slide_dir")
+    encoder = build_encoder(EncoderConfig(
+        model_type=a.model_architecture,
+        pretraining_dataset=a.pretraining_dataset))
+    transform = build_transform(a.use_transforms)
+    coords_dir = _os.path.join(a.data_h5_dir, "patches")
+    slide_paths = {sid: _os.path.join(a.data_slide_dir, sid + a.slide_ext)
+                   for sid in manifest.slide_ids}
+    ids = list(manifest.slide_ids)
+    labels = manifest.labels
+
+    def mk(id_list, lab, train):
+        return OnlineEncodingBagDataset(
+            id_list, lab, encoder, slide_paths, coords_dir, cfg.bags,
+            transform=transform if train else None)
+
+    rows = []
+    k_start = cfg.train.k_start if cfg.train.k_start != -1 else 0
+    k_end = cfg.train.k_end if cfg.train.k_end != -1 else cfg.train.k
+    for fold in range(k_start, k_end):
+        split_csv = _os.path.join(cfg.split_dir, f"splits_{fold}.csv") \
+            if cfg.split_dir else None
+        if split_csv and _os.path.exists(split_csv):
+            tr_ids, va_ids, te_ids = load_split_csv(split_csv)
+            subsets = [[ids.index(s) for s in lst if s in ids]
+                       for lst in (tr_ids, va_ids, te_ids)]
+        else:
+            splits = generate_kfold_splits(labels, cfg.train.k,
+                                           seed=cfg.train.seed)
+            subsets = [list(s) for s in splits[fold]]
+        tr, va, te = (mk([ids[i] for i in sub], labels[list(sub)],
+                         train=(j == 0))
+                      for j, sub in enumerate(subsets))
+        res = train_fold(cfg, fold, tr, va, te, manifest.class_counts(),
+                         feat_dim=encoder.feat_dim)
+        _write_fold_csv(cfg.results_dir, res)
+        rows.append({"folds": fold, "test_auc": res.test_auc,
+                     "val_auc": res.val_auc, "test_acc": res.test_acc,
+                     "val_acc": res.val_acc})
+        for ds in (tr, va, te):
+            ds.close()
+    pd.DataFrame(rows).to_csv(_os.path.join(cfg.results_dir, "summary.csv"),
+                              index=False)
+    print(pd.DataFrame(rows))
 
 
 def _add_eval(sub):
