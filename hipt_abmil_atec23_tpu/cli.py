@@ -203,6 +203,9 @@ def _add_train(sub):
                    choices=["resnet18", "resnet50", "levit_128s", "HIPT_4K"])
     p.add_argument("--pretraining_dataset", default="ImageNet")
     p.add_argument("--use_transforms", default="none")
+    p.add_argument("--vit256_ckpt", default=None)
+    p.add_argument("--vit4k_ckpt", default=None)
+    p.add_argument("--resnet_ckpt", default=None)
 
 
 def _train_cfg(a):
@@ -260,7 +263,7 @@ def _cmd_train(a):
         if a.sampling:
             # DRAS training across folds; spatial coords come from feature h5s
             from hipt_abmil_atec23_tpu.engine.experiment import (
-                make_fold_datasets, _write_fold_csv)
+                make_fold_datasets, _write_fold_csv, summary_csv_name)
             from hipt_abmil_atec23_tpu.engine.sampling import (
                 SamplingConfig, train_fold_sampling)
             import pandas as pd
@@ -298,9 +301,10 @@ def _cmd_train(a):
                 rows.append({"folds": fold, "test_auc": res.test_auc,
                              "val_auc": res.val_auc, "test_acc": res.test_acc,
                              "val_acc": res.val_acc})
-            pd.DataFrame(rows).to_csv(
-                os.path.join(cfg.results_dir, "summary.csv"), index=False)
-            print(pd.DataFrame(rows))
+            summary = pd.DataFrame(rows)
+            summary.to_csv(os.path.join(cfg.results_dir,
+                                        summary_csv_name(cfg)), index=False)
+            print(summary)
             return
         if a.extract_features:
             _train_online(a, cfg, manifest)
@@ -347,13 +351,12 @@ def _cmd_train(a):
 def _train_online(a, cfg, manifest):
     """MIL training with a frozen encoder in the loop — no feature artifacts
     (reference: --extract_features path)."""
-    import dataclasses
-    import os as _os
+    import warnings
     import pandas as pd
     from hipt_abmil_atec23_tpu.data.online import OnlineEncodingBagDataset
-    from hipt_abmil_atec23_tpu.data.splits import load_split_csv, generate_kfold_splits
     from hipt_abmil_atec23_tpu.engine.encode import build_encoder
-    from hipt_abmil_atec23_tpu.engine.experiment import _write_fold_csv
+    from hipt_abmil_atec23_tpu.engine.experiment import (
+        _write_fold_csv, make_fold_datasets, summary_csv_name)
     from hipt_abmil_atec23_tpu.engine.train import train_fold
     from hipt_abmil_atec23_tpu.ops.augment import build_transform
     from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
@@ -361,38 +364,34 @@ def _train_online(a, cfg, manifest):
     if not (a.data_h5_dir and a.data_slide_dir):
         raise SystemExit("--extract_features requires --data_h5_dir and "
                          "--data_slide_dir")
-    encoder = build_encoder(EncoderConfig(
+    enc_cfg = EncoderConfig(
         model_type=a.model_architecture,
-        pretraining_dataset=a.pretraining_dataset))
+        pretraining_dataset=a.pretraining_dataset,
+        vit256_ckpt=a.vit256_ckpt, vit4k_ckpt=a.vit4k_ckpt,
+        resnet_ckpt=a.resnet_ckpt)
+    if not (a.resnet_ckpt or (a.vit256_ckpt and a.vit4k_ckpt)):
+        warnings.warn(
+            "--extract_features without encoder checkpoints: the frozen "
+            "encoder runs with RANDOM weights (pipeline-testing only). Pass "
+            "--resnet_ckpt or --vit256_ckpt/--vit4k_ckpt for real features.")
+    encoder = build_encoder(enc_cfg)
     transform = build_transform(a.use_transforms)
-    coords_dir = _os.path.join(a.data_h5_dir, "patches")
-    slide_paths = {sid: _os.path.join(a.data_slide_dir, sid + a.slide_ext)
+    coords_dir = os.path.join(a.data_h5_dir, "patches")
+    slide_paths = {sid: os.path.join(a.data_slide_dir, sid + a.slide_ext)
                    for sid in manifest.slide_ids}
-    ids = list(manifest.slide_ids)
-    labels = manifest.labels
 
-    def mk(id_list, lab, train):
+    def factory(sub_manifest, is_train):
         return OnlineEncodingBagDataset(
-            id_list, lab, encoder, slide_paths, coords_dir, cfg.bags,
-            transform=transform if train else None)
+            list(sub_manifest.slide_ids), sub_manifest.labels, encoder,
+            slide_paths, coords_dir, cfg.bags,
+            transform=transform if is_train else None)
 
     rows = []
     k_start = cfg.train.k_start if cfg.train.k_start != -1 else 0
     k_end = cfg.train.k_end if cfg.train.k_end != -1 else cfg.train.k
     for fold in range(k_start, k_end):
-        split_csv = _os.path.join(cfg.split_dir, f"splits_{fold}.csv") \
-            if cfg.split_dir else None
-        if split_csv and _os.path.exists(split_csv):
-            tr_ids, va_ids, te_ids = load_split_csv(split_csv)
-            subsets = [[ids.index(s) for s in lst if s in ids]
-                       for lst in (tr_ids, va_ids, te_ids)]
-        else:
-            splits = generate_kfold_splits(labels, cfg.train.k,
-                                           seed=cfg.train.seed)
-            subsets = [list(s) for s in splits[fold]]
-        tr, va, te = (mk([ids[i] for i in sub], labels[list(sub)],
-                         train=(j == 0))
-                      for j, sub in enumerate(subsets))
+        tr, va, te = make_fold_datasets(manifest, None, cfg, fold,
+                                        factory=factory)
         res = train_fold(cfg, fold, tr, va, te, manifest.class_counts(),
                          feat_dim=encoder.feat_dim)
         _write_fold_csv(cfg.results_dir, res)
@@ -401,9 +400,10 @@ def _train_online(a, cfg, manifest):
                      "val_acc": res.val_acc})
         for ds in (tr, va, te):
             ds.close()
-    pd.DataFrame(rows).to_csv(_os.path.join(cfg.results_dir, "summary.csv"),
-                              index=False)
-    print(pd.DataFrame(rows))
+    summary = pd.DataFrame(rows)
+    summary.to_csv(os.path.join(cfg.results_dir, summary_csv_name(cfg)),
+                   index=False)
+    print(summary)
 
 
 def _add_eval(sub):

@@ -62,10 +62,15 @@ class OnlineEncodingBagDataset(BagDataset):
         return self._slides[slide_id]
 
     def _full_bag(self, slide_id: str) -> np.ndarray:
-        # only used for pad_size(); avoid encoding everything
-        return np.zeros((min(len(self._coords(slide_id)),
-                             self.cfg.max_patches_per_slide or 10 ** 9),
-                         self.encoder.feat_dim), np.float32)
+        # Deliberately unsupported: callers that want real full-bag features
+        # (DRAS sampling, evaluate_fold's feat_dim probe) must not silently
+        # receive zeros. Encode to a FeatureBagStore first for those paths;
+        # train_fold works because this class overrides pad_size() and its
+        # callers pass feat_dim explicitly.
+        raise NotImplementedError(
+            "OnlineEncodingBagDataset computes bags on demand; full-bag "
+            "access is not available. Precompute features (cli encode) for "
+            "workflows that need whole-slide bags.")
 
     def get_bag(self, idx: int, rng: np.random.Generator,
                 *, train: bool = True) -> np.ndarray:

@@ -22,17 +22,20 @@ from hipt_abmil_atec23_tpu.engine.train import FoldResult, train_fold
 from hipt_abmil_atec23_tpu.utils.config import ExperimentConfig
 
 
-def make_fold_datasets(
-    manifest: SlideManifest, store: FeatureBagStore, cfg: ExperimentConfig,
-    fold: int,
-) -> Tuple[BagDataset, BagDataset, BagDataset]:
-    """Resolve fold datasets from split CSVs if present (reference:
-    return_splits(from_id=False), main.py:233-239), else generate in-memory."""
+def resolve_fold_manifests(
+    manifest: SlideManifest, cfg: ExperimentConfig, fold: int,
+) -> Tuple[SlideManifest, SlideManifest, SlideManifest]:
+    """Resolve (train, val, test) sub-manifests from split CSVs if present
+    (reference: return_splits(from_id=False), main.py:233-239), else generate
+    in-memory; always checks split disjointness."""
     split_csv = os.path.join(cfg.split_dir, f"splits_{fold}.csv") \
         if cfg.split_dir else None
     if split_csv and os.path.exists(split_csv):
         tr_ids, va_ids, te_ids = load_split_csv(split_csv)
-        subs = [manifest.subset_by_slide_ids(ids) for ids in (tr_ids, va_ids, te_ids)]
+        assert not (set(tr_ids) & set(te_ids)), "train/test overlap in splits"
+        assert not (set(tr_ids) & set(va_ids)), "train/val overlap in splits"
+        subs = [manifest.subset_by_slide_ids(ids)
+                for ids in (tr_ids, va_ids, te_ids)]
     else:
         splits = generate_kfold_splits(manifest.labels, cfg.train.k,
                                        seed=cfg.train.seed)
@@ -41,8 +44,31 @@ def make_fold_datasets(
         subs = [SlideManifest(manifest.df.iloc[ids].reset_index(drop=True),
                               manifest.label_dict, manifest.n_classes)
                 for ids in (tr, va, te)]
-    return tuple(BagDataset(s.slide_ids, s.labels, store, cfg.bags)
-                 for s in subs)  # type: ignore[return-value]
+    return tuple(subs)  # type: ignore[return-value]
+
+
+def make_fold_datasets(
+    manifest: SlideManifest, store: FeatureBagStore, cfg: ExperimentConfig,
+    fold: int, factory=None,
+) -> Tuple[BagDataset, BagDataset, BagDataset]:
+    """Fold datasets. `factory(sub_manifest, is_train)` overrides the default
+    FeatureBagStore-backed BagDataset (used by the online-encoding path)."""
+    subs = resolve_fold_manifests(manifest, cfg, fold)
+    if factory is None:
+        factory = lambda s, is_train: BagDataset(s.slide_ids, s.labels,
+                                                 store, cfg.bags)
+    return tuple(factory(s, i == 0)
+                 for i, s in enumerate(subs))  # type: ignore[return-value]
+
+
+def summary_csv_name(cfg: ExperimentConfig) -> str:
+    """summary.csv, or summary_partial_{s}_{e}.csv for partial fold ranges
+    (reference: main.py:285-293) so partial runs never clobber full ones."""
+    k_start = cfg.train.k_start if cfg.train.k_start != -1 else 0
+    k_end = cfg.train.k_end if cfg.train.k_end != -1 else cfg.train.k
+    if (k_end - k_start) == cfg.train.k:
+        return "summary.csv"
+    return f"summary_partial_{k_start}_{k_end}.csv"
 
 
 def run_cv(cfg: ExperimentConfig, manifest: SlideManifest,
@@ -72,9 +98,8 @@ def run_cv(cfg: ExperimentConfig, manifest: SlideManifest,
         "test_acc": [r.test_acc for r in results],
         "val_acc": [r.val_acc for r in results],
     })
-    name = "summary.csv" if (k_end - k_start) == cfg.train.k else \
-        f"summary_partial_{k_start}_{k_end}.csv"
-    summary.to_csv(os.path.join(cfg.results_dir, name), index=False)
+    summary.to_csv(os.path.join(cfg.results_dir, summary_csv_name(cfg)),
+                   index=False)
     return summary, results
 
 

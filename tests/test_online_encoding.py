@@ -78,7 +78,8 @@ def test_online_training_fold(online_setup):
         train=TrainConfig(lr=1e-3, max_epochs=2, min_epochs=1,
                           early_stopping=False, k=3, seed=0))
     res = train_fold(cfg, 0, mk(range(0, 4)), mk(range(4, 6)),
-                     mk(range(6, 8)), np.array([4, 4]), verbose=False)
+                     mk(range(6, 8)), np.array([4, 4]),
+                     feat_dim=encoder.feat_dim, verbose=False)
     assert np.isfinite(res.test_auc) or len(set(labels[6:8])) < 2
     assert len(res.history) == 2
 
