@@ -11,6 +11,9 @@ from typing import Dict
 
 from hipt_abmil_atec23_tpu.utils.config import TaskConfig
 
+_OVARIAN_5 = {"high_grade": 0, "low_grade": 1, "clear_cell": 2,
+              "endometrioid": 3, "mucinous": 4}
+
 TASKS: Dict[str, TaskConfig] = {
     "treatment": TaskConfig(
         name="treatment", n_classes=2,
@@ -29,7 +32,28 @@ TASKS: Dict[str, TaskConfig] = {
     "nsclc": TaskConfig(
         name="nsclc", n_classes=2,
         label_dict={"luad": 0, "lusc": 1}),
+    # split-generation superset (reference: create_splits_seq.py:24-168)
+    "task_1_tumor_vs_normal": TaskConfig(
+        name="task_1_tumor_vs_normal", n_classes=2,
+        label_dict={"normal_tissue": 0, "tumor_tissue": 1}),
+    "task_2_tumor_subtyping": TaskConfig(
+        name="task_2_tumor_subtyping", n_classes=3,
+        label_dict={"subtype_1": 0, "subtype_2": 1, "subtype_3": 2}),
+    "esgo_staging": TaskConfig(
+        name="esgo_staging", n_classes=5, label_dict=_OVARIAN_5,
+        patient_strat=True),
+    "esgo_all": TaskConfig(
+        name="esgo_all", n_classes=5, label_dict=_OVARIAN_5),
 }
+
+# Dataset-size variants the reference registers as separate tasks over the
+# same ovarian 5-class labels (custom/custom_20/custom_556/custom_714/
+# custom_912_aug/custom_998/canadian — create_splits_seq.py:34-143). They
+# differ only by CSV; register them programmatically.
+for _name in ("custom", "custom_20", "custom_556", "custom_714",
+              "custom_912_aug", "custom_998", "canadian"):
+    TASKS[_name] = TaskConfig(name=_name, n_classes=5,
+                              label_dict=dict(_OVARIAN_5))
 
 
 def get_task(name: str) -> TaskConfig:
