@@ -80,6 +80,9 @@ def _add_encode(sub):
                    choices=["ImageNet", "Histo"])
     p.add_argument("--use_transforms", default="none")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--target_patch_size", type=int, default=0,
+                   help="resize decoded patches before embedding "
+                        "(reference: --target_patch_size)")
     p.add_argument("--slide_ext", default=".tif")
     p.add_argument("--vit256_ckpt", default=None)
     p.add_argument("--vit4k_ckpt", default=None)
@@ -124,7 +127,8 @@ def _cmd_encode(a):
         slide_path = os.path.join(a.data_slide_dir, sid + a.slide_ext)
         out = encode_and_store(slide_path, h5, encoder, store, sid,
                                skip_existing=not a.no_skip,
-                               transform=transform)
+                               transform=transform,
+                               target_patch_size=a.target_patch_size)
         done += out is not None
         print(f"[encode] {sid}: {'done' if out else 'skipped (exists)'}")
     dt = time.perf_counter() - t0

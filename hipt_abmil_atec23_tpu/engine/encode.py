@@ -164,8 +164,13 @@ def encode_slide(
     transform: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     n_io_threads: int = 0,
     prefetch: int = 3,
+    target_patch_size: int = 0,
 ) -> np.ndarray:
     """Encode all coords of one slide -> [N, D] features.
+
+    target_patch_size > 0 resizes decoded regions before embedding
+    (reference: --target_patch_size / custom_downsample,
+    extract_features_fp.py:181-184, dataset_h5.py:147-152).
 
     region_size defaults to the encoder's input size (4096 for HIPT, 256 for
     patch encoders). Three-way overlap:
@@ -186,6 +191,11 @@ def encode_slide(
     def read_batch(chunk):
         batch = slide.read_regions(chunk, patch_level, (size, size),
                                    n_threads=n_io_threads or len(chunk))
+        if target_patch_size and target_patch_size != size:
+            import cv2
+            batch = np.stack([
+                cv2.resize(p, (target_patch_size, target_patch_size),
+                           interpolation=cv2.INTER_AREA) for p in batch])
         if transform is not None:
             batch = transform(batch)
         return batch
@@ -231,6 +241,7 @@ def encode_and_store(
     formats=("h5", "pt"),
     skip_existing: bool = True,
     transform=None,
+    target_patch_size: int = 0,
 ) -> Optional[str]:
     """Per-slide encode stage with idempotent resume (the reference skips
     slides whose pt exists — extract_features_fp.py:231-238)."""
@@ -246,7 +257,8 @@ def encode_and_store(
                              patch_level=int(attrs.get("patch_level", 0)),
                              region_size=int(attrs.get("patch_size",
                                                        encoder.input_size)),
-                             transform=transform)
+                             transform=transform,
+                             target_patch_size=target_patch_size)
     finally:
         slide.close()
     store.save(slide_id, feats, coords=coords, formats=formats)

@@ -181,4 +181,19 @@ SEG_PRESETS: Dict[str, Dict[str, Any]] = {
 
 
 def apply_seg_preset(cfg: SegConfig, preset: str) -> SegConfig:
-    return dataclasses.replace(cfg, **SEG_PRESETS[preset])
+    """Apply a named preset, or load a reference-format preset CSV when
+    `preset` is a path (reference: presets/*.csv, create_patches_fp.py:303-315)."""
+    if preset in SEG_PRESETS:
+        return dataclasses.replace(cfg, **SEG_PRESETS[preset])
+    if preset.endswith(".csv"):
+        import pandas as pd
+        row = pd.read_csv(preset).iloc[0]
+        fields = {f.name for f in dataclasses.fields(SegConfig)}
+        overrides = {}
+        for k, v in row.items():
+            if k in fields and not pd.isna(v):
+                cur = getattr(cfg, k)
+                overrides[k] = type(cur)(v) if not isinstance(cur, tuple) else cur
+        return dataclasses.replace(cfg, **overrides)
+    raise KeyError(f"unknown preset {preset!r}; named: {sorted(SEG_PRESETS)} "
+                   f"or a preset CSV path")

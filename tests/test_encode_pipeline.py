@@ -114,3 +114,31 @@ def test_macenko_normalizes_and_counts_failures():
     out2 = norm(white)
     np.testing.assert_array_equal(out2, white)
     assert norm.failures == 1
+
+
+def test_target_patch_size_resize(tiled_slide):
+    """--target_patch_size: decoded patches resize before embedding."""
+    path, h5, coords, slide = tiled_slide
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=8,
+                                      dtype="float32"))
+    feats = encode_slide(slide, coords[:8], enc, region_size=256,
+                         target_patch_size=128)
+    assert feats.shape == (min(8, len(coords)), 512)
+    assert np.isfinite(feats).all()
+
+
+def test_seg_preset_csv(tmp_path):
+    import pandas as pd
+    from hipt_abmil_atec23_tpu.utils.config import SegConfig, apply_seg_preset
+    csv = tmp_path / "preset.csv"
+    pd.DataFrame([{"sthresh": 15, "mthresh": 5, "close": 100,
+                   "use_otsu": True, "a_t": 3, "unrelated_col": "x"}]).to_csv(
+        csv, index=False)
+    cfg = apply_seg_preset(SegConfig(), str(csv))
+    assert cfg.sthresh == 15 and cfg.close == 100 and cfg.use_otsu
+    assert cfg.a_t == 3 and cfg.a_h == 16  # untouched default
+    named = apply_seg_preset(SegConfig(), "betterseg")
+    assert named.use_otsu and named.close == 100
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        apply_seg_preset(SegConfig(), "nope")
