@@ -176,6 +176,9 @@ def _add_train(sub):
                    help="train all folds at once, sharded over the mesh")
     p.add_argument("--profile", action="store_true")
     p.add_argument("--log_data", action="store_true")
+    p.add_argument("--debug_loader", action="store_true",
+                   help="iterate the data pipeline once without training "
+                        "(reference: --debug_loader)")
     # DRAS active sampling (reference: main.py:358-371)
     p.add_argument("--sampling", action="store_true")
     p.add_argument("--sampling_type", default="spatial",
@@ -248,6 +251,22 @@ def _cmd_train(a):
     manifest = SlideManifest.from_csv(a.csv_path, cfg.task.label_dict,
                                       ignore=cfg.task.ignore)
     store = FeatureBagStore(a.feat_dir)
+
+    if a.debug_loader:
+        # I/O smoke test: load every bag once, no training (reference:
+        # --debug_loader, core_utils.py:205-208)
+        from hipt_abmil_atec23_tpu.data.bags import BagDataset
+        rng = np.random.default_rng(cfg.train.seed)
+        ds = BagDataset(list(manifest.slide_ids), manifest.labels, store,
+                        cfg.bags)
+        sizes = []
+        for i, sid in enumerate(ds.slide_ids):
+            bag = ds.get_bag(i, rng)
+            sizes.append(len(bag))
+            print(f"[debug_loader] {sid}: bag {bag.shape}")
+        print(f"[debug_loader] {len(sizes)} bags OK; "
+              f"mean {np.mean(sizes):.1f} max {np.max(sizes)}")
+        return
 
     def run():
         if a.tuning:
@@ -711,11 +730,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         prog="hipt_abmil_atec23_tpu",
         description="TPU-native WSI MIL pipeline")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (reference: eval.py "
+                             "--cpu_only)")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for add in (_add_tile, _add_encode, _add_train, _add_eval, _add_splits,
                 _add_bootstrap, _add_heatmap, _add_count):
         add(sub)
     a = parser.parse_args(argv)
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     cmd = {"tile": _cmd_tile, "encode": _cmd_encode, "train": _cmd_train,
            "eval": _cmd_eval, "splits": _cmd_splits,
            "bootstrap": _cmd_bootstrap, "heatmap": _cmd_heatmap,
