@@ -697,6 +697,34 @@ def _cmd_heatmap(a):
           f"to {a.save_dir}")
 
 
+def _add_knn(sub):
+    p = sub.add_parser("knn", help="slide-level kNN probe over aggregated "
+                       "features (reference: HIPT_knn.py)")
+    p.add_argument("--task", default="treatment")
+    p.add_argument("--csv_path", required=True)
+    p.add_argument("--feat_dir", required=True)
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--folds", type=int, default=5)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--agg", default="mean", choices=["mean", "max"])
+    p.add_argument("--seed", type=int, default=1)
+
+
+def _cmd_knn(a):
+    from hipt_abmil_atec23_tpu.data.bags import FeatureBagStore
+    from hipt_abmil_atec23_tpu.data.manifest import SlideManifest
+    from hipt_abmil_atec23_tpu.data.splits import generate_kfold_splits
+    from hipt_abmil_atec23_tpu.data.tasks import get_task
+    from hipt_abmil_atec23_tpu.engine.knn_probe import knn_cv_probe
+    task = get_task(a.task)
+    manifest = SlideManifest.from_csv(a.csv_path, task.label_dict)
+    store = FeatureBagStore(a.feat_dir)
+    splits = generate_kfold_splits(manifest.labels, a.folds, seed=a.seed)
+    out = knn_cv_probe(store, manifest, splits, k=a.k,
+                       temperature=a.temperature, method=a.agg)
+    print(json.dumps(out, indent=2))
+
+
 def _add_count(sub):
     p = sub.add_parser("count", help="patch-count statistics "
                        "(reference: count_patches.py)")
@@ -735,7 +763,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                              "--cpu_only)")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for add in (_add_tile, _add_encode, _add_train, _add_eval, _add_splits,
-                _add_bootstrap, _add_heatmap, _add_count):
+                _add_bootstrap, _add_heatmap, _add_count, _add_knn):
         add(sub)
     a = parser.parse_args(argv)
     if a.cpu:
@@ -744,7 +772,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     cmd = {"tile": _cmd_tile, "encode": _cmd_encode, "train": _cmd_train,
            "eval": _cmd_eval, "splits": _cmd_splits,
            "bootstrap": _cmd_bootstrap, "heatmap": _cmd_heatmap,
-           "count": _cmd_count}[a.cmd]
+           "count": _cmd_count, "knn": _cmd_knn}[a.cmd]
     cmd(a)
     return 0
 

@@ -51,7 +51,12 @@ def plot_weight_map(coords: np.ndarray, weights: np.ndarray, out_path: str,
 
 def sampling_gif(frame_paths: Sequence[str], out_path: str,
                  fps: int = 2) -> None:
-    """Stitch per-iteration frames into a GIF (reference: plot_sampling_gif)."""
+    """Stitch per-iteration frames into a GIF (reference: plot_sampling_gif).
+    Frames are resized to the first frame's shape (bbox-tight saves vary)."""
+    import cv2
     import imageio.v2 as imageio
-    frames = [imageio.imread(p) for p in frame_paths]
+    frames = [imageio.imread(p)[..., :3] for p in frame_paths]
+    h, w = frames[0].shape[:2]
+    frames = [f if f.shape[:2] == (h, w) else cv2.resize(f, (w, h))
+              for f in frames]
     imageio.mimsave(out_path, frames, fps=fps)

@@ -1,0 +1,112 @@
+"""Coverage for the remaining CLI paths: fold-parallel train, eval sampling,
+knn probe, debug loader, log_data, sampling visualizations."""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hipt_abmil_atec23_tpu.cli import main as cli
+from hipt_abmil_atec23_tpu.data.bags import FeatureBagStore
+from hipt_abmil_atec23_tpu.data.synthetic import make_synthetic_bags
+
+
+@pytest.fixture(scope="module")
+def bag_workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("clix")
+    manifest, store = make_synthetic_bags(
+        str(root / "feats"), n_slides=24, feat_dim=192, signal=1.5,
+        signal_fraction=0.4, bag_range=(60, 160), seed=9, fmt="npy")
+    # also write h5 bags WITH coords (eval --use_sampling needs them)
+    rng = np.random.default_rng(0)
+    for sid in manifest.slide_ids:
+        feats = store.load_features(sid)
+        coords = rng.integers(0, 30000, size=(len(feats), 2))
+        store.save(sid, feats, coords=coords, formats=("h5",))
+    csv = str(root / "labels.csv")
+    df = pd.read_csv(os.path.join(root / "feats", "labels.csv"))
+    df["label"] = df["label"].map({0: "invalid", 1: "effective"})
+    df.to_csv(csv, index=False)
+    return root, csv, str(root / "feats")
+
+
+def test_cli_fold_parallel_train(bag_workspace):
+    root, csv, feats = bag_workspace
+    results = str(root / "results_fp")
+    cli(["train", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--results_dir", results, "--fold_parallel",
+         "--k", "4", "--max_epochs", "4", "--min_epochs", "1",
+         "--no_early_stopping", "--max_patches_per_slide", "32",
+         "--weighted_sample"])
+    summary = pd.read_csv(os.path.join(results, "summary.csv"))
+    assert len(summary) == 4 and np.isfinite(summary["test_auc"]).all()
+
+
+def test_cli_train_then_eval_sampling(bag_workspace):
+    root, csv, feats = bag_workspace
+    results = str(root / "results_es")
+    cli(["train", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--results_dir", results,
+         "--k", "3", "--max_epochs", "3", "--min_epochs", "1",
+         "--no_early_stopping", "--max_patches_per_slide", "32"])
+    evals = str(root / "eval_sampling")
+    cli(["eval", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--models_dir", results, "--save_dir", evals,
+         "--k", "3", "--folds", "0", "--use_sampling",
+         "--samples_per_iteration", "24", "--resampling_iterations", "2",
+         "--sampling_neighbors", "8", "--final_sample_size", "32"])
+    summary = pd.read_csv(os.path.join(evals, "summary.csv"))
+    assert "mean_patches_used" in summary.columns
+    fold0 = pd.read_csv(os.path.join(evals, "fold_0.csv"))
+    assert {"slide_id", "Y", "Y_hat", "p_0", "p_1"} <= set(fold0.columns)
+
+
+def test_cli_knn(bag_workspace, capsys):
+    root, csv, feats = bag_workspace
+    cli(["knn", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--k", "5", "--folds", "3"])
+    out = json.loads(capsys.readouterr().out)
+    assert 0 <= out["auc_mean"] <= 1
+
+
+def test_cli_debug_loader(bag_workspace, capsys):
+    root, csv, feats = bag_workspace
+    cli(["train", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--results_dir", str(root / "dbg"),
+         "--debug_loader", "--max_patches_per_slide", "16"])
+    out = capsys.readouterr().out
+    assert "bags OK" in out
+
+
+def test_cli_train_log_data(bag_workspace):
+    root, csv, feats = bag_workspace
+    results = str(root / "results_log")
+    cli(["train", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--results_dir", results, "--log_data",
+         "--k", "3", "--k_end", "1", "--max_epochs", "2", "--min_epochs", "1",
+         "--no_early_stopping", "--max_patches_per_slide", "16"])
+    metrics = os.path.join(results, "0", "metrics.jsonl")
+    assert os.path.exists(metrics)
+    lines = [json.loads(l) for l in open(metrics)]
+    assert any(r["tag"] == "val_auc" for r in lines)
+    # partial fold range -> partial summary name, summary.csv untouched
+    assert os.path.exists(os.path.join(results, "summary_partial_0_1.csv"))
+    assert not os.path.exists(os.path.join(results, "summary.csv"))
+
+
+def test_sampling_visualizations(tmp_path, rng):
+    from hipt_abmil_atec23_tpu.explain.sampling_vis import (
+        plot_sampling, plot_weight_map, sampling_gif)
+    from hipt_abmil_atec23_tpu.slideio.reader import ImageSlide
+    from hipt_abmil_atec23_tpu.slideio.synthetic import make_tissue_image
+    slide = ImageSlide(make_tissue_image(1024, 768, seed=0))
+    coords = rng.integers(0, 700, size=(40, 2))
+    p1 = str(tmp_path / "s1.png")
+    plot_sampling(slide, coords, p1)
+    p2 = str(tmp_path / "w.png")
+    plot_weight_map(coords, rng.uniform(0, 1, 40), p2)
+    gif = str(tmp_path / "iters.gif")
+    sampling_gif([p1, p2], gif)
+    for f in (p1, p2, gif):
+        assert os.path.getsize(f) > 0
