@@ -116,3 +116,28 @@ def test_early_stopping_schedule():
     es2.update(0, 1.0)
     es2.update(1, 2.0)
     assert es2.update(2, 0.5) and es2.counter == 0
+
+
+def test_multiclass_subtyping_cv(tmp_path):
+    """5-class ovarian-style task: CLAM_MB + subtyping instance loss +
+    multiclass OVR AUC through the full CV driver."""
+    manifest, store = make_synthetic_bags(
+        str(tmp_path / "bags5"), n_slides=40, feat_dim=192, n_classes=5,
+        signal=2.0, signal_fraction=0.5, seed=6)
+    cfg = ExperimentConfig(
+        exp_code="mc", results_dir=str(tmp_path / "results5"),
+        task=TaskConfig(name="ovarian5", n_classes=5,
+                        label_dict={str(i): i for i in range(5)}),
+        bags=BagConfig(max_patches_per_slide=32, batch_size=1),
+        model=ModelConfig(model_type="clam_mb", model_size="hipt_smaller",
+                          subtyping=True, k_sample=4),
+        train=TrainConfig(lr=1e-3, max_epochs=4, min_epochs=1,
+                          early_stopping=False, k=4, k_end=1, seed=2,
+                          weighted_sample=True, bag_loss="balanced_ce"))
+    summary, results = run_cv(cfg, manifest, store, verbose=False)
+    assert np.isfinite(summary["test_auc"]).all()
+    # per-slide CSV has all 5 probability columns
+    fold0 = pd.read_csv(os.path.join(cfg.results_dir, "fold_0.csv"))
+    assert {"p_0", "p_1", "p_2", "p_3", "p_4"} <= set(fold0.columns)
+    probs = fold0[[f"p_{c}" for c in range(5)]].values
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)

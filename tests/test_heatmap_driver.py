@@ -90,3 +90,44 @@ def test_cli_tuning_mode(tmp_path):
          "--num_tuning_samples", "2", "--grace_period", "2"])
     out = pd.read_csv(os.path.join(results, "tuning_results.csv"))
     assert len(out) == 2 and "last10_val_loss" in out.columns
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference repo not mounted")
+def test_heatmap_cli_with_reference_torch_checkpoint(tmp_path):
+    """The shipped reference demo checkpoint (torch .pt, CLAM_SB 'small'
+    1024-d) drives the heatmap CLI directly on a synthetic slide."""
+    demo = "/root/reference/heatmaps/demo/ckpts/s_0_checkpoint.pt"
+    if not os.path.exists(demo):
+        pytest.skip("demo checkpoint not shipped")
+    import numpy as np
+    from hipt_abmil_atec23_tpu.cli import main as cli
+    from hipt_abmil_atec23_tpu.data.bags import FeatureBagStore
+    from hipt_abmil_atec23_tpu.slideio.patching import (
+        enumerate_coords, save_coords_h5, coords_attrs)
+    from hipt_abmil_atec23_tpu.slideio.reader import TiffSlide
+    from hipt_abmil_atec23_tpu.slideio.seg import segment_tissue
+    from hipt_abmil_atec23_tpu.utils.config import SegConfig, TileConfig
+
+    slide_path = str(tmp_path / "demo.tif")
+    write_synthetic_slide(slide_path, 1536, 1536, n_levels=3,
+                          compression=native.COMPRESSION_DEFLATE, seed=0)
+    slide = TiffSlide(slide_path)
+    seg = segment_tissue(slide, SegConfig(use_otsu=True, a_t=1, close=4))
+    cfg = TileConfig(patch_size=256, step_size=256)
+    coords = enumerate_coords(slide, seg, cfg)
+    h5 = str(tmp_path / "demo_coords.h5")
+    save_coords_h5(h5, coords, coords_attrs(slide, cfg, "demo", str(tmp_path)))
+    # precomputed 1024-d features (the ckpt is a 1024-d 'small' CLAM)
+    store = FeatureBagStore(str(tmp_path / "feats"))
+    rng = np.random.default_rng(0)
+    store.save("demo", rng.normal(size=(len(coords), 1024)).astype("float32"),
+               coords=coords, formats=("pt",))
+    slide.close()
+
+    out = str(tmp_path / "hm")
+    cli(["heatmap", "--slide", slide_path, "--coords_h5", h5,
+         "--features", os.path.join(str(tmp_path / "feats"), "pt_files",
+                                    "demo.pt"),
+         "--ckpt", demo, "--model_size", "small", "--save_dir", out])
+    assert any(f.endswith("_heatmap.jpg") for f in os.listdir(out))
