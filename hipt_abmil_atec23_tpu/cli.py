@@ -89,6 +89,9 @@ def _add_encode(sub):
     p.add_argument("--resnet_ckpt", default=None)
     p.add_argument("--no_skip", action="store_true")
     p.add_argument("--float32", action="store_true")
+    p.add_argument("--hipt_features", default="cls4k",
+                   choices=["cls4k", "mean256", "concat"],
+                   help="HIPT output variant (reference forward_asset_dict)")
 
 
 def _cmd_encode(a):
@@ -103,6 +106,7 @@ def _cmd_encode(a):
                         transforms=a.use_transforms, batch_size=a.batch_size,
                         vit256_ckpt=a.vit256_ckpt, vit4k_ckpt=a.vit4k_ckpt,
                         resnet_ckpt=a.resnet_ckpt,
+                        hipt_features=a.hipt_features,
                         dtype="float32" if a.float32 else "bfloat16")
     encoder = build_encoder(cfg)
     transform = build_transform(a.use_transforms)

@@ -58,7 +58,11 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
 
     if cfg.model_type in ("HIPT_4K", "hipt_4k"):
         model = make_hipt_encoder(dtype=dtype)
-        input_size, feat_dim = 4096, 192
+        # feature variant (reference: forward_asset_dict, hipt_4k.py:79-118):
+        # cls4k (192) | mean256 (384) | concat (576)
+        variant = getattr(cfg, "hipt_features", "cls4k")
+        input_size = 4096
+        feat_dim = {"cls4k": 192, "mean256": 384, "concat": 576}[variant]
         with jax.default_device(cpu):
             variables = model.init(key, jnp.zeros((1, 256, 256, 3),
                                                   jnp.float32))
@@ -73,7 +77,13 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
         def _fwd(v, batch_u8):
             # weights as ARGUMENTS, not closure constants: a weight-embedding
             # HLO costs minutes to (re)compile through the device tunnel
-            return model.apply(v, hipt_eval_normalize(batch_u8))
+            x = hipt_eval_normalize(batch_u8)
+            if variant == "cls4k":
+                return model.apply(v, x)
+            assets = model.apply(v, x, method=model.asset_dict)
+            if variant == "mean256":
+                return assets["features_mean256"]
+            return assets["features_mean256_cls4k"]
 
     elif cfg.model_type == "vit256":
         from hipt_abmil_atec23_tpu.models.vit import vit_small

@@ -77,6 +77,7 @@ class EncoderConfig:
     vit4k_ckpt: Optional[str] = None
     resnet_ckpt: Optional[str] = None
     dtype: str = "bfloat16"
+    hipt_features: str = "cls4k"  # cls4k | mean256 | concat (576-d)
 
 
 @dataclass

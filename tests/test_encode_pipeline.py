@@ -142,3 +142,19 @@ def test_seg_preset_csv(tmp_path):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         apply_seg_preset(SegConfig(), "nope")
+
+
+def test_hipt_feature_variants(tmp_path):
+    img = make_tissue_image(512, 512, seed=3)
+    path = str(tmp_path / "v.tif")
+    native.write_pyramid(path, img, n_levels=2,
+                         compression=native.COMPRESSION_DEFLATE)
+    slide = TiffSlide(path)
+    coords = np.array([[0, 0]], np.int64)
+    for variant, dim in (("mean256", 384), ("concat", 576)):
+        enc = build_encoder(EncoderConfig(model_type="HIPT_4K", batch_size=1,
+                                          dtype="float32",
+                                          hipt_features=variant))
+        feats = encode_slide(slide, coords, enc, region_size=512)
+        assert feats.shape == (1, dim), (variant, feats.shape)
+    slide.close()
