@@ -460,6 +460,10 @@ def _add_eval(sub):
     p.add_argument("--sampling_random", type=float, default=0.2)
     p.add_argument("--sampling_random_delta", type=float, default=0.02)
     p.add_argument("--fully_random", action="store_true")
+    p.add_argument("--tune_sampling", action="store_true",
+                   help="search DRAS sampling params on the val split first "
+                        "(reference: eval.py:172-227)")
+    p.add_argument("--num_tuning_samples", type=int, default=10)
 
 
 def _cmd_eval(a):
@@ -522,6 +526,25 @@ def _eval_with_sampling(a, cfg, manifest, store):
     rows = []
     os.makedirs(a.save_dir, exist_ok=True)
     folds = a.folds if a.folds else list(range(cfg.train.k))
+
+    if getattr(a, "tune_sampling", False):
+        # search sampling params on fold-0's VAL split first
+        # (reference: eval.py:172-227 tunes at eval time)
+        from hipt_abmil_atec23_tpu.engine.tune import tune_sampling_params
+        _, va0, _ = make_fold_datasets(manifest, store, cfg, folds[0])
+        va_ds = BagDataset(va0.slide_ids, va0.labels, store, bags_full)
+        feat_dim = va_ds._full_bag(va_ds.slide_ids[0]).shape[1]
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((8, feat_dim), jnp.float32), None)
+        params0 = load_params(ckpt_path(a.models_dir, folds[0]), template)
+        best, df = tune_sampling_params(
+            cfg, va_ds, params0, model, coords_lookup=coords_lookup,
+            num_samples=a.num_tuning_samples,
+            output_csv=os.path.join(a.save_dir, "sampling_tuning.csv"))
+        print(f"[eval-sampling] tuned params: {best}")
+        scfg = dataclasses.replace(scfg, **{
+            k: (int(v) if k in ("resampling_iterations", "sampling_neighbors")
+                else float(v)) for k, v in best.items()})
     for fold in folds:
         _, _, te = make_fold_datasets(manifest, store, cfg, fold)
         ds = BagDataset(te.slide_ids, te.labels, store, bags_full)

@@ -134,3 +134,13 @@ def draw_segmentation(slide: BaseSlide, seg: SegmentationResult,
         hts = [(h * scale).astype(np.int32) for h in hs]
         cv2.drawContours(img, hts, -1, hole_color, thick, lineType=cv2.LINE_8)
     return img
+
+
+def load_external_contours(path: str) -> SegmentationResult:
+    """Load externally-produced tissue contours from a .npy pickle (the
+    reference's DMMN-mask path, loadSegmentation WholeSlideImage.py:104-109):
+    an object array of contours in level-0 coordinates, no holes."""
+    contours = np.load(path, allow_pickle=True)
+    contours = [np.asarray(c, np.int32).reshape(-1, 1, 2) for c in contours]
+    return SegmentationResult(contours=contours,
+                              holes=[[] for _ in contours], seg_level=0)

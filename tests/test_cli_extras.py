@@ -110,3 +110,33 @@ def test_sampling_visualizations(tmp_path, rng):
     sampling_gif([p1, p2], gif)
     for f in (p1, p2, gif):
         assert os.path.getsize(f) > 0
+
+
+def test_cli_eval_tune_sampling(bag_workspace):
+    root, csv, feats = bag_workspace
+    results = str(root / "results_es")  # trained by the earlier test
+    if not os.path.exists(os.path.join(results, "s_0_checkpoint.msgpack")):
+        pytest.skip("depends on test_cli_train_then_eval_sampling ordering")
+    evals = str(root / "eval_tuned")
+    cli(["eval", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--models_dir", results, "--save_dir", evals,
+         "--k", "3", "--folds", "0", "--use_sampling", "--tune_sampling",
+         "--num_tuning_samples", "2",
+         "--samples_per_iteration", "24", "--resampling_iterations", "2",
+         "--sampling_neighbors", "8", "--final_sample_size", "32"])
+    assert os.path.exists(os.path.join(evals, "sampling_tuning.csv"))
+    assert os.path.exists(os.path.join(evals, "summary.csv"))
+
+
+def test_external_contours_loader(tmp_path):
+    from hipt_abmil_atec23_tpu.slideio.seg import load_external_contours
+    cts = np.array([
+        np.array([[0, 0], [100, 0], [100, 100], [0, 100]]),
+        np.array([[200, 200], [300, 200], [250, 300]]),
+    ], dtype=object)
+    path = str(tmp_path / "ext.npy")
+    np.save(path, cts, allow_pickle=True)
+    seg = load_external_contours(path)
+    assert len(seg.contours) == 2
+    assert seg.contours[0].shape == (4, 1, 2)
+    assert seg.holes == [[], []]
