@@ -1,0 +1,168 @@
+"""Fused gated-attention MIL pooling as ONE Pallas TPU kernel.
+
+BASELINE.json north star: "model_clam's gated-attention ABMIL pooling
+(Attn_Net_Gated + ...) executes as a single fused kernel over the per-slide
+embedding bag". The reference computes it as five separate torch ops with
+materialized intermediates (reference: models/model_clam.py:59-64,147-181):
+
+    h = relu(X W_f + b_f)           [N, L]
+    a = tanh(h W_a + b_a)           [N, D]
+    g = sigmoid(h W_b + b_b)        [N, D]
+    s = (a*g) W_c + b_c             [N]
+    w = softmax(s over valid N)
+    M = w @ h                       [L]
+    logits = M W_cls + b_cls        [C]
+
+This kernel streams the bag in instance tiles and never materializes h, a, g
+or s in HBM: per tile it computes the projections in VMEM and folds the
+softmax with the flash-attention-style online recurrence
+
+    m' = max(m, max(s_tile));  alpha = exp(m - m')
+    l' = l * alpha + sum(exp(s_tile - m'))
+    acc' = acc * alpha + exp(s_tile - m')^T h_tile      [L]
+
+so VMEM holds one [T, D_in] tile + the [L] accumulator regardless of bag
+size — exact full-slide bags (10^4-10^5 instances) pool in one kernel launch.
+Outputs both the bag logits and the raw attention scores (the heatmap
+contract, model_clam.py:151).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+class GatedPoolParams(NamedTuple):
+    w_f: jax.Array   # [D_in, L]
+    b_f: jax.Array   # [L]
+    w_a: jax.Array   # [L, D]
+    b_a: jax.Array   # [D]
+    w_b: jax.Array   # [L, D]
+    b_b: jax.Array   # [D]
+    w_c: jax.Array   # [D, 1]
+    b_c: jax.Array   # [1]
+    w_cls: jax.Array  # [L, C]
+    b_cls: jax.Array  # [C]
+
+
+def params_from_clam(clam_params) -> GatedPoolParams:
+    """Extract the pooling weights from a CLAM_SB parameter tree."""
+    p = clam_params["params"]
+    att = p["attention"]
+    return GatedPoolParams(
+        w_f=p["fc"]["kernel"], b_f=p["fc"]["bias"],
+        w_a=att["attn_a"]["kernel"], b_a=att["attn_a"]["bias"],
+        w_b=att["attn_b"]["kernel"], b_b=att["attn_b"]["bias"],
+        w_c=att["attn_c"]["kernel"], b_c=att["attn_c"]["bias"],
+        w_cls=p["classifier"]["kernel"], b_cls=p["classifier"]["bias"])
+
+
+def gated_attention_pool_reference(bag, mask, p: GatedPoolParams):
+    """jnp oracle (the reference math, models/model_clam.py:147-181)."""
+    h = jax.nn.relu(bag @ p.w_f + p.b_f)
+    a = jnp.tanh(h @ p.w_a + p.b_a)
+    g = jax.nn.sigmoid(h @ p.w_b + p.b_b)
+    s = ((a * g) @ p.w_c + p.b_c)[:, 0]
+    s = jnp.where(mask, s, NEG_INF)
+    w = jax.nn.softmax(s)
+    m = w @ h
+    return m @ p.w_cls + p.b_cls, s
+
+
+def _kernel(bag_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
+            wc_ref, bc_ref, wcls_ref, bcls_ref,
+            logits_ref, scores_ref,
+            acc_ref, m_ref, l_ref, *, n_valid: int, tile: int):
+    ti = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(ti == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[0, 0] = NEG_INF  # SMEM wants scalar stores
+        l_ref[0, 0] = 0.0
+
+    x = bag_ref[:].astype(jnp.float32)                      # [T, D_in]
+    h = jax.nn.relu(
+        jnp.dot(x, wf_ref[:], preferred_element_type=jnp.float32)
+        + bf_ref[:])                                        # [T, L]
+    a = jnp.tanh(jnp.dot(h, wa_ref[:],
+                         preferred_element_type=jnp.float32) + ba_ref[:])
+    g = jax.nn.sigmoid(jnp.dot(h, wb_ref[:],
+                               preferred_element_type=jnp.float32) + bb_ref[:])
+    s = (jnp.dot(a * g, wc_ref[:],
+                 preferred_element_type=jnp.float32) + bc_ref[:])  # [T, 1]
+    # mask padded instances
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + ti * tile
+    s = jnp.where(row < n_valid, s, NEG_INF)
+    scores_ref[:] = s
+
+    # online-softmax pooling recurrence
+    m_prev = m_ref[0, 0]
+    m_new = jnp.maximum(m_prev, jnp.max(s))
+    alpha = jnp.exp(m_prev - m_new)
+    e = jnp.exp(s - m_new)                                  # [T, 1]
+    l_ref[0, 0] = l_ref[0, 0] * alpha + jnp.sum(e)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        e.T, h, preferred_element_type=jnp.float32)         # [1, L]
+    m_ref[0, 0] = m_new
+
+    @pl.when(ti == nt - 1)
+    def _finalize():
+        mpool = acc_ref[:] / jnp.maximum(l_ref[0, 0], 1e-30)   # [1, L]
+        logits_ref[:] = (jnp.dot(mpool, wcls_ref[:],
+                                 preferred_element_type=jnp.float32)
+                         + bcls_ref[:])
+
+
+def gated_attention_pool(bag: jax.Array, p: GatedPoolParams,
+                         n_valid: Optional[int] = None,
+                         tile: int = 512) -> Tuple[jax.Array, jax.Array]:
+    """Fused pooled forward. bag: [N, D_in]; returns (logits [1, C],
+    raw scores [N]). N pads internally to a tile multiple."""
+    n, d_in = bag.shape
+    n_valid = n if n_valid is None else n_valid
+    # VMEM budget: the tile's live set is roughly
+    # x[T,d_in] + h[T,L] + a,g[T,D]x2 + s[T,1] in fp32, plus the weights.
+    # Cap the tile so it fits well under the 16MB scoped-vmem limit.
+    l_d = p.w_f.shape[1]
+    d_attn = p.w_a.shape[1]
+    per_inst_bytes = 4 * (d_in + 2 * l_d + 3 * d_attn + 8)
+    weight_bytes = 4 * sum(int(np.prod(w.shape)) for w in p)
+    budget = 10 * 1024 * 1024 - weight_bytes
+    tile_cap = max(128, (budget // per_inst_bytes) // 8 * 8)
+    tile = min(tile, tile_cap, max(8, n))
+    n_pad = ((n + tile - 1) // tile) * tile
+    if n_pad != n:
+        bag = jnp.pad(bag, ((0, n_pad - n), (0, 0)))
+    l_dim = p.w_f.shape[1]
+    c_dim = p.w_cls.shape[1]
+
+    rep = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # full-array operand
+    logits, scores = pl.pallas_call(
+        functools.partial(_kernel, n_valid=n_valid, tile=tile),
+        grid=(n_pad // tile,),
+        in_specs=[pl.BlockSpec((tile, d_in), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + [rep()] * 10,
+        out_specs=(pl.BlockSpec((1, c_dim), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, c_dim), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((1, l_dim), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+    )(bag, p.w_f, p.b_f, p.w_a, p.b_a, p.w_b, p.b_b, p.w_c, p.b_c,
+      p.w_cls, p.b_cls)
+    return logits, scores[:n, 0]
