@@ -204,6 +204,9 @@ def _add_train(sub):
     p.add_argument("--num_tuning_samples", type=int, default=20)
     p.add_argument("--tuning_output_file", default=None)
     p.add_argument("--grace_period", type=int, default=8)
+    p.add_argument("--trial_parallel", action="store_true",
+                   help="vmapped lr/reg trials (one program, shards over "
+                        "the mesh); architecture fixed across trials")
     # online feature extraction (reference: --extract_features,
     # core_utils.py:106-119)
     p.add_argument("--extract_features", action="store_true")
@@ -276,11 +279,32 @@ def _cmd_train(a):
         if a.tuning:
             # hyperparameter search on fold 0 (reference: main.py --tuning)
             from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets
-            from hipt_abmil_atec23_tpu.engine.tune import run_tuning
             folds = make_fold_datasets(manifest, store, cfg, 0)
             out_csv = a.tuning_output_file or os.path.join(
                 cfg.results_dir, "tuning_results.csv")
             os.makedirs(cfg.results_dir, exist_ok=True)
+            if a.trial_parallel:
+                import pandas as pd
+                from hipt_abmil_atec23_tpu.engine.tune import (
+                    LogUniform, sample_configs)
+                from hipt_abmil_atec23_tpu.engine.tune_parallel import (
+                    run_trials_parallel)
+                space = {"lr": LogUniform(1e-5, 1e-2),
+                         "reg": LogUniform(1e-5, 1e-1)}
+                trials = sample_configs(space, a.num_tuning_samples,
+                                        cfg.train.seed)
+                lrs = np.array([t["lr"] for t in trials], np.float32)
+                regs = np.array([t["reg"] for t in trials], np.float32)
+                res = run_trials_parallel(cfg, folds, manifest.class_counts(),
+                                          lrs, regs)
+                pd.DataFrame({
+                    "lr": res.lr, "reg": res.reg,
+                    "last10_val_loss": res.val_loss[:, -10:].mean(1),
+                }).to_csv(out_csv, index=False)
+                print(f"[tune] best: lr={res.best_lr:.2e} "
+                      f"reg={res.best_reg:.2e}")
+                return
+            from hipt_abmil_atec23_tpu.engine.tune import run_tuning
             best, df, _ = run_tuning(
                 cfg, folds, manifest.class_counts(),
                 num_samples=a.num_tuning_samples,
