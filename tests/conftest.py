@@ -32,20 +32,30 @@ def has_reference() -> bool:
 def stub_reference_deps() -> None:
     """Stub modules the reference imports but this image lacks (torchvision).
     Only attribute access at import time needs to resolve."""
+    import importlib.machinery
     import sys
     import types
-    if "torchvision" in sys.modules:
-        return
-    tv = types.ModuleType("torchvision")
-    for sub in ("transforms", "datasets", "models"):
-        m = types.ModuleType(f"torchvision.{sub}")
-        setattr(tv, sub, m)
-        sys.modules[f"torchvision.{sub}"] = m
-    sys.modules["torchvision"] = tv
+
+    def _stub(name):
+        m = types.ModuleType(name)
+        # some importers probe via importlib.util.find_spec; a None __spec__
+        # raises ValueError, so give stubs a real ModuleSpec
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return m
+
+    if "torchvision" not in sys.modules:
+        tv = _stub("torchvision")
+        for sub in ("transforms", "datasets", "models", "utils"):
+            m = _stub(f"torchvision.{sub}")
+            setattr(tv, sub, m)
+            sys.modules[f"torchvision.{sub}"] = m
+        # instantiated (but unused for our flows) inside reference loops
+        tv.transforms.ToPILImage = lambda *a, **k: (lambda x: x)
+        sys.modules["torchvision"] = tv
     if "openslide" not in sys.modules:
-        sys.modules["openslide"] = types.ModuleType("openslide")
+        sys.modules["openslide"] = _stub("openslide")
     if "timm" not in sys.modules:
-        sys.modules["timm"] = types.ModuleType("timm")
+        sys.modules["timm"] = _stub("timm")
 
 
 @pytest.fixture
