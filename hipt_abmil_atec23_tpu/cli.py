@@ -176,6 +176,9 @@ def _add_train(sub):
     p.add_argument("--k_end", type=int, default=-1)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--continue_training", action="store_true")
+    p.add_argument("--epoch_chunk", type=int, default=1,
+                   help="epochs fused per device dispatch (amortizes "
+                        "dispatch latency; semantics preserved)")
     p.add_argument("--fold_parallel", action="store_true",
                    help="train all folds at once, sharded over the mesh")
     p.add_argument("--profile", action="store_true")
@@ -248,6 +251,7 @@ def _train_cfg(a):
                           weighted_sample=a.weighted_sample, seed=a.seed,
                           k=a.k, k_start=a.k_start, k_end=a.k_end,
                           continue_training=a.continue_training,
+                          epoch_chunk=a.epoch_chunk,
                           fold_parallel=a.fold_parallel))
 
 

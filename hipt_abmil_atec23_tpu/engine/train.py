@@ -60,6 +60,7 @@ class StepFns:
     eval_batch: Callable   # (params, feats[B,N,D], mask, labels) -> (logits, loss_vec, inst)
     init_params: Callable
     tx: optax.GradientTransformation
+    train_epochs_chunk: Optional[Callable] = None  # E epochs per dispatch
 
 
 def build_step_fns(cfg: ExperimentConfig, class_counts: np.ndarray,
@@ -130,6 +131,36 @@ def build_step_fns(cfg: ExperimentConfig, class_counts: np.ndarray,
                 else jnp.zeros_like(nll))
         return jax.nn.softmax(logits, axis=-1), nll, inst
 
+    @jax.jit
+    def train_epochs_chunk(params, opt_state, feats, mask, labels,
+                           v_feats, v_mask, v_labels, v_valid, key):
+        """E epochs in ONE dispatch, with in-graph per-epoch validation.
+
+        feats [E, S, B, N, D]; v_* are per-epoch validation tensors
+        [E, V, ...] (the reference re-subsamples val bags every epoch).
+        Returns per-epoch (params, train stats, val probs/loss) stacks —
+        MIL heads are small, so snapshotting params per epoch is cheap and
+        lets the host apply the EXACT reference early-stopping schedule.
+        """
+        e = feats.shape[0]
+        keys = jax.random.split(key, e)
+
+        def epoch_body(carry, ep):
+            params, opt_state = carry
+            f, m, l, vf, vm, vl, vv, k = ep
+            ks = jax.random.split(k, f.shape[0])
+            (params, opt_state), (bls, insts, corrects) = jax.lax.scan(
+                train_step, (params, opt_state), (f, m, l, ks))
+            probs, nll, _ = eval_batch(params, vf, vm, vl)
+            vloss = jnp.sum(nll * vv) / jnp.maximum(jnp.sum(vv), 1.0)
+            return (params, opt_state), (params, jnp.mean(bls),
+                                         jnp.mean(insts), jnp.mean(corrects),
+                                         probs, vloss)
+        (params, opt_state), stacks = jax.lax.scan(
+            epoch_body, (params, opt_state),
+            (feats, mask, labels, v_feats, v_mask, v_labels, v_valid, keys))
+        return params, opt_state, stacks
+
     def init_params(key):
         bag = jnp.zeros((n_pad, feat_dim), jnp.float32)
         mask = jnp.ones((n_pad,), bool)
@@ -137,7 +168,8 @@ def build_step_fns(cfg: ExperimentConfig, class_counts: np.ndarray,
         return model.init(key, bag, mask, **kwargs)
 
     return StepFns(train_epoch=train_epoch, eval_batch=eval_batch,
-                   init_params=init_params, tx=tx)
+                   init_params=init_params, tx=tx,
+                   train_epochs_chunk=train_epochs_chunk)
 
 
 # --------------------------------------------------------------------------
@@ -191,6 +223,29 @@ class FoldResult:
     test_labels: np.ndarray
     test_slide_ids: List[str]
     history: List[Dict[str, float]] = field(default_factory=list)
+
+
+def _chunk_tensors(train_ds, val_ds, cfg, e: int, bs: int, n_pad: int,
+                   rng: np.random.Generator, tc):
+    """Stack E epochs of train batches + E per-epoch val subsamples."""
+    parts = []
+    for _ in range(e):
+        order = epoch_order(train_ds.labels, cfg.task.n_classes, rng,
+                            tc.weighted_sample)
+        parts.append(_epoch_tensors(train_ds, order, bs, n_pad, rng))
+    tr_f = np.stack([p[0] for p in parts])
+    tr_m = np.stack([p[1] for p in parts])
+    tr_l = np.stack([p[2] for p in parts])
+    n_val = len(val_ds)
+    v_f = np.zeros((e, n_val, n_pad, tr_f.shape[-1]), np.float32)
+    v_m = np.zeros((e, n_val, n_pad), bool)
+    v_l = np.zeros((e, n_val), np.int32)
+    for i in range(e):
+        vb = val_ds.make_batch(list(range(n_val)), rng, n_pad=n_pad,
+                               train=False)
+        v_f[i], v_m[i], v_l[i] = vb.features, vb.mask, vb.labels
+    v_v = np.ones((e, n_val), np.float32)
+    return tr_f, tr_m, tr_l, v_f, v_m, v_l, v_v
 
 
 def _epoch_tensors(ds: BagDataset, order: np.ndarray, batch_size: int,
@@ -280,39 +335,82 @@ def train_fold(
     stopped_epoch = tc.max_epochs - 1
     bs = max(1, cfg.bags.batch_size)
 
-    for epoch in range(tc.max_epochs):
-        order = epoch_order(train_ds.labels, cfg.task.n_classes, rng,
-                            tc.weighted_sample)
-        feats, mask, labels = _epoch_tensors(train_ds, order, bs, n_pad, rng)
-        ekey = jax.random.fold_in(key, epoch + 1)
-        params, opt_state, bl, inst, acc = fns.train_epoch(
-            params, opt_state, jnp.asarray(feats), jnp.asarray(mask),
-            jnp.asarray(labels), ekey)
+    chunk = max(1, getattr(tc, "epoch_chunk", 1))
 
-        val_probs, val_loss = evaluate_split(fns, params, val_ds, n_pad, rng)
-        val_auc = M.auc_score(val_ds.labels, val_probs, cfg.task.n_classes)
-        rec = dict(epoch=epoch, train_loss=float(bl), train_inst_loss=float(inst),
-                   train_acc=float(acc), val_loss=val_loss, val_auc=val_auc)
+    def _finish_epoch(epoch, rec, params_snapshot) -> bool:
+        """Shared per-epoch bookkeeping; returns True to stop training."""
         history.append(rec)
         if logger is not None:
             logger.scalars({k: v for k, v in rec.items() if k != "epoch"},
                            epoch)
         if log_cb and log_cb(epoch, rec):
-            # external stop request (ASHA kill / plateau stopper in tuning)
-            stopped_epoch = epoch
-            break
+            return True  # external stop (ASHA kill / plateau stopper)
         if verbose:
-            print(f"[fold {fold}] epoch {epoch}: train_loss {float(bl):.4f} "
-                  f"val_loss {val_loss:.4f} val_auc {val_auc:.4f}")
-
+            print(f"[fold {fold}] epoch {epoch}: "
+                  f"train_loss {rec['train_loss']:.4f} "
+                  f"val_loss {rec['val_loss']:.4f} "
+                  f"val_auc {rec['val_auc']:.4f}")
         if stopper is not None:
-            if stopper.update(epoch, val_loss):
-                save_params(cpath, params)
+            if stopper.update(epoch, rec["val_loss"]):
+                save_params(cpath, params_snapshot)
             if stopper.early_stop:
-                stopped_epoch = epoch
                 if verbose:
                     print(f"[fold {fold}] early stop at epoch {epoch}")
-                break
+                return True
+        return False
+
+    epoch = 0
+    stop = False
+    while epoch < tc.max_epochs and not stop:
+        if chunk == 1:
+            order = epoch_order(train_ds.labels, cfg.task.n_classes, rng,
+                                tc.weighted_sample)
+            feats, mask, labels = _epoch_tensors(train_ds, order, bs, n_pad,
+                                                 rng)
+            ekey = jax.random.fold_in(key, epoch + 1)
+            params, opt_state, bl, inst, acc = fns.train_epoch(
+                params, opt_state, jnp.asarray(feats), jnp.asarray(mask),
+                jnp.asarray(labels), ekey)
+            val_probs, val_loss = evaluate_split(fns, params, val_ds, n_pad,
+                                                 rng)
+            val_auc = M.auc_score(val_ds.labels, val_probs,
+                                  cfg.task.n_classes)
+            rec = dict(epoch=epoch, train_loss=float(bl),
+                       train_inst_loss=float(inst), train_acc=float(acc),
+                       val_loss=val_loss, val_auc=val_auc)
+            stop = _finish_epoch(epoch, rec, params)
+            stopped_epoch = epoch
+            epoch += 1
+        else:
+            # E epochs per device dispatch: stack E epochs of train data and
+            # E per-epoch val subsamples, run one fused call, then replay the
+            # exact per-epoch early-stopping schedule from the returned
+            # per-epoch parameter snapshots.
+            e = min(chunk, tc.max_epochs - epoch)
+            tr_f, tr_m, tr_l, v_f, v_m, v_l, v_v = _chunk_tensors(
+                train_ds, val_ds, cfg, e, bs, n_pad, rng, tc)
+            ekey = jax.random.fold_in(key, 100000 + epoch)
+            params, opt_state, stacks = fns.train_epochs_chunk(
+                params, opt_state, jnp.asarray(tr_f), jnp.asarray(tr_m),
+                jnp.asarray(tr_l), jnp.asarray(v_f), jnp.asarray(v_m),
+                jnp.asarray(v_l), jnp.asarray(v_v), ekey)
+            p_stack, bls, insts, accs, probs, vlosses = stacks
+            probs = np.asarray(probs)
+            vlosses = np.asarray(vlosses)
+            for i in range(e):
+                n_val = len(val_ds)
+                val_auc = M.auc_score(val_ds.labels, probs[i][:n_val],
+                                      cfg.task.n_classes)
+                rec = dict(epoch=epoch, train_loss=float(np.asarray(bls)[i]),
+                           train_inst_loss=float(np.asarray(insts)[i]),
+                           train_acc=float(np.asarray(accs)[i]),
+                           val_loss=float(vlosses[i]), val_auc=val_auc)
+                snap = jax.tree.map(lambda x, _i=i: x[_i], p_stack)
+                stop = _finish_epoch(epoch, rec, snap)
+                stopped_epoch = epoch
+                epoch += 1
+                if stop:
+                    break
 
     if stopper is not None and os.path.exists(cpath):
         params = load_params(cpath, params)  # reload best (reference :273-274)

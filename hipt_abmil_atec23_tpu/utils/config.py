@@ -126,6 +126,10 @@ class TrainConfig:
     k_end: int = -1
     continue_training: bool = False
     fold_parallel: bool = False  # shard folds across the device mesh
+    epoch_chunk: int = 1         # epochs fused per device dispatch (>1 cuts
+                                 # per-epoch dispatch overhead; exact
+                                 # early-stopping semantics are preserved via
+                                 # per-epoch parameter snapshots)
 
 
 @dataclass

@@ -141,3 +141,23 @@ def test_multiclass_subtyping_cv(tmp_path):
     assert {"p_0", "p_1", "p_2", "p_3", "p_4"} <= set(fold0.columns)
     probs = fold0[[f"p_{c}" for c in range(5)]].values
     np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
+
+
+def test_epoch_chunked_training_matches_semantics(synth, tmp_path):
+    """epoch_chunk>1 fuses epochs per dispatch; results stay deterministic
+    and the early-stopping schedule still checkpoints per epoch."""
+    manifest, store = synth
+    import dataclasses
+    base = _cfg(tmp_path / "chunk", train=TrainConfig(
+        lr=1e-3, reg=1e-5, max_epochs=9, min_epochs=2, early_stopping=True,
+        patience=2, stop_epoch=2, k=3, k_end=1, seed=5, weighted_sample=True))
+    cfg_chunked = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, epoch_chunk=4))
+    s_chunk, res_chunk = run_cv(cfg_chunked, manifest, store, verbose=False)
+    assert np.isfinite(s_chunk["test_auc"]).all()
+    # per-epoch history fully recorded despite fused dispatch
+    assert len(res_chunk[0].history) >= 3
+    assert all("val_auc" in h for h in res_chunk[0].history)
+    # checkpoint exists (early-stopping schedule saved snapshots)
+    assert os.path.exists(os.path.join(cfg_chunked.results_dir,
+                                       "s_0_checkpoint.msgpack"))
