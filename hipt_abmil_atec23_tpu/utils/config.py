@@ -22,14 +22,20 @@ def _asdict(obj) -> Dict[str, Any]:
 
 
 def _from_dict(cls, d: Dict[str, Any]):
+    import typing
+    # PEP 563 (`from __future__ import annotations`) stringifies field types;
+    # resolve them so nested dataclasses rebuild from nested dicts.
+    hints = typing.get_type_hints(cls)
     names = {f.name: f for f in dataclasses.fields(cls)}
     kwargs = {}
     for k, v in d.items():
         if k not in names:
             raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
-        f = names[k]
-        if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
-            v = _from_dict(f.type, v)
+        ftype = hints.get(k, names[k].type)
+        if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            v = _from_dict(ftype, v)
+        elif isinstance(v, list) and typing.get_origin(ftype) is tuple:
+            v = tuple(v)
         kwargs[k] = v
     return cls(**kwargs)
 

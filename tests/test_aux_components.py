@@ -115,3 +115,27 @@ def test_metrics_logger_and_timer(tmp_path):
         pass
     s = t.summary()
     assert s["encode"]["count"] == 4 and s["encode"]["per_hour"] > 0
+
+
+def test_experiment_config_json_roundtrip(tmp_path):
+    """ExperimentConfig.save/load rebuilds NESTED dataclasses (regression:
+    PEP-563 string annotations left nested configs as raw dicts)."""
+    import json
+    from hipt_abmil_atec23_tpu.utils.config import (
+        ExperimentConfig, ModelConfig, TrainConfig)
+    cfg = ExperimentConfig(
+        model=ModelConfig(model_size="hipt_big", drop_out=0.3),
+        train=TrainConfig(lr=5e-4, k=7, epoch_chunk=4))
+    path = str(tmp_path / "cfg.json")
+    cfg.save(path)
+    back = ExperimentConfig.load(path)
+    assert isinstance(back.model, ModelConfig)
+    assert back.model.model_size == "hipt_big"
+    assert back.train.lr == 5e-4 and back.train.epoch_chunk == 4
+    assert isinstance(back.task.ignore, tuple)
+    # the shipped winning-config template loads too
+    d = json.load(open("configs/train_winning_hipt_abmil.json"))
+    d.pop("_comment")
+    win = ExperimentConfig.from_dict(d)
+    assert win.model.model_size == "hipt_smaller"
+    assert win.train.reg == 0.5 and win.model.no_inst_cluster
