@@ -761,7 +761,11 @@ def _add_knn(sub):
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--folds", type=int, default=5)
     p.add_argument("--temperature", type=float, default=1.0)
-    p.add_argument("--agg", default="mean", choices=["mean", "max"])
+    p.add_argument("--agg", default="mean",
+                   choices=["mean", "max", "hipt_lgp"])
+    p.add_argument("--lgp_ckpt", default=None,
+                   help="HIPT_LGP_FC torch checkpoint for --agg hipt_lgp "
+                        "(reference: HIPT_knn.py:14 external HIPT repo)")
     p.add_argument("--seed", type=int, default=1)
 
 
@@ -775,8 +779,16 @@ def _cmd_knn(a):
     manifest = SlideManifest.from_csv(a.csv_path, task.label_dict)
     store = FeatureBagStore(a.feat_dir)
     splits = generate_kfold_splits(manifest.labels, a.folds, seed=a.seed)
+    lgp_params = None
+    if a.lgp_ckpt:
+        from hipt_abmil_atec23_tpu.models.convert import load_torch_state_dict
+        from hipt_abmil_atec23_tpu.models.hipt_mil import (
+            hipt_lgp_params_from_torch)
+        lgp_params = hipt_lgp_params_from_torch(
+            load_torch_state_dict(a.lgp_ckpt, checkpoint_key=None))
     out = knn_cv_probe(store, manifest, splits, k=a.k,
-                       temperature=a.temperature, method=a.agg)
+                       temperature=a.temperature, method=a.agg,
+                       lgp_params=lgp_params)
     print(json.dumps(out, indent=2))
 
 

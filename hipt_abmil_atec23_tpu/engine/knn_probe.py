@@ -19,9 +19,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def aggregate_slide_features(store, slide_ids, method: str = "mean"
-                             ) -> np.ndarray:
-    """Per-slide embedding: mean of the region-feature bag."""
+def aggregate_slide_features(store, slide_ids, method: str = "mean",
+                             lgp_params: Optional[Dict] = None) -> np.ndarray:
+    """Per-slide embedding from the region-feature bag.
+
+    ``method='hipt_lgp'`` is the reference's aggregation — the pretrained
+    HIPT_LGP_FC global-pooling branch (reference: HIPT_knn.py:19-27) —
+    via models/hipt_mil.py; pass ``lgp_params`` converted from the external
+    checkpoint (or omit for the documented random-init fallback).
+    ``'mean'``/``'max'`` are cheap checkpoint-free alternatives.
+    """
+    if method == "hipt_lgp":
+        from hipt_abmil_atec23_tpu.models.hipt_mil import (
+            hipt_lgp_aggregate_jit, init_hipt_lgp_params)
+        if lgp_params is None:
+            lgp_params = init_hipt_lgp_params(np.random.default_rng(0))
+        return np.stack([
+            np.asarray(hipt_lgp_aggregate_jit(
+                lgp_params, jnp.asarray(store.load_features(sid))))
+            for sid in slide_ids]).astype(np.float32)
     out = []
     for sid in slide_ids:
         feats = store.load_features(sid)
@@ -63,14 +79,14 @@ def knn_classify(train_x: np.ndarray, train_y: np.ndarray,
 
 
 def knn_cv_probe(store, manifest, splits, *, k: int = 20,
-                 temperature: float = 1.0, method: str = "mean"
-                 ) -> Dict[str, float]:
+                 temperature: float = 1.0, method: str = "mean",
+                 lgp_params: Optional[Dict] = None) -> Dict[str, float]:
     """k-fold kNN probe (reference: HIPT_knn.py main loop). Returns mean
     AUC/acc across folds."""
     from hipt_abmil_atec23_tpu.engine import metrics as M
     ids = list(manifest.slide_ids)
     labels = manifest.labels
-    feats = aggregate_slide_features(store, ids, method)
+    feats = aggregate_slide_features(store, ids, method, lgp_params)
     aucs, accs = [], []
     for train_idx, _, test_idx in splits:
         probs = knn_classify(feats[train_idx], labels[train_idx],

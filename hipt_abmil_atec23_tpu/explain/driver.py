@@ -28,7 +28,7 @@ from hipt_abmil_atec23_tpu.slideio.patching import (
 from hipt_abmil_atec23_tpu.slideio.reader import open_slide
 from hipt_abmil_atec23_tpu.slideio.seg import SegmentationResult, segment_tissue
 from hipt_abmil_atec23_tpu.utils.config import (
-    EncoderConfig, ModelConfig, SegConfig, TileConfig)
+    EncoderConfig, ModelConfig, SegConfig, TileConfig, load_config_dict)
 
 
 @dataclass
@@ -66,8 +66,7 @@ class HeatmapJobConfig:
 
     @classmethod
     def load(cls, path: str) -> "HeatmapJobConfig":
-        with open(path) as f:
-            d = json.load(f)
+        d = load_config_dict(path)
         for key, sub in (("seg", SegConfig), ("model", ModelConfig),
                          ("encoder", EncoderConfig)):
             if key in d and isinstance(d[key], dict):

@@ -17,6 +17,27 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
 
+def load_config_dict(path: str) -> Dict[str, Any]:
+    """Read a config file as a dict. JSON and YAML are both accepted —
+    the reference's heatmap stage is YAML-configured
+    (reference: create_heatmaps.py:82-112, heatmaps/configs/config_template.yaml)
+    while this framework's canonical format is JSON."""
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+        d = yaml.safe_load(text)
+    else:
+        try:
+            d = json.loads(text)
+        except json.JSONDecodeError:
+            import yaml
+            d = yaml.safe_load(text)
+    if not isinstance(d, dict):
+        raise ValueError(f"config {path!r} did not parse to a mapping")
+    return d
+
+
 def _asdict(obj) -> Dict[str, Any]:
     return dataclasses.asdict(obj)
 
@@ -178,8 +199,7 @@ class ExperimentConfig:
 
     @classmethod
     def load(cls, path: str) -> "ExperimentConfig":
-        with open(path) as f:
-            return cls.from_dict(json.load(f))
+        return cls.from_dict(load_config_dict(path))
 
 
 # Named segmentation presets mirroring the reference's preset CSVs

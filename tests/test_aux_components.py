@@ -35,6 +35,72 @@ def test_knn_cv_probe(tmp_path, rng):
     assert out["auc_mean"] > 0.8
 
 
+def test_hipt_lgp_aggregator_torch_parity(rng):
+    """hipt_lgp_aggregate matches a torch oracle built exactly like the
+    reference's HIPT_LGP_FC global branch (HIPT_knn.py:13-27): phi ->
+    2-layer post-norm TransformerEncoder (d=192, nhead=3, ffn=192) ->
+    gated attention pool -> rho, in eval mode."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+    from hipt_abmil_atec23_tpu.models.hipt_mil import (
+        hipt_lgp_aggregate, hipt_lgp_params_from_torch)
+
+    class GatedPool(tnn.Module):
+        def __init__(self, L=192, D=192):
+            super().__init__()
+            self.attention_a = tnn.Sequential(tnn.Linear(L, D), tnn.Tanh())
+            self.attention_b = tnn.Sequential(tnn.Linear(L, D), tnn.Sigmoid())
+            self.attention_c = tnn.Linear(D, 1)
+
+        def forward(self, x):
+            return self.attention_c(self.attention_a(x)
+                                    * self.attention_b(x)), x
+
+    class GlobalBranch(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.global_phi = tnn.Sequential(tnn.Linear(192, 192), tnn.ReLU(),
+                                             tnn.Dropout(0.25))
+            self.global_transformer = tnn.TransformerEncoder(
+                tnn.TransformerEncoderLayer(
+                    d_model=192, nhead=3, dim_feedforward=192, dropout=0.25,
+                    activation="relu"), num_layers=2)
+            self.global_attn_pool = GatedPool()
+            self.global_rho = tnn.Sequential(tnn.Linear(192, 192), tnn.ReLU(),
+                                             tnn.Dropout(0.25))
+
+        def forward(self, feats):  # [N, 192]
+            h = self.global_phi(feats)
+            h = self.global_transformer(h.unsqueeze(1)).squeeze(1)
+            A, h = self.global_attn_pool(h)
+            A = F.softmax(A.transpose(1, 0), dim=1)
+            return self.global_rho(torch.mm(A, h))[0]
+
+    torch.manual_seed(0)
+    oracle = GlobalBranch().eval()
+    feats = rng.normal(size=(37, 192)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(feats)).numpy()
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = hipt_lgp_params_from_torch(sd)
+    got = np.asarray(hipt_lgp_aggregate(params, feats))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_knn_cv_probe_hipt_lgp(tmp_path, rng):
+    """The hipt_lgp aggregation path runs end to end (random-init params)."""
+    from hipt_abmil_atec23_tpu.data.synthetic import make_synthetic_bags
+    from hipt_abmil_atec23_tpu.data.splits import generate_kfold_splits
+    manifest, store = make_synthetic_bags(str(tmp_path), n_slides=12,
+                                          feat_dim=192, signal=3.0,
+                                          signal_fraction=0.8, seed=0,
+                                          bag_range=(64, 65))
+    splits = generate_kfold_splits(manifest.labels, 3, seed=0)
+    out = knn_cv_probe(store, manifest, splits, k=3, method="hipt_lgp")
+    assert 0.0 <= out["auc_mean"] <= 1.0
+
+
 def test_white_black_filters():
     white = np.full((64, 64, 3), 250, np.uint8)
     black = np.full((64, 64, 3), 5, np.uint8)
@@ -139,3 +205,22 @@ def test_experiment_config_json_roundtrip(tmp_path):
     win = ExperimentConfig.from_dict(d)
     assert win.model.model_size == "hipt_smaller"
     assert win.train.reg == 0.5 and win.model.no_inst_cluster
+
+
+def test_yaml_configs(tmp_path):
+    """YAML configs load like JSON (the reference's heatmap stage is
+    YAML-configured, create_heatmaps.py:82-112)."""
+    from hipt_abmil_atec23_tpu.explain.driver import HeatmapJobConfig
+    from hipt_abmil_atec23_tpu.utils.config import (
+        ExperimentConfig, ModelConfig)
+
+    job = HeatmapJobConfig.load("configs/heatmap_template.yaml")
+    ref = HeatmapJobConfig.load("configs/heatmap_template.json")
+    assert job == ref  # the two shipped templates are the same job
+
+    path = str(tmp_path / "cfg.yaml")
+    with open(path, "w") as f:
+        f.write("model:\n  model_size: hipt_big\ntrain:\n  lr: 0.0005\n")
+    cfg = ExperimentConfig.load(path)
+    assert isinstance(cfg.model, ModelConfig)
+    assert cfg.model.model_size == "hipt_big" and cfg.train.lr == 5e-4
