@@ -123,13 +123,22 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
         def _fwd(v, batch_u8):
             return model.apply(v, imagenet_normalize(batch_u8))
 
-    elif cfg.model_type == "levit_128s":
+    elif cfg.model_type in ("levit_128s", "levit_256"):
         from hipt_abmil_atec23_tpu.models.levit import levit_texture_encoder
-        model = levit_texture_encoder(dtype=dtype)
-        input_size, feat_dim = 224, 384
-        with jax.default_device(cpu):
-            variables = model.init(key, jnp.zeros((1, 224, 224, 3),
-                                                  jnp.float32))
+        # NOTE: the reference's --model_type levit_128s actually instantiates
+        # timm levit_256 (extract_features_fp.py:211-212); here each name is
+        # the architecture it says.
+        model = levit_texture_encoder(spec=cfg.model_type, dtype=dtype)
+        input_size, feat_dim = 224, model.feat_dim
+        variables = model.init(key)
+        if cfg.levit_ckpt:
+            from hipt_abmil_atec23_tpu.models.convert import (
+                load_torch_state_dict)
+            from hipt_abmil_atec23_tpu.models.levit import (
+                levit_params_from_torch)
+            variables = levit_params_from_torch(
+                load_torch_state_dict(cfg.levit_ckpt, checkpoint_key=None),
+                spec=cfg.model_type)
 
         @jax.jit
         def _fwd(v, batch_u8):

@@ -103,6 +103,7 @@ class EncoderConfig:
     vit256_ckpt: Optional[str] = None
     vit4k_ckpt: Optional[str] = None
     resnet_ckpt: Optional[str] = None
+    levit_ckpt: Optional[str] = None  # original-layout LeViT torch ckpt
     dtype: str = "bfloat16"
     hipt_features: str = "cls4k"  # cls4k | mean256 | concat (576-d)
 
