@@ -182,6 +182,9 @@ def _add_train(sub):
     p.add_argument("--fold_parallel", action="store_true",
                    help="train all folds at once, sharded over the mesh")
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="write a JAX profiler trace (device timeline, "
+                        "TensorBoard-viewable) for the run to DIR")
     p.add_argument("--log_data", action="store_true")
     p.add_argument("--debug_loader", action="store_true",
                    help="iterate the data pipeline once without training "
@@ -390,17 +393,26 @@ def _cmd_train(a):
             summary, _ = run_cv(cfg, manifest, store)
             print(summary)
 
-    if a.profile:
-        # reference: --profile wraps main in cProfile (main.py:514-521)
-        import cProfile
-        import pstats
-        pr = cProfile.Profile()
-        pr.enable()
-        run()
-        pr.disable()
-        pstats.Stats(pr).sort_stats("cumulative").print_stats(25)
+    if getattr(a, "trace", None):
+        # TPU-native profiling: device-timeline trace instead of (as well
+        # as) the reference's host-side cProfile
+        from hipt_abmil_atec23_tpu.utils.logging import trace as jax_trace
+        ctx = jax_trace(a.trace)
     else:
-        run()
+        import contextlib
+        ctx = contextlib.nullcontext()
+    with ctx:
+        if a.profile:
+            # reference: --profile wraps main in cProfile (main.py:514-521)
+            import cProfile
+            import pstats
+            pr = cProfile.Profile()
+            pr.enable()
+            run()
+            pr.disable()
+            pstats.Stats(pr).sort_stats("cumulative").print_stats(25)
+        else:
+            run()
 
 
 def _train_online(a, cfg, manifest):
@@ -638,10 +650,15 @@ def _add_bootstrap(sub):
     p.add_argument("--bootstraps", type=int, default=100_000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
+    p.add_argument("--plot_roc", action="store_true",
+                   help="pooled ROC curve per run-repeat dir "
+                        "(reference: bootstrapping.py --plot_roc_curves)")
+    p.add_argument("--roc_plot_path", default="roc_curves.png")
 
 
 def _cmd_bootstrap(a):
-    from hipt_abmil_atec23_tpu.engine.evaluate import bootstrap_from_fold_csvs
+    from hipt_abmil_atec23_tpu.engine.evaluate import (
+        bootstrap_from_fold_csvs, plot_roc_curves)
     out = bootstrap_from_fold_csvs(a.dirs, a.folds,
                                    n_bootstraps=a.bootstraps, seed=a.seed)
     text = json.dumps(out, indent=2)
@@ -649,6 +666,9 @@ def _cmd_bootstrap(a):
     if a.out:
         with open(a.out, "w") as f:
             f.write(text)
+    if a.plot_roc:
+        print(f"[bootstrap] ROC plot -> "
+              f"{plot_roc_curves(a.dirs, a.folds, a.roc_plot_path)}")
 
 
 def _add_heatmap(sub):

@@ -124,3 +124,50 @@ def bootstrap_from_fold_csvs(
     out["mean_ce_loss"] = float(np.mean(
         -np.log(np.maximum(probs[np.arange(len(labels)), labels], 1e-12))))
     return out
+
+
+def roc_curve_points(labels: np.ndarray, scores: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """(fpr, tpr) at every distinct threshold, binary labels — the curve
+    sklearn's roc_curve produces (reference: bootstrapping.py:70)."""
+    order = np.argsort(-scores, kind="stable")
+    y = labels[order].astype(np.float64)
+    tps = np.cumsum(y)
+    fps = np.cumsum(1.0 - y)
+    # keep the last point of each tied-score run + the (0,0) origin
+    distinct = np.r_[np.where(np.diff(scores[order]) != 0)[0], len(y) - 1]
+    tpr = np.r_[0.0, tps[distinct] / max(tps[-1], 1e-12)]
+    fpr = np.r_[0.0, fps[distinct] / max(fps[-1], 1e-12)]
+    return fpr, tpr
+
+
+def plot_roc_curves(dirs: Sequence[str], folds: Sequence[int],
+                    out_path: str) -> str:
+    """One pooled ROC curve per run-repeat dir on a single figure
+    (reference: bootstrapping.py --plot_roc_curves, :69-77). Binary only."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5, 5))
+    for rep, d in enumerate(dirs):
+        frames = [pd.read_csv(os.path.join(d, f"fold_{k}.csv"))
+                  for k in folds
+                  if os.path.exists(os.path.join(d, f"fold_{k}.csv"))]
+        if not frames:
+            continue
+        pooled = pd.concat(frames, ignore_index=True)
+        labels = pooled["Y"].values.astype(np.int32)
+        fpr, tpr = roc_curve_points(labels, pooled["p_1"].values)
+        auc = float(np.trapezoid(tpr, fpr))
+        label = f"Repeat {rep + 1} (AUC {auc:.3f})" if len(dirs) > 1 \
+            else f"AUC {auc:.3f}"
+        ax.plot(fpr, tpr, label=label)
+    ax.plot([0, 1], [0, 1], "k--", lw=0.8)
+    ax.set_xlabel("False positive rate")
+    ax.set_ylabel("True positive rate")
+    ax.legend(loc="lower right")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

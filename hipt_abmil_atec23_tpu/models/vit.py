@@ -264,6 +264,47 @@ class VisionTransformer4K(nn.Module):
         return attn
 
 
+class DINOHead(nn.Module):
+    """DINO projection head (reference: vision_transformer.py:296-330) —
+    MLP (nlayers, hidden 2048, bottleneck 256) -> L2-normalize ->
+    weight-normalized last layer to out_dim prototypes. Present for
+    capability parity (self-supervised pretraining of the ViTs); the
+    reference never trains it either."""
+    out_dim: int = 65536
+    use_bn: bool = False
+    nlayers: int = 3
+    hidden_dim: int = 2048
+    bottleneck_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        if self.nlayers == 1:
+            x = nn.Dense(self.bottleneck_dim, dtype=self.dtype,
+                         name="mlp0")(x)
+        else:
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="mlp0")(x)
+            if self.use_bn:
+                x = nn.BatchNorm(use_running_average=True, name="bn0")(x)
+            x = nn.gelu(x, approximate=False)
+            for i in range(self.nlayers - 2):
+                x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                             name=f"mlp{i + 1}")(x)
+                if self.use_bn:
+                    x = nn.BatchNorm(use_running_average=True,
+                                     name=f"bn{i + 1}")(x)
+                x = nn.gelu(x, approximate=False)
+            x = nn.Dense(self.bottleneck_dim, dtype=self.dtype,
+                         name=f"mlp{self.nlayers - 1}")(x)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+        # weight-normalized last layer (torch weight_norm with g frozen to 1)
+        v = self.param("last_layer_v", nn.initializers.normal(0.02),
+                       (x.shape[-1], self.out_dim))
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-8)
+        return (x @ v.astype(self.dtype)).astype(jnp.float32)
+
+
 def vit_small(dtype=jnp.float32) -> VisionTransformer:
     return VisionTransformer(dataclasses.replace(VIT_CONFIGS["vit_small"],
                                                  dtype=dtype))

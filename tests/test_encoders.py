@@ -167,3 +167,20 @@ def test_hipt_asset_dict_shapes(rng):
     assert assets["features_mean256"].shape == (1, 384)
     assert assets["features_cls4k"].shape == (1, 192)
     assert assets["features_mean256_cls4k"].shape == (1, 576)
+
+
+def test_dino_head_shapes_and_norm():
+    """DINOHead (reference: vision_transformer.py:296-330): bottleneck is
+    L2-normalized and the weight-normalized prototype layer has unit-norm
+    columns, so logits are bounded by 1."""
+    import jax
+    import jax.numpy as jnp
+    from hipt_abmil_atec23_tpu.models.vit import DINOHead
+
+    head = DINOHead(out_dim=128, nlayers=3)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 384)),
+                    jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), x)
+    out = head.apply(params, x)
+    assert out.shape == (4, 128)
+    assert np.all(np.abs(np.asarray(out)) <= 1.0 + 1e-5)

@@ -1,4 +1,5 @@
 """Metrics: sklearn parity and bootstrap vectorization correctness."""
+import os
 import numpy as np
 import pytest
 
@@ -91,3 +92,39 @@ def test_confusion_and_logger(rng):
     logger.log_batch(p, y)
     acc1, correct1, count1 = logger.summary(1)
     assert (correct1, count1) == (2, 3)
+
+
+def test_roc_curve_matches_sklearn(rng):
+    """roc_curve_points reproduces sklearn's ROC curve + trapezoid AUC
+    (reference plots these at bootstrapping.py:69-77)."""
+    from sklearn.metrics import auc as sk_auc
+    from sklearn.metrics import roc_curve as sk_roc
+    from hipt_abmil_atec23_tpu.engine.evaluate import roc_curve_points
+
+    y = (rng.uniform(size=200) > 0.6).astype(np.int32)
+    s = np.clip(y * 0.3 + rng.normal(0, 0.35, 200), 0, 1)
+    s = np.round(s, 2)  # force tied scores
+    fpr, tpr = roc_curve_points(y, s)
+    sk_fpr, sk_tpr, _ = sk_roc(y, s, drop_intermediate=False)
+    np.testing.assert_allclose(fpr, sk_fpr, atol=1e-12)
+    np.testing.assert_allclose(tpr, sk_tpr, atol=1e-12)
+    assert abs(np.trapezoid(tpr, fpr) - sk_auc(sk_fpr, sk_tpr)) < 1e-12
+
+
+def test_plot_roc_curves(tmp_path, rng):
+    """--plot_roc writes a per-repeat pooled ROC figure."""
+    import pandas as pd
+    from hipt_abmil_atec23_tpu.engine.evaluate import plot_roc_curves
+
+    for rep in range(2):
+        d = tmp_path / f"rep{rep}"
+        d.mkdir()
+        for k in range(2):
+            y = (rng.uniform(size=30) > 0.5).astype(np.int32)
+            p1 = np.clip(y * 0.4 + rng.uniform(0, 0.6, 30), 0, 1)
+            pd.DataFrame({"slide_id": [f"s{i}" for i in range(30)],
+                          "Y": y, "p_0": 1 - p1, "p_1": p1}
+                         ).to_csv(d / f"fold_{k}.csv", index=False)
+    out = plot_roc_curves([str(tmp_path / "rep0"), str(tmp_path / "rep1")],
+                          [0, 1], str(tmp_path / "roc.png"))
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
