@@ -209,6 +209,10 @@ def _add_train(sub):
     p.add_argument("--tuning", action="store_true")
     p.add_argument("--num_tuning_samples", type=int, default=20)
     p.add_argument("--tuning_output_file", default=None)
+    p.add_argument("--checkpoint_trials", action="store_true",
+                   help="per-epoch orbax train-state checkpoints per trial "
+                        "(reference: tune.checkpoint_dir saves, "
+                        "core_utils_tuning.py:235-240)")
     p.add_argument("--grace_period", type=int, default=8)
     p.add_argument("--trial_parallel", action="store_true",
                    help="vmapped lr/reg trials (one program, shards over "
@@ -315,7 +319,8 @@ def _cmd_train(a):
             best, df, _ = run_tuning(
                 cfg, folds, manifest.class_counts(),
                 num_samples=a.num_tuning_samples,
-                grace_period=a.grace_period, output_csv=out_csv)
+                grace_period=a.grace_period, output_csv=out_csv,
+                checkpoint_trials=a.checkpoint_trials)
             print(f"[tune] best config: {best}")
             return
         if a.sampling:

@@ -302,6 +302,7 @@ def train_fold(
     n_pad: Optional[int] = None,
     verbose: bool = True,
     log_cb: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    state_cb: Optional[Callable[[int, Any, Any], None]] = None,
 ) -> FoldResult:
     """Train one CV fold end-to-end (reference: train(), utils/core_utils.py:102-297)."""
     tc = cfg.train
@@ -340,6 +341,10 @@ def train_fold(
     def _finish_epoch(epoch, rec, params_snapshot) -> bool:
         """Shared per-epoch bookkeeping; returns True to stop training."""
         history.append(rec)
+        if state_cb is not None:
+            # per-epoch train-state hook (orbax trial checkpoints); in the
+            # epoch_chunk path opt_state is the end-of-chunk state
+            state_cb(epoch, params_snapshot, opt_state)
         if logger is not None:
             logger.scalars({k: v for k, v in rec.items() if k != "epoch"},
                            epoch)

@@ -227,11 +227,16 @@ def run_tuning(
     seed: int = 0,
     output_csv: Optional[str] = None,
     verbose: bool = True,
+    checkpoint_trials: bool = False,
+    max_ckpts_to_keep: int = 2,
 ) -> Tuple[Dict[str, Any], pd.DataFrame, List[TrialResult]]:
     """Search over `space`; returns (best_config, results_df, trials).
 
     Best config = lowest mean val loss over the trial's last 10 epochs
-    (reference: main.py:256-268).
+    (reference: main.py:256-268). With ``checkpoint_trials`` each trial
+    writes per-epoch orbax train-state checkpoints (params + optimizer)
+    under ``<trial_dir>/ckpts`` — the reference saves the same per epoch
+    under Ray's tune.checkpoint_dir (core_utils_tuning.py:235-240).
     """
     from hipt_abmil_atec23_tpu.engine.train import train_fold
 
@@ -259,8 +264,20 @@ def run_tuning(
             return asha.should_stop(epoch, val) or \
                 bool(_plateau and _plateau(val))
 
-        res = train_fold(cfg, 0, train_ds, val_ds, test_ds, class_counts,
-                         verbose=False, log_cb=cb)
+        ckptr = None
+        if checkpoint_trials:
+            from hipt_abmil_atec23_tpu.engine.checkpoint import (
+                TrainStateCheckpointer)
+            ckptr = TrainStateCheckpointer(
+                os.path.join(cfg.results_dir, "ckpts"),
+                max_to_keep=max_ckpts_to_keep)
+        try:
+            res = train_fold(cfg, 0, train_ds, val_ds, test_ds, class_counts,
+                             verbose=False, log_cb=cb,
+                             state_cb=ckptr.save if ckptr else None)
+        finally:
+            if ckptr is not None:
+                ckptr.close()
         hist = res.history
         losses = [h["val_loss"] for h in hist]
         last10 = float(np.mean(losses[-10:]))

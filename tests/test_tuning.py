@@ -81,3 +81,50 @@ def test_run_tuning_end_to_end(tmp_path):
     assert df["last10_val_loss"].notna().all()
     import os
     assert os.path.exists(out_csv)
+
+
+def test_run_tuning_orbax_trial_checkpoints(tmp_path):
+    """checkpoint_trials writes per-epoch orbax train-state checkpoints
+    (params + optimizer, bounded retention) that restore exactly — the
+    reference's per-epoch tuning checkpoints (core_utils_tuning.py:235-240)."""
+    import os
+    import jax
+    import numpy as np
+    from hipt_abmil_atec23_tpu.data.synthetic import make_synthetic_bags
+    from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets
+    from hipt_abmil_atec23_tpu.engine.checkpoint import TrainStateCheckpointer
+    from hipt_abmil_atec23_tpu.engine.train import build_step_fns
+
+    manifest, store = make_synthetic_bags(str(tmp_path / "bags"), n_slides=12,
+                                          feat_dim=192, seed=3,
+                                          bag_range=(24, 33))
+    cfg = ExperimentConfig(
+        exp_code="tune_ckpt", results_dir=str(tmp_path / "results"),
+        task=TaskConfig(n_classes=2, label_dict={"0": 0, "1": 1}),
+        bags=BagConfig(max_patches_per_slide=16, batch_size=1),
+        model=ModelConfig(model_type="clam_sb", model_size="hipt_smaller",
+                          no_inst_cluster=True),
+        train=TrainConfig(max_epochs=3, min_epochs=1, early_stopping=False,
+                          k=3, seed=0))
+    folds = make_fold_datasets(manifest, store, cfg, 0)
+    best, df, trials = run_tuning(
+        cfg, folds, manifest.class_counts(),
+        space={"lr": Choice([1e-3])}, num_samples=2, max_epochs=3,
+        grace_period=3, use_plateau_stopper=False, verbose=False, seed=1,
+        checkpoint_trials=True, max_ckpts_to_keep=2)
+    for ti in range(2):
+        ckpt_dir = os.path.join(cfg.results_dir, f"trial_{ti}", "ckpts")
+        ckptr = TrainStateCheckpointer(ckpt_dir, max_to_keep=2)
+        assert ckptr.latest_step() == 2          # epochs 0..2
+        # retention: only max_to_keep steps remain on disk
+        steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+        assert steps == [1, 2]
+        n_pad = max(d.pad_size() for d in folds)
+        fns = build_step_fns(cfg, manifest.class_counts(), n_pad, 192)
+        template = fns.init_params(jax.random.PRNGKey(0))
+        params, opt_state, step = ckptr.restore(
+            template, fns.tx.init(template))
+        assert step == 2
+        chex_leaves = jax.tree.leaves(params)
+        assert all(np.isfinite(np.asarray(x)).all() for x in chex_leaves)
+        ckptr.close()
