@@ -213,6 +213,9 @@ def _add_train(sub):
                    help="per-epoch orbax train-state checkpoints per trial "
                         "(reference: tune.checkpoint_dir saves, "
                         "core_utils_tuning.py:235-240)")
+    p.add_argument("--resume_tuning", action="store_true",
+                   help="skip trials already in the tuning results CSV "
+                        "(reference: Tuner.restore, main.py:259-263)")
     p.add_argument("--grace_period", type=int, default=8)
     p.add_argument("--trial_parallel", action="store_true",
                    help="vmapped lr/reg trials (one program, shards over "
@@ -320,7 +323,8 @@ def _cmd_train(a):
                 cfg, folds, manifest.class_counts(),
                 num_samples=a.num_tuning_samples,
                 grace_period=a.grace_period, output_csv=out_csv,
-                checkpoint_trials=a.checkpoint_trials)
+                checkpoint_trials=a.checkpoint_trials,
+                resume=a.resume_tuning)
             print(f"[tune] best config: {best}")
             return
         if a.sampling:

@@ -229,6 +229,7 @@ def run_tuning(
     verbose: bool = True,
     checkpoint_trials: bool = False,
     max_ckpts_to_keep: int = 2,
+    resume: bool = False,
 ) -> Tuple[Dict[str, Any], pd.DataFrame, List[TrialResult]]:
     """Search over `space`; returns (best_config, results_df, trials).
 
@@ -237,6 +238,12 @@ def run_tuning(
     writes per-epoch orbax train-state checkpoints (params + optimizer)
     under ``<trial_dir>/ckpts`` — the reference saves the same per epoch
     under Ray's tune.checkpoint_dir (core_utils_tuning.py:235-240).
+
+    ``resume=True`` is the Tuner.restore analog (reference: main.py:259-263):
+    completed trials are re-read from ``output_csv`` (config sampling is
+    prefix-stable in the seed) and only the remaining trials run. ASHA rung
+    statistics from the prior process are not replayed — resumed searches
+    early-kill slightly more conservatively.
     """
     from hipt_abmil_atec23_tpu.engine.train import train_fold
 
@@ -249,7 +256,15 @@ def run_tuning(
 
     trials: List[TrialResult] = []
     rows = []
+    done = 0
+    if resume and output_csv and os.path.exists(output_csv):
+        rows = pd.read_csv(output_csv).to_dict("records")
+        done = len(rows)
+        if verbose and done:
+            print(f"[tune] resume: {done} completed trials from {output_csv}")
     for ti, trial in enumerate(configs):
+        if ti < done:
+            continue
         cfg = apply_trial_config(base_cfg, trial)
         cfg = dataclasses.replace(
             cfg, exp_code=f"{base_cfg.exp_code}_t{ti}",
@@ -295,8 +310,9 @@ def run_tuning(
             pd.DataFrame(rows).to_csv(output_csv, index=False)
 
     df = pd.DataFrame(rows)
-    best = trials[int(np.argmin([t.last10_mean_loss for t in trials]))]
-    return best.config, df, trials
+    # select over ALL rows (incl. resumed ones); rows are in config order
+    best_idx = int(np.argmin(df["last10_val_loss"].values))
+    return configs[best_idx], df, trials
 
 
 # --------------------------------------------------------------------------

@@ -128,3 +128,44 @@ def test_run_tuning_orbax_trial_checkpoints(tmp_path):
         chex_leaves = jax.tree.leaves(params)
         assert all(np.isfinite(np.asarray(x)).all() for x in chex_leaves)
         ckptr.close()
+
+
+def test_run_tuning_resume(tmp_path):
+    """resume=True re-reads completed trials from the results CSV and runs
+    only the remainder (Tuner.restore analog, reference main.py:259-263)."""
+    from hipt_abmil_atec23_tpu.data.synthetic import make_synthetic_bags
+    from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets
+    manifest, store = make_synthetic_bags(str(tmp_path / "bags"), n_slides=12,
+                                          feat_dim=192, seed=4,
+                                          bag_range=(24, 33))
+    cfg = ExperimentConfig(
+        exp_code="tune_resume", results_dir=str(tmp_path / "results"),
+        task=TaskConfig(n_classes=2, label_dict={"0": 0, "1": 1}),
+        bags=BagConfig(max_patches_per_slide=16, batch_size=1),
+        model=ModelConfig(model_type="clam_sb", model_size="hipt_smaller",
+                          no_inst_cluster=True),
+        train=TrainConfig(max_epochs=2, min_epochs=1, early_stopping=False,
+                          k=3, seed=0))
+    folds = make_fold_datasets(manifest, store, cfg, 0)
+    space = {"lr": Choice([1e-3, 3e-4, 1e-4])}
+    out_csv = str(tmp_path / "tuning.csv")
+
+    # first process: 2 of 4 trials
+    _, df1, t1 = run_tuning(cfg, folds, manifest.class_counts(), space=space,
+                            num_samples=2, max_epochs=2, grace_period=2,
+                            use_plateau_stopper=False, output_csv=out_csv,
+                            verbose=False, seed=7)
+    assert len(df1) == 2 and len(t1) == 2
+
+    # resumed process asks for 4: only 2 new trials run
+    best, df2, t2 = run_tuning(cfg, folds, manifest.class_counts(),
+                               space=space, num_samples=4, max_epochs=2,
+                               grace_period=2, use_plateau_stopper=False,
+                               output_csv=out_csv, verbose=False, seed=7,
+                               resume=True)
+    assert len(t2) == 2          # newly run only
+    assert len(df2) == 4         # full history
+    # first two rows identical to the first process's results
+    np.testing.assert_allclose(df2["last10_val_loss"].values[:2],
+                               df1["last10_val_loss"].values, rtol=1e-6)
+    assert "lr" in best
