@@ -513,6 +513,17 @@ def _add_eval(sub):
                    help="search DRAS sampling params on the val split first "
                         "(reference: eval.py:172-227)")
     p.add_argument("--num_tuning_samples", type=int, default=10)
+    # on-the-fly extraction of only the sampled patches
+    # (reference: --eval_features, eval_utils.py:231-260)
+    p.add_argument("--eval_features", action="store_true")
+    p.add_argument("--data_slide_dir", default=None)
+    p.add_argument("--data_h5_dir", default=None,
+                   help="tile-stage coords dir (required for --eval_features)")
+    p.add_argument("--eval_encoder", default="resnet50",
+                   help="encoder for --eval_features")
+    p.add_argument("--resnet_ckpt", default=None)
+    p.add_argument("--vit256_ckpt", default=None)
+    p.add_argument("--vit4k_ckpt", default=None)
 
 
 def _cmd_eval(a):
@@ -541,6 +552,22 @@ def _cmd_eval(a):
              splits=a.splits, folds=a.folds)
 
 
+def _resolve_slide_paths(slide_dir: str, slide_ids) -> dict:
+    """slide_id -> file path; matches any known slide extension."""
+    exts = (".tif", ".tiff", ".svs", ".ndpi")
+    out = {}
+    for sid in slide_ids:
+        for ext in exts:
+            p = os.path.join(slide_dir, sid + ext)
+            if os.path.exists(p):
+                out[sid] = p
+                break
+        else:
+            raise FileNotFoundError(
+                f"no slide file for {sid!r} in {slide_dir} (tried {exts})")
+    return out
+
+
 def _eval_with_sampling(a, cfg, manifest, store):
     """DRAS inference-time evaluation (reference: eval.py sampling path +
     eval_utils.summary_sampling)."""
@@ -564,10 +591,32 @@ def _eval_with_sampling(a, cfg, manifest, store):
         sampling_random=a.sampling_random,
         sampling_random_delta=a.sampling_random_delta,
         fully_random=a.fully_random)
+    feature_lookup = None
     coords_lookup = {}
-    for sid in manifest.slide_ids:
-        _, coords = store.load_with_coords(sid)
-        coords_lookup[sid] = coords
+    if getattr(a, "eval_features", False):
+        # encode only the sampled patches on the fly
+        # (reference: --eval_features, eval_utils.py:231-260)
+        if not (a.data_slide_dir and a.data_h5_dir):
+            raise SystemExit("--eval_features requires --data_slide_dir and "
+                             "--data_h5_dir")
+        from hipt_abmil_atec23_tpu.data.online import build_feature_gathers
+        from hipt_abmil_atec23_tpu.engine.encode import build_encoder
+        from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+        slide_paths = _resolve_slide_paths(a.data_slide_dir,
+                                           manifest.slide_ids)
+        encoder = build_encoder(EncoderConfig(
+            model_type=a.eval_encoder, resnet_ckpt=a.resnet_ckpt,
+            vit256_ckpt=a.vit256_ckpt, vit4k_ckpt=a.vit4k_ckpt))
+        coords_dir = os.path.join(a.data_h5_dir, "patches")
+        if not os.path.isdir(coords_dir):
+            coords_dir = a.data_h5_dir
+        feature_lookup = build_feature_gathers(
+            slide_paths, coords_dir, encoder, manifest.slide_ids)
+        coords_lookup = {sid: g.coords for sid, g in feature_lookup.items()}
+    else:
+        for sid in manifest.slide_ids:
+            _, coords = store.load_with_coords(sid)
+            coords_lookup[sid] = coords
     model = build_mil_model(cfg.model.model_type,
                             size_arg=cfg.model.model_size,
                             n_classes=cfg.task.n_classes)
@@ -577,6 +626,9 @@ def _eval_with_sampling(a, cfg, manifest, store):
     folds = a.folds if a.folds else list(range(cfg.train.k))
 
     if getattr(a, "tune_sampling", False):
+        if feature_lookup is not None:
+            raise SystemExit("--tune_sampling needs precomputed features; "
+                             "drop --eval_features or encode first")
         # search sampling params on fold-0's VAL split first
         # (reference: eval.py:172-227 tunes at eval time)
         from hipt_abmil_atec23_tpu.engine.tune import tune_sampling_params
@@ -597,13 +649,17 @@ def _eval_with_sampling(a, cfg, manifest, store):
     for fold in folds:
         _, _, te = make_fold_datasets(manifest, store, cfg, fold)
         ds = BagDataset(te.slide_ids, te.labels, store, bags_full)
-        feat_dim = ds._full_bag(ds.slide_ids[0]).shape[1]
+        if feature_lookup is not None:
+            feat_dim = feature_lookup[ds.slide_ids[0]].shape[1]
+        else:
+            feat_dim = ds._full_bag(ds.slide_ids[0]).shape[1]
         template = model.init(jax.random.PRNGKey(0),
                               jnp.zeros((8, feat_dim), jnp.float32), None)
         params = load_params(ckpt_path(a.models_dir, fold), template)
         probs, counts = eval_sampling(cfg, scfg, ds, params, model,
                                       coords_lookup=coords_lookup,
-                                      seed=cfg.train.seed + fold)
+                                      seed=cfg.train.seed + fold,
+                                      feature_lookup=feature_lookup)
         auc = M.auc_score(ds.labels, probs, cfg.task.n_classes)
         rows.append({"folds": fold, "test_auc": auc,
                      "test_acc": M.accuracy(ds.labels, probs.argmax(1)),

@@ -106,3 +106,56 @@ class OnlineEncodingBagDataset(BagDataset):
         for s in self._slides.values():
             s.close()
         self._slides.clear()
+
+
+class OnlineFeatureGather:
+    """Lazy per-slide feature source for inference-time DRAS sampling with
+    on-the-fly extraction (reference: --eval_features, eval_utils.py:231-260):
+    only the patches DRAS actually samples are decoded and encoded, so a
+    10^4-patch slide costs ~(iterations x samples_per_iteration) encoder
+    calls instead of a full-slide encode.
+
+    Duck-types the ndarray surface DRAS needs: ``len()``, ``.shape`` and
+    ``.take(idxs, axis=0)``.
+    """
+
+    def __init__(self, slide: BaseSlide, coords: np.ndarray,
+                 encoder: Encoder, *, patch_level: int = 0,
+                 region_size: Optional[int] = None, transform=None):
+        self.slide = slide
+        self.coords = np.asarray(coords)
+        self.encoder = encoder
+        self.patch_level = patch_level
+        self.region_size = region_size or encoder.input_size
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.coords)
+
+    @property
+    def shape(self):
+        return (len(self.coords), self.encoder.feat_dim)
+
+    def take(self, idxs, axis: int = 0) -> np.ndarray:
+        assert axis == 0
+        return encode_slide(self.slide, self.coords[np.asarray(idxs)],
+                            self.encoder, patch_level=self.patch_level,
+                            region_size=self.region_size,
+                            transform=self.transform)
+
+
+def build_feature_gathers(slide_paths: Dict[str, str], coords_dir: str,
+                          encoder: Encoder, slide_ids: Sequence[str],
+                          transform=None) -> Dict[str, "OnlineFeatureGather"]:
+    """slide_id -> OnlineFeatureGather (and the matching coords lookup is
+    each gather's ``.coords``)."""
+    out = {}
+    for sid in slide_ids:
+        coords, attrs = load_coords_h5(
+            os.path.join(coords_dir, f"{sid}.h5"))
+        out[sid] = OnlineFeatureGather(
+            open_slide(slide_paths[sid]), coords, encoder,
+            patch_level=int(attrs.get("patch_level", 0)),
+            region_size=int(attrs.get("patch_size", encoder.input_size)),
+            transform=transform)
+    return out

@@ -155,7 +155,7 @@ class DrasResult:
 
 
 def dras_sample_slide(
-    features: np.ndarray,          # [N, D] full bag
+    features,                      # [N, D] full bag, or any lazy source
     coords: np.ndarray,            # [N, 2]
     attention_fn: Callable[[np.ndarray], np.ndarray],  # subset -> [n] scores
     cfg: SamplingConfig,
@@ -165,7 +165,13 @@ def dras_sample_slide(
     """The per-slide DRAS loop (reference: core_utils_sampling.py:302-512 /
     eval_utils.py summary_sampling): initial (grid or random) sample ->
     attention -> kNN propagate -> weighted+epsilon-random resample, for
-    `resampling_iterations`; returns the final weighted sample."""
+    `resampling_iterations`; returns the final weighted sample.
+
+    `features` only needs ``len()`` and ``take(idxs, axis=0)`` — an ndarray
+    works, and so does a lazy source like OnlineFeatureGather that encodes
+    only the patches actually sampled (reference: --eval_features on-the-fly
+    extraction, eval_utils.py:231-260).
+    """
     n = len(features)
     if cfg.fully_random or n <= cfg.final_sample_size:
         k = min(cfg.final_sample_size, n)
@@ -174,9 +180,13 @@ def dras_sample_slide(
 
     if cfg.sampling_type == "spatial":
         X = np.asarray(coords, np.float32)
+    elif texture_features is not None:
+        X = np.asarray(texture_features, np.float32)
+    elif isinstance(features, np.ndarray):
+        X = np.asarray(features, np.float32)
     else:
-        X = np.asarray(texture_features if texture_features is not None
-                       else features, np.float32)
+        raise ValueError("textural sampling over a lazy feature source "
+                         "requires texture_features")
 
     weights = np.full(n, 1.0 / n)
     all_sampled: List[int] = []
@@ -189,7 +199,8 @@ def dras_sample_slide(
 
     for it in range(cfg.resampling_iterations):
         all_sampled.extend(idxs)
-        attn = np.asarray(attention_fn(features[np.asarray(idxs)]))
+        attn = np.asarray(attention_fn(
+            features.take(np.asarray(idxs), axis=0)))
         nbrs = knn_indices(X, X[np.asarray(idxs)], neighbors)
         weights = update_sampling_weights(
             weights, attn, all_sampled, nbrs, neighbors,
@@ -352,16 +363,24 @@ def train_fold_sampling(cfg, scfg: SamplingConfig, fold, train_ds, val_ds,
 
 
 def eval_sampling(cfg, scfg: SamplingConfig, ds, params, model, *,
-                  coords_lookup, texture_lookup=None, seed: int = 0):
+                  coords_lookup, texture_lookup=None, seed: int = 0,
+                  feature_lookup=None):
     """Sampling-based inference (reference: summary_sampling,
     eval_utils.py:180-566): per slide, DRAS-select a final sample and
-    classify it; returns per-slide probs + per-iteration tracking."""
+    classify it; returns per-slide probs + per-iteration tracking.
+
+    ``feature_lookup`` (slide_id -> lazy feature source with take/len)
+    replaces precomputed bags with on-the-fly encoding of only the sampled
+    patches (reference: --eval_features, eval_utils.py:231-260)."""
     import jax
     import jax.numpy as jnp
     rng = np.random.default_rng(seed)
     attention_fn = make_attention_fn(model, scfg.samples_per_iteration)
     n_final = _round8(scfg.final_sample_size)
-    feat_dim = ds._full_bag(ds.slide_ids[0]).shape[1]
+    if feature_lookup is not None:
+        feat_dim = feature_lookup[ds.slide_ids[0]].shape[1]
+    else:
+        feat_dim = ds._full_bag(ds.slide_ids[0]).shape[1]
 
     @jax.jit
     def _fwd(p, bag, mask):
@@ -371,12 +390,13 @@ def eval_sampling(cfg, scfg: SamplingConfig, ds, params, model, *,
     probs = np.zeros((len(ds), cfg.task.n_classes), np.float32)
     sampled_counts = np.zeros(len(ds), np.int64)
     for i, sid in enumerate(ds.slide_ids):
-        full = ds._full_bag(sid)
+        full = feature_lookup[sid] if feature_lookup is not None \
+            else ds._full_bag(sid)
         res = dras_sample_slide(full, coords_lookup[sid],
                                 lambda sub: attention_fn(params, sub), scfg,
                                 rng,
                                 texture_features=(texture_lookup or {}).get(sid))
-        sub = full[res.final_idxs]
+        sub = full.take(res.final_idxs, axis=0)
         bag = np.zeros((n_final, feat_dim), np.float32)
         mask = np.zeros((n_final,), bool)
         bag[:len(sub)], mask[:len(sub)] = sub, True

@@ -140,3 +140,57 @@ def test_external_contours_loader(tmp_path):
     assert len(seg.contours) == 2
     assert seg.contours[0].shape == (4, 1, 2)
     assert seg.holes == [[], []]
+
+
+def test_cli_eval_sampling_online_features(tmp_path):
+    """eval --use_sampling --eval_features: DRAS inference that decodes and
+    encodes ONLY the sampled patches on the fly (reference: --eval_features,
+    eval_utils.py:231-260) — no precomputed feature artifacts at eval time."""
+    from hipt_abmil_atec23_tpu.slideio import native
+    from hipt_abmil_atec23_tpu.slideio.synthetic import write_synthetic_slide
+
+    slides = tmp_path / "slides"
+    slides.mkdir()
+    rows = []
+    for i in range(9):
+        sid = f"sl{i:02d}"
+        write_synthetic_slide(str(slides / f"{sid}.tif"), 1280, 1024,
+                              n_levels=2,
+                              compression=native.COMPRESSION_DEFLATE, seed=i)
+        rows.append({"case_id": f"c{i:02d}", "slide_id": sid,
+                     "label": "invalid" if i % 2 == 0 else "effective"})
+    csv = str(tmp_path / "labels.csv")
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    tiles = str(tmp_path / "tiles")
+    feats = str(tmp_path / "feats")
+    results = str(tmp_path / "results")
+    evals = str(tmp_path / "evals")
+
+    cli(["tile", "--source", str(slides), "--save_dir", tiles,
+         "--patch_size", "256", "--step_size", "256", "--use_otsu",
+         "--a_t", "1"])
+    # keep only slides that produced tissue coords (seed-dependent)
+    tiled = {f[:-3] for f in os.listdir(os.path.join(tiles, "patches"))}
+    df = pd.read_csv(csv)
+    df[df["slide_id"].isin(tiled)].to_csv(csv, index=False)
+    # train needs features once; the eval below does NOT read them
+    cli(["encode", "--data_h5_dir", tiles, "--data_slide_dir", str(slides),
+         "--feat_dir", feats, "--model_type", "resnet18",
+         "--batch_size", "8", "--float32"])
+    cli(["train", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--results_dir", results,
+         "--model_size", "tinier_resnet18", "--k", "3",
+         "--max_epochs", "2", "--min_epochs", "1", "--no_early_stopping",
+         "--max_patches_per_slide", "8"])
+    cli(["eval", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", str(tmp_path / "nonexistent_feats"),  # must be unused
+         "--models_dir", results, "--save_dir", evals,
+         "--model_size", "tinier_resnet18", "--k", "3", "--folds", "0",
+         "--use_sampling", "--eval_features",
+         "--data_slide_dir", str(slides), "--data_h5_dir", tiles,
+         "--eval_encoder", "resnet18",
+         "--samples_per_iteration", "6", "--resampling_iterations", "2",
+         "--sampling_neighbors", "4", "--final_sample_size", "8"])
+    fold0 = pd.read_csv(os.path.join(evals, "fold_0.csv"))
+    assert {"slide_id", "Y", "Y_hat", "p_0", "p_1"} <= set(fold0.columns)
+    assert np.isfinite(fold0[["p_0", "p_1"]].values).all()
