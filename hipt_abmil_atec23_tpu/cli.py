@@ -553,18 +553,19 @@ def _cmd_eval(a):
 
 
 def _resolve_slide_paths(slide_dir: str, slide_ids) -> dict:
-    """slide_id -> file path; matches any known slide extension."""
-    exts = (".tif", ".tiff", ".svs", ".ndpi")
+    """slide_id -> file path; matches any supported slide extension."""
+    from hipt_abmil_atec23_tpu.slideio.pipeline import SLIDE_EXTS
     out = {}
     for sid in slide_ids:
-        for ext in exts:
+        for ext in SLIDE_EXTS:
             p = os.path.join(slide_dir, sid + ext)
             if os.path.exists(p):
                 out[sid] = p
                 break
         else:
             raise FileNotFoundError(
-                f"no slide file for {sid!r} in {slide_dir} (tried {exts})")
+                f"no slide file for {sid!r} in {slide_dir} "
+                f"(tried {SLIDE_EXTS})")
     return out
 
 
@@ -591,19 +592,27 @@ def _eval_with_sampling(a, cfg, manifest, store):
         sampling_random=a.sampling_random,
         sampling_random_delta=a.sampling_random_delta,
         fully_random=a.fully_random)
+    rows = []
+    os.makedirs(a.save_dir, exist_ok=True)
+    folds = a.folds if a.folds else list(range(cfg.train.k))
+    fold_te = {fold: make_fold_datasets(manifest, store, cfg, fold)[2]
+               for fold in folds}
+
     feature_lookup = None
     coords_lookup = {}
     if getattr(a, "eval_features", False):
         # encode only the sampled patches on the fly
-        # (reference: --eval_features, eval_utils.py:231-260)
+        # (reference: --eval_features, eval_utils.py:231-260); resolve/open
+        # only the slides the requested folds actually evaluate
         if not (a.data_slide_dir and a.data_h5_dir):
             raise SystemExit("--eval_features requires --data_slide_dir and "
                              "--data_h5_dir")
         from hipt_abmil_atec23_tpu.data.online import build_feature_gathers
         from hipt_abmil_atec23_tpu.engine.encode import build_encoder
         from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
-        slide_paths = _resolve_slide_paths(a.data_slide_dir,
-                                           manifest.slide_ids)
+        needed = sorted({sid for te in fold_te.values()
+                         for sid in te.slide_ids})
+        slide_paths = _resolve_slide_paths(a.data_slide_dir, needed)
         encoder = build_encoder(EncoderConfig(
             model_type=a.eval_encoder, resnet_ckpt=a.resnet_ckpt,
             vit256_ckpt=a.vit256_ckpt, vit4k_ckpt=a.vit4k_ckpt))
@@ -611,7 +620,7 @@ def _eval_with_sampling(a, cfg, manifest, store):
         if not os.path.isdir(coords_dir):
             coords_dir = a.data_h5_dir
         feature_lookup = build_feature_gathers(
-            slide_paths, coords_dir, encoder, manifest.slide_ids)
+            slide_paths, coords_dir, encoder, needed)
         coords_lookup = {sid: g.coords for sid, g in feature_lookup.items()}
     else:
         for sid in manifest.slide_ids:
@@ -621,9 +630,6 @@ def _eval_with_sampling(a, cfg, manifest, store):
                             size_arg=cfg.model.model_size,
                             n_classes=cfg.task.n_classes)
     bags_full = dataclasses.replace(cfg.bags, max_patches_per_slide=0)
-    rows = []
-    os.makedirs(a.save_dir, exist_ok=True)
-    folds = a.folds if a.folds else list(range(cfg.train.k))
 
     if getattr(a, "tune_sampling", False):
         if feature_lookup is not None:
@@ -646,30 +652,36 @@ def _eval_with_sampling(a, cfg, manifest, store):
         scfg = dataclasses.replace(scfg, **{
             k: (int(v) if k in ("resampling_iterations", "sampling_neighbors")
                 else float(v)) for k, v in best.items()})
-    for fold in folds:
-        _, _, te = make_fold_datasets(manifest, store, cfg, fold)
-        ds = BagDataset(te.slide_ids, te.labels, store, bags_full)
-        if feature_lookup is not None:
-            feat_dim = feature_lookup[ds.slide_ids[0]].shape[1]
-        else:
-            feat_dim = ds._full_bag(ds.slide_ids[0]).shape[1]
-        template = model.init(jax.random.PRNGKey(0),
-                              jnp.zeros((8, feat_dim), jnp.float32), None)
-        params = load_params(ckpt_path(a.models_dir, fold), template)
-        probs, counts = eval_sampling(cfg, scfg, ds, params, model,
-                                      coords_lookup=coords_lookup,
-                                      seed=cfg.train.seed + fold,
-                                      feature_lookup=feature_lookup)
-        auc = M.auc_score(ds.labels, probs, cfg.task.n_classes)
-        rows.append({"folds": fold, "test_auc": auc,
-                     "test_acc": M.accuracy(ds.labels, probs.argmax(1)),
-                     "mean_patches_used": float(counts.mean())})
-        df = pd.DataFrame({"slide_id": ds.slide_ids, "Y": ds.labels,
-                           "Y_hat": probs.argmax(1)})
-        for c in range(cfg.task.n_classes):
-            df[f"p_{c}"] = probs[:, c]
-        df.to_csv(os.path.join(a.save_dir, f"fold_{fold}.csv"), index=False)
-        print(f"[eval-sampling] fold {fold}: auc {auc:.4f}")
+    try:
+        for fold in folds:
+            te = fold_te[fold]
+            ds = BagDataset(te.slide_ids, te.labels, store, bags_full)
+            if feature_lookup is not None:
+                feat_dim = feature_lookup[ds.slide_ids[0]].shape[1]
+            else:
+                feat_dim = ds._full_bag(ds.slide_ids[0]).shape[1]
+            template = model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((8, feat_dim), jnp.float32),
+                                  None)
+            params = load_params(ckpt_path(a.models_dir, fold), template)
+            probs, counts = eval_sampling(cfg, scfg, ds, params, model,
+                                          coords_lookup=coords_lookup,
+                                          seed=cfg.train.seed + fold,
+                                          feature_lookup=feature_lookup)
+            auc = M.auc_score(ds.labels, probs, cfg.task.n_classes)
+            rows.append({"folds": fold, "test_auc": auc,
+                         "test_acc": M.accuracy(ds.labels, probs.argmax(1)),
+                         "mean_patches_used": float(counts.mean())})
+            df = pd.DataFrame({"slide_id": ds.slide_ids, "Y": ds.labels,
+                               "Y_hat": probs.argmax(1)})
+            for c in range(cfg.task.n_classes):
+                df[f"p_{c}"] = probs[:, c]
+            df.to_csv(os.path.join(a.save_dir, f"fold_{fold}.csv"),
+                      index=False)
+            print(f"[eval-sampling] fold {fold}: auc {auc:.4f}")
+    finally:
+        for g in (feature_lookup or {}).values():
+            g.slide.close()
     pd.DataFrame(rows).to_csv(os.path.join(a.save_dir, "summary.csv"),
                               index=False)
 

@@ -130,7 +130,6 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
         # the architecture it says.
         model = levit_texture_encoder(spec=cfg.model_type, dtype=dtype)
         input_size, feat_dim = 224, model.feat_dim
-        variables = model.init(key)
         if cfg.levit_ckpt:
             from hipt_abmil_atec23_tpu.models.convert import (
                 load_torch_state_dict)
@@ -139,6 +138,9 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
             variables = levit_params_from_torch(
                 load_torch_state_dict(cfg.levit_ckpt, checkpoint_key=None),
                 spec=cfg.model_type)
+        else:
+            with jax.default_device(cpu):
+                variables = model.init(key)
 
         @jax.jit
         def _fwd(v, batch_u8):

@@ -338,12 +338,16 @@ def train_fold(
 
     chunk = max(1, getattr(tc, "epoch_chunk", 1))
 
-    def _finish_epoch(epoch, rec, params_snapshot) -> bool:
+    def _finish_epoch(epoch, rec, params_snapshot,
+                      state_consistent: bool = True) -> bool:
         """Shared per-epoch bookkeeping; returns True to stop training."""
         history.append(rec)
-        if state_cb is not None:
-            # per-epoch train-state hook (orbax trial checkpoints); in the
-            # epoch_chunk path opt_state is the end-of-chunk state
+        if state_cb is not None and state_consistent:
+            # train-state hook (orbax trial checkpoints). Fires only where
+            # params and opt_state belong to the same step: every epoch in
+            # the per-epoch path, chunk boundaries in the epoch_chunk path
+            # (the fused kernel snapshots params per epoch but optimizer
+            # state only at the end).
             state_cb(epoch, params_snapshot, opt_state)
         if logger is not None:
             logger.scalars({k: v for k, v in rec.items() if k != "epoch"},
@@ -411,7 +415,8 @@ def train_fold(
                            train_acc=float(np.asarray(accs)[i]),
                            val_loss=float(vlosses[i]), val_auc=val_auc)
                 snap = jax.tree.map(lambda x, _i=i: x[_i], p_stack)
-                stop = _finish_epoch(epoch, rec, snap)
+                stop = _finish_epoch(epoch, rec, snap,
+                                     state_consistent=(i == e - 1))
                 stopped_epoch = epoch
                 epoch += 1
                 if stop:

@@ -310,9 +310,15 @@ def run_tuning(
             pd.DataFrame(rows).to_csv(output_csv, index=False)
 
     df = pd.DataFrame(rows)
-    # select over ALL rows (incl. resumed ones); rows are in config order
+    # select over ALL rows (incl. resumed ones); rows are in config order,
+    # but a resumed CSV may hold MORE rows than this call's num_samples —
+    # fall back to the CSV's own config columns then.
     best_idx = int(np.argmin(df["last10_val_loss"].values))
-    return configs[best_idx], df, trials
+    if best_idx < len(configs):
+        best = configs[best_idx]
+    else:
+        best = {k: df.iloc[best_idx][k] for k in space if k in df.columns}
+    return best, df, trials
 
 
 # --------------------------------------------------------------------------

@@ -169,3 +169,39 @@ def test_run_tuning_resume(tmp_path):
     np.testing.assert_allclose(df2["last10_val_loss"].values[:2],
                                df1["last10_val_loss"].values, rtol=1e-6)
     assert "lr" in best
+
+
+def test_state_cb_chunked_fires_on_consistent_state_only(tmp_path):
+    """In the epoch_chunk path params snapshots are per-epoch but optimizer
+    state is end-of-chunk; the train-state hook must only fire where the two
+    belong to the same step (chunk boundaries)."""
+    from hipt_abmil_atec23_tpu.data.synthetic import make_synthetic_bags
+    from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets
+    from hipt_abmil_atec23_tpu.engine.train import train_fold
+    import dataclasses
+
+    manifest, store = make_synthetic_bags(str(tmp_path / "bags"), n_slides=12,
+                                          feat_dim=192, seed=5,
+                                          bag_range=(24, 33))
+    cfg = ExperimentConfig(
+        exp_code="chunk_cb", results_dir=str(tmp_path / "results"),
+        task=TaskConfig(n_classes=2, label_dict={"0": 0, "1": 1}),
+        bags=BagConfig(max_patches_per_slide=16, batch_size=1),
+        model=ModelConfig(model_type="clam_sb", model_size="hipt_smaller",
+                          no_inst_cluster=True),
+        train=TrainConfig(max_epochs=4, min_epochs=1, early_stopping=False,
+                          k=3, seed=0, epoch_chunk=2))
+    tr, va, te = make_fold_datasets(manifest, store, cfg, 0)
+    seen = []
+    train_fold(cfg, 0, tr, va, te, manifest.class_counts(), verbose=False,
+               state_cb=lambda e, p, o: seen.append(e))
+    assert seen == [1, 3]  # chunk boundaries only (chunks of 2 over 4 epochs)
+
+    # per-epoch path: every epoch
+    cfg1 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, epoch_chunk=1),
+        results_dir=str(tmp_path / "results1"))
+    seen1 = []
+    train_fold(cfg1, 0, tr, va, te, manifest.class_counts(), verbose=False,
+               state_cb=lambda e, p, o: seen1.append(e))
+    assert seen1 == [0, 1, 2, 3]
