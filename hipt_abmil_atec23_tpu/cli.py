@@ -74,8 +74,8 @@ def _add_encode(sub):
                    help="optional slide list CSV (slide_id column)")
     p.add_argument("--feat_dir", required=True)
     p.add_argument("--model_type", default="HIPT_4K",
-                   choices=["resnet18", "resnet50", "levit_128s", "HIPT_4K",
-                            "vit256"])
+                   choices=["resnet18", "resnet50", "levit_128s",
+                            "levit_256", "HIPT_4K", "vit256"])
     p.add_argument("--pretraining_dataset", default="ImageNet",
                    choices=["ImageNet", "Histo"])
     p.add_argument("--use_transforms", default="none")
@@ -87,6 +87,8 @@ def _add_encode(sub):
     p.add_argument("--vit256_ckpt", default=None)
     p.add_argument("--vit4k_ckpt", default=None)
     p.add_argument("--resnet_ckpt", default=None)
+    p.add_argument("--levit_ckpt", default=None,
+                   help="original-layout LeViT torch checkpoint")
     p.add_argument("--no_skip", action="store_true")
     p.add_argument("--float32", action="store_true")
     p.add_argument("--hipt_features", default="cls4k",
@@ -105,7 +107,7 @@ def _cmd_encode(a):
                         pretraining_dataset=a.pretraining_dataset,
                         transforms=a.use_transforms, batch_size=a.batch_size,
                         vit256_ckpt=a.vit256_ckpt, vit4k_ckpt=a.vit4k_ckpt,
-                        resnet_ckpt=a.resnet_ckpt,
+                        resnet_ckpt=a.resnet_ckpt, levit_ckpt=a.levit_ckpt,
                         hipt_features=a.hipt_features,
                         dtype="float32" if a.float32 else "bfloat16")
     encoder = build_encoder(cfg)

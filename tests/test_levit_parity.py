@@ -198,3 +198,30 @@ def test_levit_torch_parity(spec_name):
     got = np.asarray(model.apply(params, x))
     assert got.shape == want.shape == (2, SPECS[spec_name]["embed_dim"][-1])
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_levit_ckpt_through_encoder_zoo(tmp_path):
+    """--levit_ckpt wiring: a torch checkpoint saved in the original layout
+    loads through build_encoder and produces the converted model's output."""
+    import jax.numpy as jnp
+    from hipt_abmil_atec23_tpu.engine.encode import build_encoder
+    from hipt_abmil_atec23_tpu.models.resnet import imagenet_normalize
+    from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+
+    torch.manual_seed(1)
+    oracle = TorchLeViT(SPECS["levit_128s"]).eval()
+    ckpt = str(tmp_path / "levit.pth")
+    torch.save(oracle.state_dict(), ckpt)
+
+    enc = build_encoder(EncoderConfig(model_type="levit_128s", batch_size=2,
+                                      dtype="float32", levit_ckpt=ckpt))
+    batch = np.random.default_rng(0).integers(
+        0, 255, size=(2, 224, 224, 3)).astype(np.uint8)
+    got = np.asarray(enc.apply(jnp.asarray(batch)))
+
+    model = LeViT(spec="levit_128s")
+    params = levit_params_from_torch(
+        {k: v.numpy() for k, v in oracle.state_dict().items()})
+    want = np.asarray(model.apply(params, imagenet_normalize(
+        jnp.asarray(batch))))
+    np.testing.assert_allclose(got, want, atol=1e-5)
