@@ -157,9 +157,15 @@ class BagDataset:
         return feats.astype(np.float32, copy=False)
 
     def pad_size(self) -> int:
-        """Single static pad size: min(max bag length, max_patches_per_slide)."""
+        """Single static pad size: min(max bag length, max_patches_per_slide).
+        Scans augmentation variants too — an `{slide}augN` bag longer than
+        every original would otherwise be silently truncated by make_batch."""
         cap = self.cfg.max_patches_per_slide or 0
-        longest = max(len(self._full_bag(s)) for s in self.slide_ids)
+        ids = list(self.slide_ids)
+        if self.cfg.number_of_augs > 0:
+            ids += [f"{s}aug{a}" for s in self.slide_ids
+                    for a in range(1, self.cfg.number_of_augs + 1)]
+        longest = max(len(self._full_bag(s)) for s in ids)
         if cap:
             longest = min(longest, cap)
         return _round_up(longest, 8)

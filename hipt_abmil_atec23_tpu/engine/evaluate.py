@@ -31,7 +31,6 @@ def evaluate_fold(cfg: ExperimentConfig, fold: int, ds: BagDataset,
     """Load fold checkpoint, run deterministic inference over `ds`."""
     feat_dim = ds._full_bag(ds.slide_ids[0]).shape[1]
     if n_pad is None:
-        ds._feat_dim = feat_dim
         n_pad = ds.pad_size()
     ds._feat_dim = feat_dim
     fns = build_step_fns(cfg, class_counts, n_pad, feat_dim)
@@ -112,7 +111,9 @@ def bootstrap_from_fold_csvs(
     if not frames:
         raise FileNotFoundError("no fold CSVs found")
     pooled = pd.concat(frames, ignore_index=True)
-    prob_cols = sorted(c for c in pooled.columns if c.startswith("p_"))
+    # numeric sort: lexicographic would put p_10 before p_2 for 11+ classes
+    prob_cols = sorted((c for c in pooled.columns if c.startswith("p_")),
+                       key=lambda c: int(c[2:]))
     labels = pooled["Y"].values.astype(np.int32)
     probs = pooled[prob_cols].values.astype(np.float32)
     res = M.bootstrap_metrics(labels, probs, n_bootstraps=n_bootstraps,

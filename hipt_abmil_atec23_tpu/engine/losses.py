@@ -52,6 +52,30 @@ def smooth_top1_svm(logits: jax.Array, labels: jax.Array,
     return jnp.mean(lse - s_y)
 
 
+def make_per_sample_loss(name: str
+                         ) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Per-slide validation loss, [B] vector (reference: validate() applies
+    loss_fn per slide at batch size 1, core_utils.py:464,527). At batch 1 the
+    balanced_ce class weighting cancels exactly (sum w*nll / sum w == nll),
+    so ce and balanced_ce both reduce to plain NLL there; svm keeps its
+    per-slide SmoothTop1SVM value."""
+    if name in ("ce", "balanced_ce"):
+        def nll(logits, labels):
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        return nll
+    if name == "svm":
+        def svm(logits, labels, tau: float = 1.0, alpha: float = 1.0):
+            onehot = jax.nn.one_hot(labels, logits.shape[-1],
+                                    dtype=logits.dtype)
+            aug = logits + alpha * (1.0 - onehot)
+            lse = tau * jax.scipy.special.logsumexp(aug / tau, axis=-1)
+            s_y = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+            return lse - s_y
+        return svm
+    raise ValueError(f"unknown bag loss {name!r}")
+
+
 def make_bag_loss(name: str, class_counts: Optional[np.ndarray] = None
                   ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     if name == "ce":

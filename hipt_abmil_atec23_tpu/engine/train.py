@@ -30,7 +30,8 @@ import optax
 from hipt_abmil_atec23_tpu.data.bags import BagDataset, epoch_order
 from hipt_abmil_atec23_tpu.engine import metrics as M
 from hipt_abmil_atec23_tpu.engine.checkpoint import ckpt_path, save_params, load_params
-from hipt_abmil_atec23_tpu.engine.losses import make_bag_loss
+from hipt_abmil_atec23_tpu.engine.losses import (make_bag_loss,
+                                                 make_per_sample_loss)
 from hipt_abmil_atec23_tpu.models.abmil import build_mil_model
 from hipt_abmil_atec23_tpu.utils.config import ExperimentConfig
 from hipt_abmil_atec23_tpu.utils.seeding import host_rng, jax_key
@@ -73,6 +74,9 @@ def build_step_fns(cfg: ExperimentConfig, class_counts: np.ndarray,
     is_clam = cfg.model.model_type in ("clam_sb", "clam_mb")
     use_inst = is_clam and not cfg.model.no_inst_cluster
     bag_loss = make_bag_loss(cfg.train.bag_loss, class_counts)
+    # validation ranks epochs by the CONFIGURED loss, per slide (reference:
+    # validate() applies loss_fn at batch 1, core_utils.py:464,527)
+    val_loss_fn = make_per_sample_loss(cfg.train.bag_loss)
     bag_weight = cfg.train.bag_weight
     tx = make_optimizer(cfg.train.opt, cfg.train.lr, cfg.train.reg)
 
@@ -125,11 +129,10 @@ def build_step_fns(cfg: ExperimentConfig, class_counts: np.ndarray,
         out = batched_fwd(params, feats, mask, labels,
                           jax.random.PRNGKey(0), deterministic=True)
         logits = out.logits[:, 0, :]
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        losses = val_loss_fn(logits, labels)
         inst = (out.extras["instance_loss"] if use_inst
-                else jnp.zeros_like(nll))
-        return jax.nn.softmax(logits, axis=-1), nll, inst
+                else jnp.zeros_like(losses))
+        return jax.nn.softmax(logits, axis=-1), losses, inst
 
     @jax.jit
     def train_epochs_chunk(params, opt_state, feats, mask, labels,
@@ -194,7 +197,10 @@ class EarlyStopper:
             # Warmup: checkpoint every epoch, best tracking not yet started.
             self.save_requested = True
             return True
-        if self.best_score is None or score > self.best_score:
+        # >= : the reference checkpoints and resets its counter when the
+        # score EQUALS the best (its non-improvement branch is a strict
+        # score < best_score, core_utils.py:80-88)
+        if self.best_score is None or score >= self.best_score:
             self.best_score = score
             self.counter = 0
             self.save_requested = True
@@ -270,7 +276,6 @@ def evaluate_split(fns: StepFns, params, ds: BagDataset, n_pad: int,
     (the reference subsamples val/test bags identically,
     datasets/dataset_generic.py:517-519)."""
     n = len(ds)
-    probs = np.zeros((n, 0), np.float32)
     all_probs, all_nll = [], []
     for start in range(0, n, batch_size):
         idxs = list(range(start, min(start + batch_size, n)))
@@ -420,6 +425,10 @@ def train_fold(
                 stopped_epoch = epoch
                 epoch += 1
                 if stop:
+                    # a mid-chunk stop (early stop / ASHA kill) must leave
+                    # the STOPPED epoch's params, not the end-of-chunk ones,
+                    # so the post-loop save/eval matches the chunk=1 path
+                    params = snap
                     break
 
     if stopper is not None and os.path.exists(cpath):

@@ -116,6 +116,59 @@ def test_early_stopping_schedule():
     es2.update(0, 1.0)
     es2.update(1, 2.0)
     assert es2.update(2, 0.5) and es2.counter == 0
+    # EQUAL val loss counts as improvement: checkpoint + counter reset
+    # (reference: non-improvement branch is strict score < best_score,
+    # core_utils.py:80-88 — a flat plateau never early-stops)
+    es3 = EarlyStopper(min_epochs=0, patience=2, stop_epoch=0)
+    es3.update(0, 1.0)
+    for e in range(1, 6):
+        assert es3.update(e, 1.0) and es3.counter == 0
+    assert not es3.early_stop
+
+
+def test_val_loss_uses_configured_bag_loss():
+    """Early stopping ranks epochs by the CONFIGURED loss: with
+    bag_loss='svm', eval_batch must return per-slide SmoothTop1SVM, not
+    plain CE (reference: validate() applies loss_fn, core_utils.py:464)."""
+    import jax
+    import jax.numpy as jnp
+    from hipt_abmil_atec23_tpu.engine.train import build_step_fns
+    from hipt_abmil_atec23_tpu.utils.config import (
+        ExperimentConfig, BagConfig, ModelConfig, TrainConfig, TaskConfig)
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(4, 16, 192)).astype(np.float32)
+    mask = np.ones((4, 16), bool)
+    labels = np.array([0, 1, 0, 1], np.int32)
+
+    def run(bag_loss):
+        cfg = ExperimentConfig(
+            task=TaskConfig(n_classes=2, label_dict={"0": 0, "1": 1}),
+            bags=BagConfig(max_patches_per_slide=16),
+            model=ModelConfig(model_type="clam_sb",
+                              model_size="hipt_smaller",
+                              no_inst_cluster=True),
+            train=TrainConfig(bag_loss=bag_loss))
+        fns = build_step_fns(cfg, np.array([2, 2]), 16, 192)
+        params = fns.init_params(jax.random.PRNGKey(0))
+        probs, losses, _ = fns.eval_batch(params, jnp.asarray(feats),
+                                          jnp.asarray(mask),
+                                          jnp.asarray(labels))
+        return np.asarray(probs), np.asarray(losses)
+
+    probs_ce, loss_ce = run("ce")
+    probs_svm, loss_svm = run("svm")
+    np.testing.assert_allclose(probs_ce, probs_svm, atol=1e-6)  # same model
+    # ce path is the NLL of the predicted prob
+    np.testing.assert_allclose(
+        loss_ce, -np.log(probs_ce[np.arange(4), labels]), atol=1e-5)
+    # svm path is L = logsumexp(s + alpha*(1-onehot)) - s_y, not NLL
+    assert not np.allclose(loss_ce, loss_svm, atol=1e-4)
+    logits = np.log(probs_svm)  # softmax is shift-invariant; use logp
+    aug = logits + (1.0 - np.eye(2)[labels])
+    want = (np.log(np.exp(aug).sum(1))
+            - logits[np.arange(4), labels])
+    np.testing.assert_allclose(loss_svm, want, atol=1e-4)
 
 
 def test_multiclass_subtyping_cv(tmp_path):
