@@ -128,6 +128,10 @@ class OnlineFeatureGather:
         self.patch_level = patch_level
         self.region_size = region_size or encoder.input_size
         self.transform = transform
+        # patch-index -> feature cache: DRAS's final bag re-reads every
+        # previously sampled patch (the reference accumulates
+        # all_previous_features for the same reason, eval_utils.py:426-429)
+        self._cache: Dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
         return len(self.coords)
@@ -138,10 +142,17 @@ class OnlineFeatureGather:
 
     def take(self, idxs, axis: int = 0) -> np.ndarray:
         assert axis == 0
-        return encode_slide(self.slide, self.coords[np.asarray(idxs)],
-                            self.encoder, patch_level=self.patch_level,
-                            region_size=self.region_size,
-                            transform=self.transform)
+        idxs = np.asarray(idxs, int)
+        missing = [int(i) for i in idxs if int(i) not in self._cache]
+        if missing:
+            feats = encode_slide(self.slide,
+                                 self.coords[np.asarray(missing)],
+                                 self.encoder, patch_level=self.patch_level,
+                                 region_size=self.region_size,
+                                 transform=self.transform)
+            for j, i in enumerate(missing):
+                self._cache[i] = feats[j]
+        return np.stack([self._cache[int(i)] for i in idxs])
 
 
 def build_feature_gathers(slide_paths: Dict[str, str], coords_dir: str,

@@ -14,17 +14,16 @@ computes the current one. Artifacts keep the reference's schema
 from __future__ import annotations
 
 import os
-import time
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Callable, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from hipt_abmil_atec23_tpu.data.bags import FeatureBagStore
-from hipt_abmil_atec23_tpu.models.hipt import HIPT4K, hipt_eval_normalize, make_hipt_encoder
+from hipt_abmil_atec23_tpu.models.hipt import hipt_eval_normalize, make_hipt_encoder
 from hipt_abmil_atec23_tpu.models.resnet import (
     resnet50_trunc, resnet18, imagenet_normalize)
 from hipt_abmil_atec23_tpu.slideio.reader import BaseSlide
@@ -87,7 +86,6 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
 
     elif cfg.model_type == "vit256":
         from hipt_abmil_atec23_tpu.models.vit import vit_small
-        import dataclasses as dc
         model = vit_small(dtype=dtype)
         input_size, feat_dim = 256, 384
         with jax.default_device(cpu):

@@ -153,6 +153,17 @@ class DrasResult:
     all_sampled: List[int]
     logits_history: List[np.ndarray] = field(default_factory=list)
 
+    @property
+    def bag_idxs(self) -> np.ndarray:
+        """The bag actually trained/classified on: the final weighted draw
+        PLUS every patch sampled along the way (reference --use_all_samples,
+        its only implemented path: core_utils_sampling.py:449-454,
+        eval_utils.py:462-465). The final draw alone would systematically
+        exclude every high-attention patch the loop already found, because
+        sampled indices are zero-weighted."""
+        return np.concatenate([np.asarray(self.final_idxs, int),
+                               np.asarray(self.all_sampled, int)])
+
 
 def dras_sample_slide(
     features,                      # [N, D] full bag, or any lazy source
@@ -202,9 +213,15 @@ def dras_sample_slide(
         attn = np.asarray(attention_fn(
             features.take(np.asarray(idxs), axis=0)))
         nbrs = knn_indices(X, X[np.asarray(idxs)], neighbors)
+        # normalise=False like every reference loop call site
+        # (core_utils_sampling.py:429,446, eval_utils.py:404,460):
+        # normalizing between iterations would collapse historical 'max'
+        # weights relative to fresh attention**power values; draws normalize
+        # transiently instead.
         weights = update_sampling_weights(
             weights, attn, all_sampled, nbrs, neighbors,
-            power=cfg.weight_smoothing, sampling_update=cfg.sampling_update)
+            power=cfg.weight_smoothing, normalise=False,
+            sampling_update=cfg.sampling_update)
         sampling_random = max(0.0, sampling_random - cfg.sampling_random_delta)
         num_random = int(spi * sampling_random)
         if it < cfg.resampling_iterations - 1:
@@ -212,7 +229,13 @@ def dras_sample_slide(
                                         num_random, rng)
 
     k = min(cfg.final_sample_size, n)
-    p = weights / weights.sum()
+    s = weights.sum()
+    if s > 0:
+        p = weights / s
+    else:
+        # degenerate: every patch already sampled and zero-weighted (tiny
+        # slides); fall back to uniform — the bag is the union anyway
+        p = np.full(n, 1.0 / n)
     nz = int((p > 0).sum())
     final = rng.choice(n, min(k, nz), replace=False, p=p)
     return DrasResult(final_idxs=final, weights=weights,
@@ -294,7 +317,7 @@ def train_fold_sampling(cfg, scfg: SamplingConfig, fold, train_ds, val_ds,
     from hipt_abmil_atec23_tpu.data.bags import epoch_order
     from hipt_abmil_atec23_tpu.engine.train import _epoch_tensors
     history = []
-    n_final = _round8(scfg.final_sample_size)
+    n_final = _bag_cap(scfg)
 
     for epoch in range(tc.max_epochs):
         order = epoch_order(train_ds.labels, cfg.task.n_classes, rng,
@@ -316,7 +339,7 @@ def train_fold_sampling(cfg, scfg: SamplingConfig, fold, train_ds, val_ds,
                     full, coords_lookup[sid],
                     lambda sub: attention_fn(params, sub), scfg, rng,
                     texture_features=(texture_lookup or {}).get(sid))
-                sub = full[res.final_idxs]
+                sub = full[res.bag_idxs]
                 fb = np.zeros((1, 1, n_final, feat_dim), np.float32)
                 mb = np.zeros((1, 1, n_final), bool)
                 fb[0, 0, :len(sub)], mb[0, 0, :len(sub)] = sub, True
@@ -376,7 +399,7 @@ def eval_sampling(cfg, scfg: SamplingConfig, ds, params, model, *,
     import jax.numpy as jnp
     rng = np.random.default_rng(seed)
     attention_fn = make_attention_fn(model, scfg.samples_per_iteration)
-    n_final = _round8(scfg.final_sample_size)
+    n_final = _bag_cap(scfg)
     if feature_lookup is not None:
         feat_dim = feature_lookup[ds.slide_ids[0]].shape[1]
     else:
@@ -396,7 +419,7 @@ def eval_sampling(cfg, scfg: SamplingConfig, ds, params, model, *,
                                 lambda sub: attention_fn(params, sub), scfg,
                                 rng,
                                 texture_features=(texture_lookup or {}).get(sid))
-        sub = full.take(res.final_idxs, axis=0)
+        sub = full.take(res.bag_idxs, axis=0)
         bag = np.zeros((n_final, feat_dim), np.float32)
         mask = np.zeros((n_final,), bool)
         bag[:len(sub)], mask[:len(sub)] = sub, True
@@ -409,3 +432,10 @@ def eval_sampling(cfg, scfg: SamplingConfig, ds, params, model, *,
 
 def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
+
+
+def _bag_cap(scfg: SamplingConfig) -> int:
+    """Static pad for the DRAS bag: final draw + everything sampled along
+    the way (all_sampled <= iterations x samples_per_iteration)."""
+    return _round8(scfg.final_sample_size
+                   + scfg.resampling_iterations * scfg.samples_per_iteration)

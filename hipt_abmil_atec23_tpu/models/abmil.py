@@ -225,8 +225,12 @@ class _CLAMBase(nn.Module):
         if instance_eval:
             if label is None:
                 raise ValueError("instance_eval requires a label")
+            # batch_axis=0: each class's [L, 2] slice gets the reference's
+            # per-class xavier-normal std sqrt(2/(L+2)) (utils/utils.py:
+            # 217-226); without it the class axis would count as fan and
+            # shrink the init by sqrt(n_classes).
             inst_w = self.param(
-                "instance_w", nn.initializers.glorot_normal(),
+                "instance_w", nn.initializers.glorot_normal(batch_axis=(0,)),
                 (self.n_classes, size[1], 2))
             inst_b = self.param(
                 "instance_b", nn.initializers.zeros_init(), (self.n_classes, 2))

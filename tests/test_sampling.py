@@ -112,8 +112,17 @@ def test_dras_converges_to_signal(rng):
                          weight_smoothing=1.0)  # default 0.15 flattens hard
     res = dras_sample_slide(feats, coords, attention_fn, cfg,
                             np.random.default_rng(0))
+    # final weighted draw concentrates in the hot region (reference
+    # normalise=False loop semantics; measured 0.83 vs 0.24 base rate)
     frac_hot = hot[res.final_idxs].mean()
-    assert frac_hot > 0.9, (frac_hot, hot.mean())  # measured 0.97 vs 0.24 base
+    assert frac_hot > 0.7, (frac_hot, hot.mean())
+    # the bag actually classified = final draw + all sampled along the way
+    # (reference --use_all_samples, core_utils_sampling.py:449-454); it is
+    # larger than the final draw and also strongly enriched
+    bag = res.bag_idxs
+    assert len(bag) == len(res.final_idxs) + len(res.all_sampled)
+    assert len(set(bag.tolist())) == len(bag)  # draws never repeat
+    assert hot[bag].mean() > 2.0 * hot.mean()
 
 
 def test_dras_fully_random_and_small_bags(rng):
