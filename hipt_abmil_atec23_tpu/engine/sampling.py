@@ -74,13 +74,15 @@ def generate_sample_idxs(n: int, previous: Sequence[int],
     nonrandom: List[int] = []
     n_weighted = int(samples_per_iteration - num_random)
     if n_weighted > 0:
-        p = weights / weights.sum()
-        # no-repeat zeroing can exhaust the weighted pool on small bags;
-        # cap at the number of drawable entries (top-up happens below)
-        drawable = int(np.count_nonzero(p))
+        # no-repeat zeroing can exhaust the weighted pool on small bags
+        # (weights stay unnormalized between iterations, so the sum can hit
+        # exactly 0); cap at the drawable entries, top-up happens below
+        s = weights.sum()
+        drawable = int(np.count_nonzero(weights)) if s > 0 else 0
         k_w = min(n_weighted, drawable)
         if k_w > 0:
-            nonrandom = list(rng.choice(n, size=k_w, replace=False, p=p))
+            nonrandom = list(rng.choice(n, size=k_w, replace=False,
+                                        p=weights / s))
         num_random += n_weighted - k_w
     if num_random > 0:
         available = np.setdiff1d(np.arange(n),
@@ -209,10 +211,12 @@ def dras_sample_slide(
     neighbors = min(cfg.sampling_neighbors, n)
 
     for it in range(cfg.resampling_iterations):
-        all_sampled.extend(idxs)
-        attn = np.asarray(attention_fn(
-            features.take(np.asarray(idxs), axis=0)))
-        nbrs = knn_indices(X, X[np.asarray(idxs)], neighbors)
+        all_sampled.extend(int(i) for i in idxs)
+        # dtype=int: an exhausted draw returns [], which np.asarray types
+        # as float64 and take() refuses
+        sel = np.asarray(idxs, dtype=int)
+        attn = np.asarray(attention_fn(features.take(sel, axis=0)))
+        nbrs = knn_indices(X, X[sel], neighbors)
         # normalise=False like every reference loop call site
         # (core_utils_sampling.py:429,446, eval_utils.py:404,460):
         # normalizing between iterations would collapse historical 'max'
