@@ -195,6 +195,18 @@ def _add_train(sub):
     p.add_argument("--sampling", action="store_true")
     p.add_argument("--sampling_type", default="spatial",
                    choices=["spatial", "textural"])
+    p.add_argument("--texture_model", default="resnet50",
+                   choices=["resnet50", "levit_128s"],
+                   help="kNN space for textural sampling: resnet50 reuses "
+                        "the MIL feature bags, levit_128s loads a second "
+                        "feature store (reference: main.py:366, "
+                        "sampling_utils.py:51-63)")
+    p.add_argument("--texture_feat_dir", default=None,
+                   help="feature dir holding levit_128s texture bags "
+                        "(reference: data_root_dir/levit_128s)")
+    p.add_argument("--sampling_average", action="store_true",
+                   help="use the running-average weight update instead of "
+                        "max (reference: main.py:367)")
     p.add_argument("--samples_per_iteration", type=int, default=100)
     p.add_argument("--resampling_iterations", type=int, default=10)
     p.add_argument("--sampling_random", type=float, default=0.2)
@@ -338,6 +350,8 @@ def _cmd_train(a):
             import pandas as pd
             scfg = SamplingConfig(
                 sampling_type=a.sampling_type,
+                texture_model=a.texture_model,
+                sampling_average=a.sampling_average,
                 samples_per_iteration=a.samples_per_iteration,
                 resampling_iterations=a.resampling_iterations,
                 sampling_random=a.sampling_random,
@@ -358,6 +372,7 @@ def _cmd_train(a):
                         f"--sampling needs h5 feature bags with coords "
                         f"(missing for {sid}); encode with h5 output")
                 coords_lookup[sid] = coords
+            texture_lookup = _build_texture_lookup(a, manifest.slide_ids)
             rows = []
             k_start = cfg.train.k_start if cfg.train.k_start != -1 else 0
             k_end = cfg.train.k_end if cfg.train.k_end != -1 else cfg.train.k
@@ -365,7 +380,7 @@ def _cmd_train(a):
                 tr, va, te = make_fold_datasets(manifest, store, cfg, fold)
                 res = train_fold_sampling(
                     cfg, scfg, fold, tr, va, te, manifest.class_counts(),
-                    coords_lookup=coords_lookup)
+                    coords_lookup=coords_lookup, texture_lookup=texture_lookup)
                 _write_fold_csv(cfg.results_dir, res)
                 rows.append({"folds": fold, "test_auc": res.test_auc,
                              "val_auc": res.val_auc, "test_acc": res.test_acc,
@@ -511,6 +526,12 @@ def _add_eval(sub):
     p.add_argument("--sampling_random", type=float, default=0.2)
     p.add_argument("--sampling_random_delta", type=float, default=0.02)
     p.add_argument("--fully_random", action="store_true")
+    p.add_argument("--sampling_type", default="spatial",
+                   choices=["spatial", "textural"])
+    p.add_argument("--texture_model", default="resnet50",
+                   choices=["resnet50", "levit_128s"])
+    p.add_argument("--texture_feat_dir", default=None)
+    p.add_argument("--sampling_average", action="store_true")
     p.add_argument("--tune_sampling", action="store_true",
                    help="search DRAS sampling params on the val split first "
                         "(reference: eval.py:172-227)")
@@ -571,6 +592,38 @@ def _resolve_slide_paths(slide_dir: str, slide_ids) -> dict:
     return out
 
 
+def _build_texture_lookup(a, slide_ids):
+    """slide_id -> [N, Dt] LeViT texture features for textural DRAS.
+
+    Reference semantics (sampling_utils.py:51-63): texture_model=resnet50
+    reuses the MIL feature bags as the kNN space (handled downstream by
+    dras_sample_slide's ndarray fallback); levit_128s loads a SECOND
+    pre-extracted feature store (reference: core_utils_sampling.py:327-337
+    reads data_root_dir/levit_128s). Returns None unless that second store
+    is needed.
+    """
+    if getattr(a, "sampling_type", "spatial") != "textural":
+        return None
+    if a.texture_model != "levit_128s":
+        return None
+    if not a.texture_feat_dir:
+        raise SystemExit(
+            "--sampling_type textural with --texture_model levit_128s needs "
+            "--texture_feat_dir (encode the slides with the levit encoder "
+            "first: cli encode --model_type levit_128s)")
+    from hipt_abmil_atec23_tpu.data.bags import FeatureBagStore
+    tstore = FeatureBagStore(a.texture_feat_dir)
+    lookup = {}
+    for sid in slide_ids:
+        try:
+            lookup[sid] = tstore.load_features(sid)
+        except (FileNotFoundError, KeyError, OSError):
+            raise SystemExit(
+                f"texture feature bag missing for {sid!r} under "
+                f"{a.texture_feat_dir}")
+    return lookup
+
+
 def _eval_with_sampling(a, cfg, manifest, store):
     """DRAS inference-time evaluation (reference: eval.py sampling path +
     eval_utils.summary_sampling)."""
@@ -586,6 +639,9 @@ def _eval_with_sampling(a, cfg, manifest, store):
     from hipt_abmil_atec23_tpu.models import build_mil_model
 
     scfg = SamplingConfig(
+        sampling_type=a.sampling_type,
+        texture_model=a.texture_model,
+        sampling_average=a.sampling_average,
         samples_per_iteration=a.samples_per_iteration,
         resampling_iterations=a.resampling_iterations,
         sampling_neighbors=a.sampling_neighbors,
@@ -594,6 +650,7 @@ def _eval_with_sampling(a, cfg, manifest, store):
         sampling_random=a.sampling_random,
         sampling_random_delta=a.sampling_random_delta,
         fully_random=a.fully_random)
+    texture_lookup = _build_texture_lookup(a, manifest.slide_ids)
     rows = []
     os.makedirs(a.save_dir, exist_ok=True)
     folds = a.folds if a.folds else list(range(cfg.train.k))
@@ -668,6 +725,7 @@ def _eval_with_sampling(a, cfg, manifest, store):
             params = load_params(ckpt_path(a.models_dir, fold), template)
             probs, counts = eval_sampling(cfg, scfg, ds, params, model,
                                           coords_lookup=coords_lookup,
+                                          texture_lookup=texture_lookup,
                                           seed=cfg.train.seed + fold,
                                           feature_lookup=feature_lookup)
             auc = M.auc_score(ds.labels, probs, cfg.task.n_classes)

@@ -44,6 +44,12 @@ class SamplingConfig:
     grid_initial_sample: bool = False
     sampling_average: bool = False
 
+    def __post_init__(self):
+        # reference parity: --sampling_average overrides the update mode to
+        # 'average' (core_utils_sampling.py:314-317, eval_utils.py:197)
+        if self.sampling_average:
+            self.sampling_update = "average"
+
 
 def generate_sample_idxs(n: int, previous: Sequence[int],
                          weights: Optional[np.ndarray],
@@ -114,10 +120,19 @@ def update_sampling_weights(weights: np.ndarray, attention: np.ndarray,
             new = np.power(new, power)
             weights = np.maximum(weights, new)
         elif sampling_update == "average":
-            total = np.bincount(flat, weights=rep, minlength=len(weights))
-            count = np.bincount(flat, minlength=len(weights))
-            touched = count > 0
-            new[touched] = total[touched] / count[touched]
+            # The reference computes an order-dependent running pairwise
+            # average new=(prev+attn)/2 in visit order, not an arithmetic
+            # mean (sampling_utils.py:76-83); replicate the recurrence so
+            # --sampling_average runs reproduce reference weights. S*k is
+            # small (samples/iter x neighbors), so the host loop is cheap.
+            attn64 = np.asarray(attention, np.float64)
+            for i in range(nbr.shape[0]):
+                for index in nbr[i]:
+                    if new[index] > 0:
+                        new[index] = (new[index] + attn64[i]) / 2
+                    else:
+                        new[index] = attn64[i]
+            touched = new > 0
             new = np.power(new, power)
             weights[touched] = new[touched]
         elif sampling_update == "newest":
@@ -201,7 +216,11 @@ def dras_sample_slide(
         raise ValueError("textural sampling over a lazy feature source "
                          "requires texture_features")
 
-    weights = np.full(n, 1.0 / n)
+    # reference floor: weights start at the constant 1e-4, NOT 1/n
+    # (core_utils_sampling.py:420); weights stay unnormalized between
+    # iterations, so the attention**power-vs-floor comparison depends on the
+    # absolute fill value whenever n != 10^4.
+    weights = np.full(n, 1e-4)
     all_sampled: List[int] = []
     spi = min(cfg.samples_per_iteration, n)
     idxs = generate_sample_idxs(

@@ -122,7 +122,8 @@ def draw_heatmap(
         tissue = get_seg_mask(seg, (w, h), (dx, dy))
         covered = covered & tissue
 
-    blend = cv2.addWeighted(colored, 1 - alpha, img, alpha, 0)
+    # alpha is the HEATMAP weight (reference: WholeSlideImage.py:738)
+    blend = cv2.addWeighted(colored, alpha, img, 1 - alpha, 0)
     out = img.copy()
     out[covered] = blend[covered]
     return out

@@ -160,7 +160,10 @@ def train_folds_parallel(
             if epoch < tc.min_epochs:
                 improved[i] = True
                 best_val[i] = val_loss[i]
-            elif not best_started[i] or val_loss[i] < best_val[i]:
+            # <= : a plateau-equal val loss re-checkpoints and resets the
+            # counter, matching EarlyStopper.update (train.py) and the
+            # reference's strict-< non-improvement branch
+            elif not best_started[i] or val_loss[i] <= best_val[i]:
                 best_started[i] = True
                 best_val[i] = val_loss[i]
                 counters[i] = 0
