@@ -25,10 +25,50 @@ from hipt_abmil_atec23_tpu.utils.config import ExperimentConfig
 from hipt_abmil_atec23_tpu.utils.seeding import host_rng
 
 
+FUSED_EVAL_MIN_BAG = 4096
+
+
+def evaluate_full_bags_fused(cfg: ExperimentConfig, ds: BagDataset, params,
+                             n_pad: int) -> Tuple[np.ndarray, float]:
+    """Exact full-bag eval through the fused Pallas pooling kernel
+    (ops/gated_attention_pool.py): one streaming launch per slide, no
+    [N, L] HBM intermediates — the production path for un-subsampled
+    10^4-10^5-instance bags. All bags pad to one shape so the kernel
+    compiles once; validity is a dynamic mask operand."""
+    import jax
+    import jax.numpy as jnp
+    from hipt_abmil_atec23_tpu.engine.losses import make_per_sample_loss
+    from hipt_abmil_atec23_tpu.models import build_mil_model
+    from hipt_abmil_atec23_tpu.ops.gated_attention_pool import apply_pooled
+
+    model = build_mil_model(
+        cfg.model.model_type, size_arg=cfg.model.model_size,
+        dropout=cfg.model.drop_out, n_classes=cfg.task.n_classes,
+        k_sample=cfg.model.k_sample, gate=cfg.model.gate,
+        subtyping=cfg.model.subtyping)
+    loss_fn = jax.jit(make_per_sample_loss(cfg.train.bag_loss))
+    probs, nlls = [], []
+    for sid, label in zip(ds.slide_ids, ds.labels):
+        bag = ds._full_bag(sid)
+        k = min(len(bag), n_pad)
+        padded = np.zeros((n_pad, bag.shape[1]), np.float32)
+        padded[:k] = bag[:k]
+        mask = np.arange(n_pad) < k
+        out = apply_pooled(model, params, jnp.asarray(padded),
+                           jnp.asarray(mask), force=True)
+        probs.append(np.asarray(out.y_prob)[0])
+        nll = loss_fn(out.logits, jnp.asarray([label], jnp.int32))
+        nlls.append(float(np.asarray(nll)[0]))
+    return np.stack(probs), float(np.mean(nlls))
+
+
 def evaluate_fold(cfg: ExperimentConfig, fold: int, ds: BagDataset,
                   class_counts: np.ndarray, models_dir: str,
                   n_pad: Optional[int] = None) -> FoldResult:
-    """Load fold checkpoint, run deterministic inference over `ds`."""
+    """Load fold checkpoint, run deterministic inference over `ds`.
+
+    Un-subsampled large bags (max_patches unset, pad >= FUSED_EVAL_MIN_BAG)
+    on single-branch gated CLAM route through the fused kernel path."""
     feat_dim = ds._full_bag(ds.slide_ids[0]).shape[1]
     if n_pad is None:
         n_pad = ds.pad_size()
@@ -57,7 +97,13 @@ def evaluate_fold(cfg: ExperimentConfig, fold: int, ds: BagDataset,
             raise FileNotFoundError(f"no checkpoint for fold {fold} "
                                     f"in {models_dir}")
     rng = host_rng(cfg.train.seed, 100 + fold)
-    probs, loss = evaluate_split(fns, params, ds, n_pad, rng)
+    fused_ok = (cfg.model.model_type == "clam_sb" and cfg.model.gate
+                and cfg.bags.max_patches_per_slide is None
+                and n_pad >= FUSED_EVAL_MIN_BAG)
+    if fused_ok:
+        probs, loss = evaluate_full_bags_fused(cfg, ds, params, n_pad)
+    else:
+        probs, loss = evaluate_split(fns, params, ds, n_pad, rng)
     auc = M.auc_score(ds.labels, probs, cfg.task.n_classes)
     acc = M.accuracy(ds.labels, probs.argmax(1))
     return FoldResult(

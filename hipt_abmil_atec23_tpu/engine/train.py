@@ -276,6 +276,9 @@ def evaluate_split(fns: StepFns, params, ds: BagDataset, n_pad: int,
     (the reference subsamples val/test bags identically,
     datasets/dataset_generic.py:517-519)."""
     n = len(ds)
+    # don't pad a 10-slide split to batches of 32: shrink the batch to the
+    # split (still ONE compiled shape per split size class)
+    batch_size = min(batch_size, n)
     all_probs, all_nll = [], []
     for start in range(0, n, batch_size):
         idxs = list(range(start, min(start + batch_size, n)))

@@ -148,9 +148,11 @@ def run_heatmap_job(cfg: HeatmapJobConfig, *, verbose: bool = True
         if model is None:
             model, params = _load_mil(cfg, feats.shape[1])
 
-        # 3. slide-level prediction + attention blockmap
+        # 3. slide-level prediction + attention blockmap; large bags pool
+        # through the fused Pallas kernel (ops/gated_attention_pool.py)
         import jax.numpy as jnp
-        out = model.apply(params, jnp.asarray(feats), None)
+        from hipt_abmil_atec23_tpu.ops.gated_attention_pool import apply_pooled
+        out = apply_pooled(model, params, jnp.asarray(feats))
         y_hat = int(np.asarray(out.y_hat)[0])
         y_prob = np.asarray(out.y_prob)[0]
         scores = np.asarray(out.a_raw)[0]

@@ -28,26 +28,19 @@ def to_percentiles(scores: np.ndarray) -> np.ndarray:
 
 
 def infer_attention(model, params, features: np.ndarray,
-                    fused: bool = False) -> np.ndarray:
+                    fused: Optional[bool] = None) -> np.ndarray:
     """Full-bag attention A (first branch) for one slide's features
     (reference: infer_single_slide create_heatmaps.py:34-57,
     attention_only contract model_clam.py:151).
 
-    fused=True routes single-branch gated models through the Pallas fused
-    pooling kernel (ops/gated_attention_pool.py) — one launch, streaming
-    tiles, exact for arbitrarily large bags."""
+    Routed through apply_pooled (ops/gated_attention_pool.py): single-branch
+    gated bags above the size threshold run the Pallas fused pooling kernel —
+    one launch, streaming tiles, exact for arbitrarily large bags. `fused`
+    forces the dispatch either way."""
     import jax.numpy as jnp
-    if fused:
-        try:
-            from hipt_abmil_atec23_tpu.ops.gated_attention_pool import (
-                gated_attention_pool, params_from_clam)
-            p = params_from_clam(params)
-            _, scores = gated_attention_pool(jnp.asarray(features), p)
-            return np.asarray(scores)
-        except KeyError:
-            pass  # not a single-branch gated CLAM tree; fall through
-    a = model.apply(params, jnp.asarray(features), None, attention_only=True)
-    return np.asarray(a)[0]
+    from hipt_abmil_atec23_tpu.ops.gated_attention_pool import apply_pooled
+    out = apply_pooled(model, params, jnp.asarray(features), force=fused)
+    return np.asarray(out.a_raw)[0]
 
 
 def save_blockmap(path: str, coords: np.ndarray, scores: np.ndarray) -> None:

@@ -25,6 +25,13 @@ so VMEM holds one [T, D_in] tile + the [L] accumulator regardless of bag
 size — exact full-slide bags (10^4-10^5 instances) pool in one kernel launch.
 Outputs both the bag logits and the raw attention scores (the heatmap
 contract, model_clam.py:151).
+
+Validity is a dynamic [N] mask operand (NOT a compile-time constant), so one
+compiled kernel serves every bag of a padded size class. A partial-reduction
+mode returns the un-normalized accumulator + (max, sum) statistics instead of
+logits, which is the per-shard local op for instance-axis sequence parallelism
+(parallel/sharded_bag.py): shards combine with pmax/psum exactly like two
+flash-attention blocks.
 """
 from __future__ import annotations
 
@@ -77,10 +84,10 @@ def gated_attention_pool_reference(bag, mask, p: GatedPoolParams):
     return m @ p.w_cls + p.b_cls, s
 
 
-def _kernel(bag_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
+def _kernel(bag_ref, mask_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
             wc_ref, bc_ref, wcls_ref, bcls_ref,
-            logits_ref, scores_ref,
-            acc_ref, m_ref, l_ref, *, n_valid: int, tile: int):
+            out0_ref, scores_ref, out2_ref,
+            acc_ref, m_ref, l_ref, *, partial_out: bool):
     ti = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -100,9 +107,8 @@ def _kernel(bag_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
                                preferred_element_type=jnp.float32) + bb_ref[:])
     s = (jnp.dot(a * g, wc_ref[:],
                  preferred_element_type=jnp.float32) + bc_ref[:])  # [T, 1]
-    # mask padded instances
-    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + ti * tile
-    s = jnp.where(row < n_valid, s, NEG_INF)
+    # mask padded/invalid instances (dynamic operand, one compile per shape)
+    s = jnp.where(mask_ref[:] > 0, s, NEG_INF)
     scores_ref[:] = s
 
     # online-softmax pooling recurrence
@@ -117,19 +123,20 @@ def _kernel(bag_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
 
     @pl.when(ti == nt - 1)
     def _finalize():
-        mpool = acc_ref[:] / jnp.maximum(l_ref[0, 0], 1e-30)   # [1, L]
-        logits_ref[:] = (jnp.dot(mpool, wcls_ref[:],
-                                 preferred_element_type=jnp.float32)
-                         + bcls_ref[:])
+        if partial_out:
+            # shard-local partials for the cross-device flash combine
+            out0_ref[:] = acc_ref[:]
+            out2_ref[0, 0] = m_ref[0, 0]
+            out2_ref[0, 1] = l_ref[0, 0]
+        else:
+            mpool = acc_ref[:] / jnp.maximum(l_ref[0, 0], 1e-30)   # [1, L]
+            out0_ref[:] = (jnp.dot(mpool, wcls_ref[:],
+                                   preferred_element_type=jnp.float32)
+                           + bcls_ref[:])
+            out2_ref[:] = jnp.zeros_like(out2_ref)
 
 
-def gated_attention_pool(bag: jax.Array, p: GatedPoolParams,
-                         n_valid: Optional[int] = None,
-                         tile: int = 512) -> Tuple[jax.Array, jax.Array]:
-    """Fused pooled forward. bag: [N, D_in]; returns (logits [1, C],
-    raw scores [N]). N pads internally to a tile multiple."""
-    n, d_in = bag.shape
-    n_valid = n if n_valid is None else n_valid
+def _pick_tile(p: GatedPoolParams, d_in: int, n: int, tile: int) -> int:
     # VMEM budget: the tile's live set is roughly
     # x[T,d_in] + h[T,L] + a,g[T,D]x2 + s[T,1] in fp32, plus the weights.
     # Cap the tile so it fits well under the 16MB scoped-vmem limit.
@@ -139,30 +146,130 @@ def gated_attention_pool(bag: jax.Array, p: GatedPoolParams,
     weight_bytes = 4 * sum(int(np.prod(w.shape)) for w in p)
     budget = 10 * 1024 * 1024 - weight_bytes
     tile_cap = max(128, (budget // per_inst_bytes) // 8 * 8)
-    tile = min(tile, tile_cap, max(8, n))
-    n_pad = ((n + tile - 1) // tile) * tile
-    if n_pad != n:
-        bag = jnp.pad(bag, ((0, n_pad - n), (0, 0)))
+    return min(tile, tile_cap, max(8, n))
+
+
+def _pallas_pool(bag, mask_col, p: GatedPoolParams, tile: int,
+                 partial_out: bool):
+    n_pad, d_in = bag.shape
     l_dim = p.w_f.shape[1]
     c_dim = p.w_cls.shape[1]
+    out0_dim = l_dim if partial_out else c_dim
 
     rep = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # full-array operand
-    logits, scores = pl.pallas_call(
-        functools.partial(_kernel, n_valid=n_valid, tile=tile),
+    return pl.pallas_call(
+        functools.partial(_kernel, partial_out=partial_out),
         grid=(n_pad // tile,),
         in_specs=[pl.BlockSpec((tile, d_in), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tile, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] + [rep()] * 10,
-        out_specs=(pl.BlockSpec((1, c_dim), lambda i: (0, 0),
+        out_specs=(pl.BlockSpec((1, out0_dim), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 2), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((1, c_dim), jnp.float32),
-                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((1, out0_dim), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 2), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((1, l_dim), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),
         ],
-    )(bag, p.w_f, p.b_f, p.w_a, p.b_a, p.w_b, p.b_b, p.w_c, p.b_c,
+    )(bag, mask_col, p.w_f, p.b_f, p.w_a, p.b_a, p.w_b, p.b_b, p.w_c, p.b_c,
       p.w_cls, p.b_cls)
+
+
+def _prep(bag, mask, n_valid, p: GatedPoolParams, tile: int):
+    n, d_in = bag.shape
+    if mask is None:
+        nv = n if n_valid is None else n_valid
+        mask = jnp.arange(n) < nv
+    tile = _pick_tile(p, d_in, n, tile)
+    n_pad = ((n + tile - 1) // tile) * tile
+    if n_pad != n:
+        bag = jnp.pad(bag, ((0, n_pad - n), (0, 0)))
+        mask = jnp.pad(mask, ((0, n_pad - n),))
+    mask_col = mask.astype(jnp.float32)[:, None]
+    return bag, mask_col, tile
+
+
+def gated_attention_pool(bag: jax.Array, p: GatedPoolParams,
+                         n_valid=None, mask: Optional[jax.Array] = None,
+                         tile: int = 512) -> Tuple[jax.Array, jax.Array]:
+    """Fused pooled forward. bag: [N, D_in]; returns (logits [1, C],
+    raw scores [N]). Validity via `mask` [N] bool or prefix length `n_valid`
+    (Python int OR traced scalar — it is a data operand, not a shape).
+    N pads internally to a tile multiple."""
+    n = bag.shape[0]
+    bag, mask_col, tile = _prep(bag, mask, n_valid, p, tile)
+    logits, scores, _ = _pallas_pool(bag, mask_col, p, tile, partial_out=False)
     return logits, scores[:n, 0]
+
+
+def gated_attention_pool_partial(
+    bag: jax.Array, p: GatedPoolParams,
+    mask: Optional[jax.Array] = None, tile: int = 512,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Shard-local fused pooling partials for sequence-parallel MIL
+    (parallel/sharded_bag.py): returns (acc [1, L] un-normalized weighted-sum
+    accumulator at local max, m [] local score max, l [] local exp-sum,
+    scores [N]). Combine across shards like flash-attention blocks:
+
+        gmax = pmax(m); acc_g = psum(acc * exp(m - gmax));
+        l_g = psum(l * exp(m - gmax)); M = acc_g / l_g.
+    """
+    n = bag.shape[0]
+    bag, mask_col, tile = _prep(bag, mask, None, p, tile)
+    acc, scores, stats = _pallas_pool(bag, mask_col, p, tile, partial_out=True)
+    return acc, stats[0, 0], stats[0, 1], scores[:n, 0]
+
+
+# --------------------------------------------------------------------------
+# Auto-dispatching full-bag forward (the production entry)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _jnp_pool(bag, mask, p: GatedPoolParams):
+    return gated_attention_pool_reference(bag, mask, p)
+
+
+def apply_pooled(model, params, bag, mask=None, *, min_fused: int = 1024,
+                 force: Optional[bool] = None):
+    """Full-bag deterministic MIL forward with fused-kernel auto-dispatch.
+
+    Drop-in for ``model.apply(params, bag, mask)`` on the inference paths
+    (explain/driver.py, engine/evaluate.py full-bag eval): single-branch
+    gated CLAM bags of >= `min_fused` instances route through the Pallas
+    streaming kernel on TPU (one launch, no [N, L] HBM intermediates); every
+    other case — small bags, CLAM_MB, ungated, MIL_fc — falls back to the
+    padded jnp forward. `force=True/False` overrides the size heuristic.
+
+    Returns a ``models.abmil.MILOutput`` either way (extras empty on the
+    fused path; instance clustering is a training-only feature).
+    """
+    from hipt_abmil_atec23_tpu.models.abmil import MILOutput
+
+    n = bag.shape[0]
+    eligible = (getattr(model, "multi_branch", True) is False
+                and getattr(model, "gate", False) is True)
+    p = None
+    if eligible:
+        try:
+            p = params_from_clam(params)
+        except (KeyError, TypeError):
+            p = None
+    use = (force if force is not None else n >= min_fused) and p is not None
+    if not use:
+        return model.apply(params, bag, mask)
+    if jax.default_backend() == "tpu":
+        logits, scores = gated_attention_pool(bag, p, mask=mask)
+    else:
+        m = mask if mask is not None else jnp.ones((n,), bool)
+        logits, scores = _jnp_pool(bag, m, p)
+        logits = logits[None, :]
+    y_prob = jax.nn.softmax(logits, axis=-1)
+    y_hat = jnp.argmax(logits, axis=-1)
+    return MILOutput(logits, y_prob, y_hat, scores[None, :], {})

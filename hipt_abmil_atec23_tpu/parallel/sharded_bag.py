@@ -22,14 +22,45 @@ from hipt_abmil_atec23_tpu.ops.masking import NEG_INF
 
 
 def sharded_clam_forward(params: Any, bag: jax.Array, mask: jax.Array,
-                         mesh: Mesh, *, axis: str = "inst") -> Tuple[jax.Array, jax.Array]:
+                         mesh: Mesh, *, axis: str = "inst",
+                         use_fused: bool = False) -> Tuple[jax.Array, jax.Array]:
     """CLAM_SB deterministic forward with the instance axis sharded.
 
     params: unbatched CLAM_SB parameter tree ({'params': {...}}).
     bag:    [N, D] with N divisible by mesh.shape[axis].
     Returns (logits [1, C], a_raw [1, N] fully replicated).
+
+    use_fused=True runs each shard's projection + online-softmax partials as
+    ONE Pallas kernel (ops/gated_attention_pool.py partial mode) and combines
+    shards with the flash-attention pmax/psum recurrence — the fused kernel IS
+    the sequence-parallel local op, no [N_local, L] HBM intermediates.
     """
     p = params["params"]
+
+    if use_fused:
+        from hipt_abmil_atec23_tpu.ops.gated_attention_pool import (
+            gated_attention_pool_partial, params_from_clam)
+        gp = params_from_clam(params)
+
+        def local_fused(bag_l, mask_l):
+            acc, m, l, scores = gated_attention_pool_partial(
+                bag_l, gp, mask=mask_l)
+            gmax = jax.lax.pmax(m, axis)
+            scale = jnp.exp(m - gmax)
+            l_g = jax.lax.psum(l * scale, axis)
+            acc_g = jax.lax.psum(acc * scale, axis)        # [1, L]
+            mpool = acc_g / jnp.maximum(l_g, 1e-30)
+            logits = mpool @ gp.w_cls + gp.b_cls           # [1, C]
+            a_full = jax.lax.all_gather(scores, axis, tiled=True)
+            return logits, a_full[None, :]
+
+        fwd = shard_map(
+            local_fused, mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fwd(bag, mask)
 
     def local_fwd(bag_l, mask_l):
         # fc -> relu (local, elementwise over instances)

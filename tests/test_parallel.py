@@ -61,3 +61,32 @@ def test_sharded_bag_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(a_raw)[0, :200],
                                np.asarray(ref.a_raw)[0, :200],
                                rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_bag_fused_local_op(rng):
+    """use_fused=True: the Pallas partial kernel as the sequence-parallel
+    local op (interpret mode on CPU) == unsharded CLAM forward."""
+    import functools
+    import unittest.mock as mock
+    from jax.experimental import pallas as pl
+    from hipt_abmil_atec23_tpu.ops import gated_attention_pool as gap
+
+    n, d = 1024, 192
+    bag = rng.normal(size=(n, d)).astype(np.float32)
+    mask = np.ones((n,), bool)
+    mask[1000:] = False
+    model = CLAM_SB(size_arg="hipt_smaller", n_classes=2)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(bag), None)
+    ref = model.apply(params, jnp.asarray(bag), jnp.asarray(mask))
+
+    mesh = make_mesh([("inst", 8)])
+    orig = pl.pallas_call
+    with mock.patch.object(gap.pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        logits, a_raw = sharded_clam_forward(
+            params, jnp.asarray(bag), jnp.asarray(mask), mesh, use_fused=True)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref.logits),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_raw)[0, :1000],
+                               np.asarray(ref.a_raw)[0, :1000],
+                               rtol=2e-4, atol=1e-5)
