@@ -828,6 +828,19 @@ def _add_heatmap(sub):
     p.add_argument("--alpha", type=float, default=0.4)
     p.add_argument("--n_classes", type=int, default=2)
     p.add_argument("--sample_topk", type=int, default=8)
+    # hierarchical ViT-attention galleries over the top ROIs (reference:
+    # HIPT_4K/hipt_heatmap_utils.py:347-664, hipt_4k.py:167-305)
+    p.add_argument("--hierarchical", action="store_true",
+                   help="shift-averaged hierarchical heatmap galleries for "
+                        "the top --hier_regions ROIs")
+    p.add_argument("--hier_mode", default="concat_select",
+                   choices=["indiv", "concat", "concat_select"])
+    p.add_argument("--hier_regions", type=int, default=2)
+    p.add_argument("--patch_gallery", action="store_true",
+                   help="ViT-256 patch-level attention galleries for the "
+                        "top ROI's patches (hipt_heatmap_utils.py:158-294)")
+    p.add_argument("--vit256_ckpt", default=None)
+    p.add_argument("--vit4k_ckpt", default=None)
 
 
 def _cmd_heatmap(a):
@@ -904,9 +917,52 @@ def _cmd_heatmap(a):
         cv2.imwrite(os.path.join(
             a.save_dir, f"{sid}_roi{j}_{score:.3f}.png"),
             cv2.cvtColor(patch, cv2.COLOR_RGB2BGR))
+    if a.hierarchical or a.patch_gallery:
+        _heatmap_galleries(a, slide, sid, rois, attrs)
     slide.close()
     print(f"[heatmap] wrote heatmap + blockmap + {len(patches)} ROIs "
           f"to {a.save_dir}")
+
+
+def _heatmap_galleries(a, slide, sid, rois, attrs):
+    """Hierarchical/patch ViT-attention galleries for the top ROI regions."""
+    import jax
+    import jax.numpy as jnp
+    from hipt_abmil_atec23_tpu.explain.hierarchical import (
+        hierarchical_gallery, patch_gallery)
+    from hipt_abmil_atec23_tpu.models.hipt import (
+        center_crop_multiple, make_hipt_encoder)
+    from hipt_abmil_atec23_tpu.models.vit import vit_small
+
+    hipt = make_hipt_encoder(dtype=jnp.float32)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        hvars = hipt.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 256, 256, 3), jnp.float32))
+    if a.vit256_ckpt and a.vit4k_ckpt:
+        from hipt_abmil_atec23_tpu.models.convert import (
+            hipt_params_from_torch, load_torch_state_dict)
+        hvars = hipt_params_from_torch(
+            load_torch_state_dict(a.vit256_ckpt),
+            load_torch_state_dict(a.vit4k_ckpt))
+    out_dir = os.path.join(a.save_dir, "galleries")
+    k = min(a.hier_regions, len(rois["sampled_coords"]))
+    ps = int(attrs["patch_size"])
+    lvl = int(attrs.get("patch_level", 0))
+    regions = slide.read_regions(rois["sampled_coords"][:k], lvl, (ps, ps))
+    v256 = vit_small(dtype=jnp.float32)
+    v256_vars = {"params": hvars["params"]["vit256"]}
+    for j, reg in enumerate(regions):
+        reg = center_crop_multiple(reg, 256)
+        if a.hierarchical:
+            hierarchical_gallery(reg, hipt, hvars, out_dir, f"{sid}_roi{j}",
+                                 mode=a.hier_mode, alpha=a.alpha)
+        if a.patch_gallery and j == 0:
+            patch = reg[:256, :256]
+            patch_gallery(patch, v256, v256_vars, out_dir,
+                          f"{sid}_roi{j}_patch", mode="concat",
+                          alpha=a.alpha)
+    print(f"[heatmap] galleries for {k} ROI regions -> {out_dir}")
 
 
 def _add_knn(sub):
