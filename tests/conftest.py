@@ -51,6 +51,10 @@ def stub_reference_deps() -> None:
             sys.modules[f"torchvision.{sub}"] = m
         # instantiated (but unused for our flows) inside reference loops
         tv.transforms.ToPILImage = lambda *a, **k: (lambda x: x)
+        for t in ("Compose", "ToTensor", "Normalize", "RandomHorizontalFlip",
+                  "RandomVerticalFlip", "RandomAffine", "ColorJitter",
+                  "CenterCrop", "Resize", "GaussianBlur"):
+            setattr(tv.transforms, t, lambda *a, **k: (lambda x: x))
         sys.modules["torchvision"] = tv
     if "openslide" not in sys.modules:
         sys.modules["openslide"] = _stub("openslide")
