@@ -1,22 +1,34 @@
 """Benchmark driver. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Headline metric (BASELINE.json north star): end-to-end WSI throughput —
 tile (segment + patch-coordinate enumeration) -> HIPT_4K hierarchical
 features (ViT-256 -> ViT-4K, fused bf16 graph) -> ABMIL gated-attention
-inference — in slides/hour on one TPU chip. Target: >= 50 TCGA-scale
-slides/hour/chip.
+inference. Target: >= 50 TCGA-scale slides/hour/chip.
 
-Slides are synthetic 16384x16384 (268 Mpx, TCGA-20x scale) JPEG-tiled
-pyramids fabricated by the native writer; decode cost is therefore real
-(libtiff JPEG on host threads). Setup/compile is excluded; the timed loop is
-the production path: native batched decode overlapping fused TPU encode.
+TCGA honesty: real 20x TCGA slides are multi-Gpx with tissue spanning
+~40+ 4096^2 regions (HIPT's design target, reference: HIPT_4K/hipt_4k.py:
+48-76). The bench fabricates 16384^2 JPEG-tiled pyramids with FULL tissue
+coverage (16 regions each; decode cost is real libtiff JPEG on host
+threads), measures regions/hour through the production path, and reports
+the headline value normalized to 40-region slide equivalents so the
+number extrapolates to real TCGA loads instead of flattering sparse
+synthetic tissue. Raw slides/hour and regions/hour are in the extras.
 
-vs_baseline = value / 50 (the target from BASELINE.json; the reference
-publishes no throughput numbers — SURVEY.md §6).
+Kernel-level modes (VERDICT r1 #8) re-measure the hot-kernel claims every
+round with the same one-line schema:
+
+    python bench.py --kernel vit256      # fused bf16 ViT-256 TFLOP/s
+    python bench.py --kernel abmil_pool  # fused Pallas pool vs jnp, N=100k
+    python bench.py --kernel flash       # Pallas flash attn vs XLA attn
+
+vs_baseline: e2e = value / 50 (BASELINE.json; the reference publishes no
+throughput numbers — SURVEY.md §6); kernel modes = speedup vs the jnp/XLA
+baseline implementation (vit256: fraction of v5e bf16 peak, 197 TFLOP/s).
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import tempfile
@@ -25,21 +37,69 @@ import time
 import numpy as np
 
 SLIDE_PX = 16384
-N_SLIDES = 8
+N_SLIDES = 6
 REGION = 4096
 REGION_BATCH = 2
+REGIONS_PER_TCGA_SLIDE = 40.0
 TARGET_SLIDES_PER_HOUR = 50.0
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def _setup_cache(jax):
     # persistent compile cache: first bench run pays the (minutes-long)
     # tunnel compile; subsequent runs start hot
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_bench_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _emit(payload):
+    print(json.dumps(payload))
+
+
+def _timed_device(fn, *args, iters=3):
+    """Median wall time of fn(*args); each call FETCHES a result to host —
+    through the axon tunnel block_until_ready alone under-reports
+    (CLAUDE.md measured facts)."""
+    import jax
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])  # host fetch = real barrier
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _chained_time(fn, params, x, chain=32, iters=5):
+    """Per-call device time of fn(params, x) with `chain` in-graph
+    iterations per dispatch: a single dispatch through the axon tunnel
+    costs ~200ms+ regardless of compute, so kernel-scale timings MUST
+    amortize it in-graph. Each iteration's input depends on the previous
+    carry (x + 1e-30*c) so XLA cannot hoist the loop-invariant compute
+    out of the scan."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(p, x):
+        def body(c, _):
+            out = fn(p, jax.tree.map(lambda a: a + (1e-30 * c).astype(a.dtype),
+                                     x))
+            leaves = jax.tree.leaves(out)
+            s = sum(jnp.sum(o).astype(jnp.float32) for o in leaves)
+            return s * 1e-30, None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              None, length=chain)
+        return acc
+    jax.block_until_ready(run(params, x))  # warm/compile
+    return _timed_device(run, params, x, iters=iters) / chain
+
+
+def bench_e2e():
+    import jax
+    import jax.numpy as jnp
+    _setup_cache(jax)
 
     from hipt_abmil_atec23_tpu.engine.encode import build_encoder, encode_slide
     from hipt_abmil_atec23_tpu.models import build_mil_model
@@ -54,9 +114,18 @@ def main():
     tmp = tempfile.mkdtemp(prefix="bench_")
     slide_path = os.path.join(tmp, "tcga_scale.tif")
 
-    # ---- setup (untimed): fabricate slide, build + warm the compiled path
+    # ---- setup (untimed): fabricate a FULL-tissue slide (all 16 regions
+    # carry tissue, like the dense core of a TCGA section), build + warm
+    rng = np.random.default_rng(0)
+    block = np.clip(
+        np.array([199, 124, 180], np.int16)
+        + rng.integers(-25, 25, size=(4096, 4096, 3), dtype=np.int16),
+        0, 255).astype(np.uint8)
+    full = np.tile(block, (SLIDE_PX // 4096, SLIDE_PX // 4096, 1))
     write_synthetic_slide(slide_path, SLIDE_PX, SLIDE_PX, n_levels=5,
-                          compression=native.COMPRESSION_JPEG, seed=0)
+                          compression=native.COMPRESSION_JPEG, image=full)
+    del full, block
+
     encoder = build_encoder(EncoderConfig(
         model_type="HIPT_4K", batch_size=REGION_BATCH, dtype="bfloat16"))
     mil = build_mil_model("clam_sb", size_arg="hipt_smaller", n_classes=2)
@@ -70,7 +139,7 @@ def main():
 
     warm = np.zeros((REGION_BATCH, REGION, REGION, 3), np.uint8)
     jax.block_until_ready(encoder.apply(jnp.asarray(warm)))
-    N_PAD = 32  # max regions per bag (16 full regions typical + margin)
+    N_PAD = 32  # max regions per bag (16 full regions + margin)
     jax.block_until_ready(mil_forward(
         mil_params, jnp.zeros((N_PAD, 192), jnp.float32),
         jnp.ones((N_PAD,), bool)))
@@ -99,14 +168,158 @@ def main():
         slide.close()
     dt = time.perf_counter() - t0
 
-    slides_per_hour = N_SLIDES / dt * 3600.0
-    print(json.dumps({
-        "metric": "e2e_slides_per_hour_tile_hipt_abmil",
-        "value": round(slides_per_hour, 1),
-        "unit": f"slides/hour (16k x 16k px, {regions_done // N_SLIDES} "
-                f"4096px regions/slide)",
-        "vs_baseline": round(slides_per_hour / TARGET_SLIDES_PER_HOUR, 2),
-    }))
+    regions_per_hour = regions_done / dt * 3600.0
+    raw_slides_per_hour = N_SLIDES / dt * 3600.0
+    tcga40 = regions_per_hour / REGIONS_PER_TCGA_SLIDE
+    _emit({
+        "metric": "e2e_tcga_slides_per_hour_tile_hipt_abmil",
+        "value": round(tcga40, 1),
+        "unit": f"40-region TCGA-slide equivalents/hour "
+                f"({regions_done // N_SLIDES} full-tissue 4096px regions "
+                f"per measured 16k slide)",
+        "vs_baseline": round(tcga40 / TARGET_SLIDES_PER_HOUR, 2),
+        "regions_per_hour": round(regions_per_hour, 1),
+        "raw_slides_per_hour_16region": round(raw_slides_per_hour, 1),
+    })
+
+
+def bench_vit256():
+    """Fused bf16 ViT-256 forward TFLOP/s (the HIPT inner loop).
+    In-graph lax.scan chaining amortizes the ~200-250ms tunnel dispatch."""
+    import jax
+    import jax.numpy as jnp
+    _setup_cache(jax)
+    from hipt_abmil_atec23_tpu.models.hipt import hipt_eval_normalize
+    from hipt_abmil_atec23_tpu.models.vit import vit_small
+
+    batch, chain = 512, 8
+    model = vit_small(dtype=jnp.bfloat16)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 256, 256, 3), jnp.float32))
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    # analytic FLOPs per image: 12 pre-norm blocks at L=257 tokens, D=384,
+    # heads 6, mlp 4D — 2*flop per MAC
+    L, D, depth = 257, 384, 12
+    per_block = (2 * L * D * (3 * D)      # qkv
+                 + 2 * 2 * L * L * D      # scores + AV
+                 + 2 * L * D * D          # proj
+                 + 2 * 2 * L * D * (4 * D))  # mlp fc1+fc2
+    patchify = 2 * 256 * (16 * 16 * 3) * D  # one [256, 768]x[768, D] GEMM
+    flops_per_img = depth * per_block + patchify
+
+    x = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, size=(batch, 256, 256, 3), dtype=np.uint8))
+    x_f = jax.device_put(hipt_eval_normalize(x))  # normalize once (host-cheap)
+    dt = _chained_time(lambda v, xf: model.apply(v, xf), variables, x_f,
+                       chain=chain)
+    tflops = flops_per_img * batch / dt / 1e12
+    _emit({
+        "metric": "vit256_bf16_fused_tflops",
+        "value": round(tflops, 1),
+        "unit": f"TFLOP/s in-graph (batch {batch}, chain {chain}, "
+                f"analytic transformer FLOPs)",
+        "vs_baseline": round(tflops / V5E_BF16_PEAK_TFLOPS, 2),
+        "images_per_sec": round(batch / dt, 1),
+    })
+
+
+def bench_abmil_pool():
+    """Fused Pallas gated-attention pooling vs the jnp (XLA) path on a
+    full-slide 100k x 192 bag (VERDICT r1 #3 done-criterion)."""
+    import jax
+    import jax.numpy as jnp
+    _setup_cache(jax)
+    from hipt_abmil_atec23_tpu.models import build_mil_model
+    from hipt_abmil_atec23_tpu.ops import gated_attention_pool as gap
+
+    n, d = 100_000, 192
+    rng = np.random.default_rng(0)
+    model = build_mil_model("clam_sb", size_arg="hipt_smaller", n_classes=2)
+    small = jnp.zeros((8, d), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), small, None)
+    p = gap.params_from_clam(params)
+    bag = jax.device_put(jnp.asarray(
+        rng.normal(size=(n, d)).astype(np.float32)))
+    mask = jnp.ones((n,), bool)
+
+    fused = jax.jit(lambda b, m: gap.gated_attention_pool(b, p, mask=m))
+    jnp_path = jax.jit(lambda b, m: gap.gated_attention_pool_reference(b, m, p))
+
+    out_f = jax.block_until_ready(fused(bag, mask))
+    out_j = jax.block_until_ready(jnp_path(bag, mask))
+    # sanity only (strict parity lives in tests/test_gated_pool_kernel.py);
+    # on TPU the jnp path's default-precision matmuls run bf16 passes while
+    # the kernel accumulates f32, so allow a few 1e-3 of drift
+    np.testing.assert_allclose(np.asarray(out_f[0])[0], np.asarray(out_j[0]),
+                               rtol=5e-2, atol=5e-3)
+    t_fused = _chained_time(lambda _, b: gap.gated_attention_pool(
+        b, p, mask=mask), None, bag)
+    t_jnp = _chained_time(lambda _, b: gap.gated_attention_pool_reference(
+        b, mask, p), None, bag)
+    _emit({
+        "metric": "abmil_pool_fused_bags_per_sec",
+        "value": round(1.0 / t_fused, 1),
+        "unit": f"full {n//1000}k-instance bags/sec (fused Pallas kernel, "
+                f"hipt_smaller)",
+        "vs_baseline": round(t_jnp / t_fused, 2),
+        "fused_ms": round(t_fused * 1e3, 3),
+        "jnp_ms": round(t_jnp * 1e3, 3),
+    })
+
+
+def bench_flash():
+    """Pallas flash attention vs naive XLA attention at a long sequence
+    (the regime the kernels exist for; at N=257 XLA wins — CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+    _setup_cache(jax)
+    from hipt_abmil_atec23_tpu.ops.flash_attention import flash_attention
+
+    bh, n, dh = 24, 4096, 64  # 4 regions x 6 heads
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(bh, n, dh)).astype(np.float32))
+               for _ in range(3))
+    scale = dh ** -0.5  # flash_attention applies 1/sqrt(d) internally
+
+    @jax.jit
+    def naive(q, k, v):
+        s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+        return jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(s, axis=-1), v)
+
+    fl = jax.jit(lambda q, k, v: flash_attention(q, k, v))
+    out_f = jax.block_until_ready(fl(q, k, v))
+    out_n = jax.block_until_ready(naive(q, k, v))
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
+                               rtol=2e-2, atol=2e-3)
+    t_f = _chained_time(lambda _, x: flash_attention(*x), None, (q, k, v),
+                        chain=16)
+    t_n = _chained_time(lambda _, x: naive(*x), None, (q, k, v), chain=16)
+    _emit({
+        "metric": "flash_attention_calls_per_sec",
+        "value": round(1.0 / t_f, 1),
+        "unit": f"[{bh},{n},{dh}] attention calls/sec (Pallas flash)",
+        "vs_baseline": round(t_n / t_f, 2),
+        "flash_ms": round(t_f * 1e3, 3),
+        "xla_ms": round(t_n * 1e3, 3),
+    })
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernel", choices=["vit256", "abmil_pool", "flash"],
+                    default=None)
+    args = ap.parse_args()
+    if args.kernel == "vit256":
+        bench_vit256()
+    elif args.kernel == "abmil_pool":
+        bench_abmil_pool()
+    elif args.kernel == "flash":
+        bench_flash()
+    else:
+        bench_e2e()
 
 
 if __name__ == "__main__":

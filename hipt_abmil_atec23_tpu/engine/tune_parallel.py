@@ -46,10 +46,11 @@ def adam_l2_update(params, grads, mu, nu, count, lr, reg):
 class ParallelTrialResult:
     lr: np.ndarray             # [T]
     reg: np.ndarray            # [T]
-    val_loss: np.ndarray       # [T, E]
+    val_loss: np.ndarray       # [T, E] (NaN after a trial's ASHA kill)
     best_trial: int
     best_lr: float
     best_reg: float
+    stopped_epoch: Optional[np.ndarray] = None  # [T] last trained epoch
 
 
 def run_trials_parallel(
@@ -62,12 +63,20 @@ def run_trials_parallel(
     max_epochs: Optional[int] = None,
     mesh=None,
     verbose: bool = True,
+    asha=None,
+    n_real: Optional[int] = None,
 ) -> ParallelTrialResult:
     """Train T = len(lr_values) trials simultaneously on one fold.
 
     All trials share the data stream (same shuffled epochs — a controlled
     comparison) and differ only in (lr, reg). Selection: lowest mean val loss
     over the last min(10, E) epochs (reference: main.py:256-268).
+
+    `asha` (an engine.tune.ASHAScheduler) applies per-trial kills at rung
+    milestones: a killed trial's lane keeps computing (vmapped lanes are
+    free) but its metrics freeze at NaN and it stops feeding the rungs.
+    When every trial is dead the bucket stops early — that's where the
+    wall-clock saving is. `n_real` ignores trailing mesh-padding trials.
     """
     from hipt_abmil_atec23_tpu.data.bags import epoch_order
     from hipt_abmil_atec23_tpu.engine.losses import make_bag_loss
@@ -171,7 +180,11 @@ def run_trials_parallel(
     v_labels = jnp.asarray(vb.labels)
     v_valid = jnp.ones((len(val_ds),), jnp.float32)
 
-    val_hist = np.zeros((n_trials, epochs), np.float32)
+    n_real = n_trials if n_real is None else n_real
+    val_hist = np.full((n_trials, epochs), np.nan, np.float32)
+    active = np.zeros((n_trials,), bool)
+    active[:n_real] = True
+    stopped = np.full((n_trials,), epochs - 1, np.int64)
     for epoch in range(epochs):
         order = epoch_order(train_ds.labels, cfg.task.n_classes, rng,
                             cfg.train.weighted_sample)
@@ -181,15 +194,128 @@ def run_trials_parallel(
         params, mu, nu, count = epoch_f(
             params, mu, nu, count, lr, reg,
             jnp.asarray(feats), jnp.asarray(mask), jnp.asarray(labels), ekeys)
-        val_hist[:, epoch] = np.asarray(
-            val_f(params, v_feats, v_mask, v_labels, v_valid))
+        vl = np.asarray(val_f(params, v_feats, v_mask, v_labels, v_valid))
+        val_hist[active, epoch] = vl[active]
+        if asha is not None:
+            for t in np.flatnonzero(active):
+                if asha.should_stop(epoch, float(vl[t])):
+                    active[t] = False
+                    stopped[t] = epoch
+            if not active.any():
+                if verbose:
+                    print(f"[trials] all trials ASHA-killed at epoch {epoch}")
+                break
         if verbose:
             print(f"[trials] epoch {epoch}: val_loss "
-                  f"{np.array2string(val_hist[:, epoch], precision=4)}")
+                  f"{np.array2string(vl[:n_real], precision=4)}")
 
-    window = min(10, epochs)
-    last = val_hist[:, -window:].mean(1)
+    def _last10(t):
+        vals = val_hist[t][~np.isnan(val_hist[t])]
+        return float(vals[-min(10, len(vals)):].mean()) if len(vals) \
+            else float("inf")
+    last = np.array([_last10(t) for t in range(n_real)])
     best = int(np.argmin(last))
     return ParallelTrialResult(
         lr=lr_values, reg=reg_values, val_loss=val_hist, best_trial=best,
-        best_lr=float(lr_values[best]), best_reg=float(reg_values[best]))
+        best_lr=float(lr_values[best]), best_reg=float(reg_values[best]),
+        stopped_epoch=stopped)
+
+
+# --------------------------------------------------------------------------
+# Heterogeneous trial parallelism: bucket by traced-compatible shape
+# --------------------------------------------------------------------------
+
+_TRACED_KEYS = ("lr", "reg")  # tunables that vmap as traced values
+
+
+def _bucket_key(trial: Dict) -> Tuple:
+    """Static (shape-affecting) part of a trial config: model_size /
+    max_patches_per_slide / B / drop_out force a recompile, lr/reg do not."""
+    return tuple(sorted((k, v) for k, v in trial.items()
+                        if k not in _TRACED_KEYS))
+
+
+def run_tuning_hetero(
+    base_cfg,
+    manifest,
+    store,
+    class_counts: np.ndarray,
+    *,
+    fold: int = 0,
+    space: Optional[Dict] = None,
+    num_samples: int = 20,
+    max_epochs: Optional[int] = None,
+    grace_period: int = 8,
+    reduction_factor: int = 2,
+    mesh=None,
+    seed: int = 0,
+    output_csv: Optional[str] = None,
+    verbose: bool = True,
+):
+    """Trial-parallel search over a HETEROGENEOUS space (VERDICT r1 #7).
+
+    The reference's real grids sweep model_size / max_patches / drop_out
+    alongside lr and reg (reference: main.py:54-206); those axes change
+    traced shapes or static module attributes, so one vmap can't span them.
+    Sampled configs bucket by their static part (_bucket_key); each bucket
+    trains as ONE vmapped program with per-trial (lr, reg) traced in the
+    optimizer state, its trial axis sharded over the mesh (padded by
+    repeating the last config when the bucket doesn't divide the mesh); the
+    shared ASHAScheduler kills trials per-rung ACROSS buckets, and a bucket
+    whose trials are all dead stops early.
+
+    Returns (best_config, results_df) matching run_tuning's selection rule
+    (lowest last-10-epoch mean val loss, reference: main.py:256-268).
+    """
+    import pandas as pd
+    from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets
+    from hipt_abmil_atec23_tpu.engine.tune import (
+        ASHAScheduler, apply_trial_config, sample_configs,
+        DEFAULT_SEARCH_SPACE)
+
+    space = space or DEFAULT_SEARCH_SPACE
+    configs = sample_configs(space, num_samples, seed)
+    max_t = max_epochs or base_cfg.train.max_epochs
+    asha = ASHAScheduler(max_t=max_t, grace_period=grace_period,
+                         reduction_factor=reduction_factor)
+    ndev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+
+    buckets: Dict[Tuple, List[int]] = {}
+    for i, c in enumerate(configs):
+        buckets.setdefault(_bucket_key(c), []).append(i)
+
+    rows = [None] * len(configs)
+    for bkey, idxs in buckets.items():
+        static = dict(bkey)
+        cfg = apply_trial_config(base_cfg, static)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, train=_dc.replace(cfg.train, max_epochs=max_t,
+                                                 early_stopping=False))
+        datasets = make_fold_datasets(manifest, store, cfg, fold)
+        lrs = [float(configs[i].get("lr", base_cfg.train.lr)) for i in idxs]
+        regs = [float(configs[i].get("reg", base_cfg.train.reg)) for i in idxs]
+        n_real = len(idxs)
+        if mesh is not None and n_real % ndev:
+            pad = ndev - n_real % ndev
+            lrs += [lrs[-1]] * pad
+            regs += [regs[-1]] * pad
+        if verbose:
+            print(f"[tune-hetero] bucket {static}: {n_real} trials"
+                  f"{' (+%d pad)' % (len(lrs) - n_real) if len(lrs) > n_real else ''}")
+        res = run_trials_parallel(
+            cfg, datasets, class_counts, np.asarray(lrs, np.float32),
+            np.asarray(regs, np.float32), max_epochs=max_t, mesh=mesh,
+            verbose=verbose, asha=asha, n_real=n_real)
+        for j, i in enumerate(idxs):
+            vals = res.val_loss[j][~np.isnan(res.val_loss[j])]
+            rows[i] = {**configs[i],
+                       "epochs": int(len(vals)),
+                       "best_val_loss": float(vals.min()),
+                       "last10_val_loss": float(
+                           vals[-min(10, len(vals)):].mean()),
+                       "stopped_epoch": int(res.stopped_epoch[j])}
+    df = pd.DataFrame(rows)
+    if output_csv:
+        df.to_csv(output_csv, index=False)
+    best = configs[int(np.argmin(df["last10_val_loss"].values))]
+    return best, df

@@ -84,10 +84,11 @@ def gated_attention_pool_reference(bag, mask, p: GatedPoolParams):
     return m @ p.w_cls + p.b_cls, s
 
 
-def _kernel(bag_ref, mask_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
-            wc_ref, bc_ref, wcls_ref, bcls_ref,
+def _kernel(bag_ref, mask_ref, nv_ref, wf_ref, bf_ref, wa_ref, ba_ref,
+            wb_ref, bb_ref, wc_ref, bc_ref, wcls_ref, bcls_ref,
             out0_ref, scores_ref, out2_ref,
-            acc_ref, m_ref, l_ref, *, partial_out: bool):
+            acc_ref, m_ref, l_ref, *, partial_out: bool, has_mask: bool,
+            tile: int):
     ti = pl.program_id(0)
     nt = pl.num_programs(0)
 
@@ -105,20 +106,29 @@ def _kernel(bag_ref, mask_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
                          preferred_element_type=jnp.float32) + ba_ref[:])
     g = jax.nn.sigmoid(jnp.dot(h, wb_ref[:],
                                preferred_element_type=jnp.float32) + bb_ref[:])
-    s = (jnp.dot(a * g, wc_ref[:],
-                 preferred_element_type=jnp.float32) + bc_ref[:])  # [T, 1]
-    # mask padded/invalid instances (dynamic operand, one compile per shape)
-    s = jnp.where(mask_ref[:] > 0, s, NEG_INF)
-    scores_ref[:] = s
+    # scores as a ROW vector [1, T]: keeps the per-instance axis on the
+    # lane dimension so the streamed scores/mask cost T elements of HBM,
+    # not T x 128 lane-padded ones
+    s = jax.lax.dot_general(
+        wc_ref[:], a * g, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + bc_ref[:]     # [1, T]
+    # mask invalid instances: dynamic prefix length (SMEM scalar) or an
+    # explicit per-instance mask row — both data operands, no recompiles
+    if has_mask:
+        s = jnp.where(mask_ref[0] > 0, s, NEG_INF)
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ti * tile
+        s = jnp.where(col < nv_ref[0], s, NEG_INF)
+    scores_ref[...] = s[None]
 
     # online-softmax pooling recurrence
     m_prev = m_ref[0, 0]
     m_new = jnp.maximum(m_prev, jnp.max(s))
     alpha = jnp.exp(m_prev - m_new)
-    e = jnp.exp(s - m_new)                                  # [T, 1]
+    e = jnp.exp(s - m_new)                                  # [1, T]
     l_ref[0, 0] = l_ref[0, 0] * alpha + jnp.sum(e)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        e.T, h, preferred_element_type=jnp.float32)         # [1, L]
+        e, h, preferred_element_type=jnp.float32)           # [1, L]
     m_ref[0, 0] = m_new
 
     @pl.when(ti == nt - 1)
@@ -137,81 +147,97 @@ def _kernel(bag_ref, mask_ref, wf_ref, bf_ref, wa_ref, ba_ref, wb_ref, bb_ref,
 
 
 def _pick_tile(p: GatedPoolParams, d_in: int, n: int, tile: int) -> int:
-    # VMEM budget: the tile's live set is roughly
-    # x[T,d_in] + h[T,L] + a,g[T,D]x2 + s[T,1] in fp32, plus the weights.
+    # VMEM budget: the tile's live set is roughly x[T,d_in] + h/a/g (each
+    # lane-padded to >=128) in fp32, double-buffered, plus the weights.
     # Cap the tile so it fits well under the 16MB scoped-vmem limit.
-    l_d = p.w_f.shape[1]
-    d_attn = p.w_a.shape[1]
-    per_inst_bytes = 4 * (d_in + 2 * l_d + 3 * d_attn + 8)
+    l_d = max(128, p.w_f.shape[1])
+    d_attn = max(128, p.w_a.shape[1])
+    per_inst_bytes = 4 * (d_in + 2 * l_d + 3 * d_attn)
     weight_bytes = 4 * sum(int(np.prod(w.shape)) for w in p)
-    budget = 10 * 1024 * 1024 - weight_bytes
-    tile_cap = max(128, (budget // per_inst_bytes) // 8 * 8)
-    return min(tile, tile_cap, max(8, n))
+    budget = 8 * 1024 * 1024 - weight_bytes
+    tile_cap = max(128, (budget // per_inst_bytes) // 128 * 128)
+    return min(tile, tile_cap, max(128, -(-n // 128) * 128))
 
 
-def _pallas_pool(bag, mask_col, p: GatedPoolParams, tile: int,
+def _pallas_pool(bag, mask_rows, n_valid, p: GatedPoolParams, tile: int,
                  partial_out: bool):
     n_pad, d_in = bag.shape
+    has_mask = mask_rows is not None
     l_dim = p.w_f.shape[1]
     c_dim = p.w_cls.shape[1]
     out0_dim = l_dim if partial_out else c_dim
+    steps = n_pad // tile
+    if has_mask:
+        # [steps, 1, tile] so the block's last two dims (1, tile) equal the
+        # array dims — the TPU sublane-divisibility rule for block shapes
+        mask_spec = pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_rows = jnp.zeros((1, 1, 1), jnp.float32)  # unused dummy
+        mask_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nv = jnp.asarray([n_valid if n_valid is not None else n_pad],
+                     jnp.int32)
 
     rep = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # full-array operand
-    return pl.pallas_call(
-        functools.partial(_kernel, partial_out=partial_out),
-        grid=(n_pad // tile,),
+    out0, scores, out2 = pl.pallas_call(
+        functools.partial(_kernel, partial_out=partial_out,
+                          has_mask=has_mask, tile=tile),
+        grid=(steps,),
         in_specs=[pl.BlockSpec((tile, d_in), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] + [rep()] * 10,
+                  mask_spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)] + [rep()] * 10,
         out_specs=(pl.BlockSpec((1, out0_dim), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                   pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, 2), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((1, out0_dim), jnp.float32),
-                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((steps, 1, tile), jnp.float32),
                    jax.ShapeDtypeStruct((1, 2), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((1, l_dim), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),
         ],
-    )(bag, mask_col, p.w_f, p.b_f, p.w_a, p.b_a, p.w_b, p.b_b, p.w_c, p.b_c,
-      p.w_cls, p.b_cls)
+    )(bag, mask_rows, nv, p.w_f, p.b_f, p.w_a, p.b_a, p.w_b, p.b_b,
+      p.w_c, p.b_c, p.w_cls, p.b_cls)
+    return out0, scores.reshape(n_pad), out2
 
 
-def _prep(bag, mask, n_valid, p: GatedPoolParams, tile: int):
+def _prep(bag, mask, p: GatedPoolParams, tile: int):
     n, d_in = bag.shape
-    if mask is None:
-        nv = n if n_valid is None else n_valid
-        mask = jnp.arange(n) < nv
     tile = _pick_tile(p, d_in, n, tile)
     n_pad = ((n + tile - 1) // tile) * tile
     if n_pad != n:
         bag = jnp.pad(bag, ((0, n_pad - n), (0, 0)))
-        mask = jnp.pad(mask, ((0, n_pad - n),))
-    mask_col = mask.astype(jnp.float32)[:, None]
-    return bag, mask_col, tile
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, n_pad - n),))
+    mask_rows = None if mask is None else \
+        mask.astype(jnp.float32).reshape(n_pad // tile, 1, tile)
+    return bag, mask_rows, tile
 
 
 def gated_attention_pool(bag: jax.Array, p: GatedPoolParams,
                          n_valid=None, mask: Optional[jax.Array] = None,
-                         tile: int = 512) -> Tuple[jax.Array, jax.Array]:
+                         tile: int = 2048) -> Tuple[jax.Array, jax.Array]:
     """Fused pooled forward. bag: [N, D_in]; returns (logits [1, C],
     raw scores [N]). Validity via `mask` [N] bool or prefix length `n_valid`
-    (Python int OR traced scalar — it is a data operand, not a shape).
+    (Python int OR traced scalar — both are data operands, not shapes).
     N pads internally to a tile multiple."""
     n = bag.shape[0]
-    bag, mask_col, tile = _prep(bag, mask, n_valid, p, tile)
-    logits, scores, _ = _pallas_pool(bag, mask_col, p, tile, partial_out=False)
-    return logits, scores[:n, 0]
+    bag, mask_rows, tile = _prep(bag, mask, p, tile)
+    if mask is None and n_valid is None:
+        n_valid = n
+    logits, scores, _ = _pallas_pool(bag, mask_rows, n_valid, p, tile,
+                                     partial_out=False)
+    return logits, scores[:n]
 
 
 def gated_attention_pool_partial(
     bag: jax.Array, p: GatedPoolParams,
-    mask: Optional[jax.Array] = None, tile: int = 512,
+    mask: Optional[jax.Array] = None, tile: int = 2048,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Shard-local fused pooling partials for sequence-parallel MIL
     (parallel/sharded_bag.py): returns (acc [1, L] un-normalized weighted-sum
@@ -222,9 +248,10 @@ def gated_attention_pool_partial(
         l_g = psum(l * exp(m - gmax)); M = acc_g / l_g.
     """
     n = bag.shape[0]
-    bag, mask_col, tile = _prep(bag, mask, None, p, tile)
-    acc, scores, stats = _pallas_pool(bag, mask_col, p, tile, partial_out=True)
-    return acc, stats[0, 0], stats[0, 1], scores[:n, 0]
+    bag, mask_rows, tile = _prep(bag, mask, p, tile)
+    acc, scores, stats = _pallas_pool(bag, mask_rows, n if mask is None
+                                      else None, p, tile, partial_out=True)
+    return acc, stats[0, 0], stats[0, 1], scores[:n]
 
 
 # --------------------------------------------------------------------------

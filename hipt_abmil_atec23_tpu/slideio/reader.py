@@ -169,12 +169,57 @@ class ImageSlide(BaseSlide):
         return out
 
 
+class OpenSlideSlide(BaseSlide):
+    """Optional openslide-python fallback for non-TIFF pyramid formats
+    (NDPI/MRXS/VMS/SCN/BIF — the reference reads every format through
+    OpenSlide, wsi_core/WholeSlideImage.py:31). Import-guarded: the native
+    TiffSlide stays the default for TIFF-family slides; this backend only
+    engages for formats libtiff can't open, when openslide-python is
+    installed in the environment."""
+
+    def __init__(self, path: str):
+        import openslide  # optional dependency
+        self._os = openslide.open_slide(path)
+        self.path = path
+        self.level_dimensions = [tuple(d) for d in self._os.level_dimensions]
+
+    def read_region(self, location, level, size):
+        # openslide takes LEVEL-0 coords (same convention as this API) and
+        # returns RGBA; composite to RGB like the reference's .convert('RGB')
+        rgba = self._os.read_region((int(location[0]), int(location[1])),
+                                    level, tuple(size))
+        return np.asarray(rgba.convert("RGB"), np.uint8)
+
+    def close(self):
+        self._os.close()
+
+
+# Pyramid formats only OpenSlide decodes (reference slide lists accept these
+# alongside .svs/.tif — e.g. create_patches_fp walks any extension)
+OPENSLIDE_ONLY_EXTS = (".ndpi", ".mrxs", ".vms", ".vmu", ".scn", ".bif",
+                       ".svslide")
+
+
 def open_slide(path: str, pad_to: int = 0) -> BaseSlide:
-    """Open a slide by extension (reference: openslide.open_slide call sites)."""
+    """Open a slide by extension (reference: openslide.open_slide call sites).
+
+    TIFF-family (tif/tiff/svs) -> native TiffSlide; OpenSlide-only formats
+    (NDPI/MRXS/...) -> OpenSlideSlide when openslide-python is available;
+    plain rasters and last-resort fallbacks -> ImageSlide."""
     ext = os.path.splitext(path)[1].lower()
+    if ext in OPENSLIDE_ONLY_EXTS:
+        try:
+            return OpenSlideSlide(path)
+        except ImportError as e:
+            raise IOError(
+                f"{ext} slides need the optional openslide-python backend "
+                f"(not installed): {path!r}") from e
     if ext in (".tif", ".tiff", ".svs"):
         try:
             return TiffSlide(path)
         except IOError:
-            return ImageSlide(path, pad_to=pad_to)
+            try:
+                return OpenSlideSlide(path)  # exotic TIFF variants
+            except Exception:
+                return ImageSlide(path, pad_to=pad_to)
     return ImageSlide(path, pad_to=pad_to)

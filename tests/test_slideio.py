@@ -164,3 +164,65 @@ def test_stitch(slide_file):
     canvas = stitch_coords(s, coords, 256, downscale=8)
     assert canvas.shape[0] > 0 and (canvas.sum() > 0)
     s.close()
+
+
+def test_openslide_fallback_backend(tmp_path, monkeypatch):
+    """NDPI-style formats route to the import-guarded OpenSlideSlide
+    (VERDICT r1 #9); absent openslide-python they raise a clear IOError."""
+    import sys
+    import types
+
+    from hipt_abmil_atec23_tpu.slideio.reader import (
+        OpenSlideSlide, open_slide)
+
+    path = str(tmp_path / "scan.ndpi")
+    open(path, "wb").write(b"\x00")
+
+    # without the optional dependency: clear error, no crash
+    monkeypatch.delitem(sys.modules, "openslide", raising=False)
+    import builtins
+    real_import = builtins.__import__
+
+    def no_openslide(name, *a, **k):
+        if name == "openslide":
+            raise ImportError("no module named openslide")
+        return real_import(name, *a, **k)
+    monkeypatch.setattr(builtins, "__import__", no_openslide)
+    with pytest.raises(IOError, match="openslide-python"):
+        open_slide(path)
+    monkeypatch.setattr(builtins, "__import__", real_import)
+
+    # with a fake openslide: levels + RGBA->RGB composite work
+    class FakePIL:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self.arr[:, :, :3]
+
+    class FakeOS:
+        level_dimensions = [(128, 64), (64, 32)]
+
+        def read_region(self, loc, level, size):
+            w, h = size
+            arr = np.full((h, w, 4), 7, np.uint8)
+            arr[0, 0, :3] = (loc[0] % 256, loc[1] % 256, level)
+            return FakePIL(arr)
+
+        def close(self):
+            pass
+
+    fake = types.ModuleType("openslide")
+    fake.open_slide = lambda p: FakeOS()
+    monkeypatch.setitem(sys.modules, "openslide", fake)
+    slide = open_slide(path)
+    assert isinstance(slide, OpenSlideSlide)
+    assert slide.dimensions == (128, 64)
+    assert slide.level_downsamples[1] == (2.0, 2.0)
+    region = slide.read_region((10, 20), 1, (32, 16))
+    assert region.shape == (16, 32, 3) and region.dtype == np.uint8
+    assert tuple(region[0, 0]) == (10, 20, 1)
+    batch = slide.read_regions(np.array([[0, 0], [10, 20]]), 0, (8, 8))
+    assert batch.shape == (2, 8, 8, 3)
+    slide.close()
