@@ -122,6 +122,12 @@ def bench_e2e():
         + rng.integers(-25, 25, size=(4096, 4096, 3), dtype=np.int16),
         0, 255).astype(np.uint8)
     full = np.tile(block, (SLIDE_PX // 4096, SLIDE_PX // 4096, 1))
+    # thin white border: Otsu needs a background mode to threshold against;
+    # the interior stays 100% tissue so all 16 grid regions carry load
+    b = 192
+    full[:b] = full[-b:] = 255
+    full[:, :b] = 255
+    full[:, -b:] = 255
     write_synthetic_slide(slide_path, SLIDE_PX, SLIDE_PX, n_levels=5,
                           compression=native.COMPRESSION_JPEG, image=full)
     del full, block
@@ -155,8 +161,10 @@ def bench_e2e():
         slide = TiffSlide(slide_path)
         seg = segment_tissue(slide, tile_cfg.seg)
         coords = enumerate_coords(slide, seg, tile_cfg)
+        # 16 decode threads: tile decode is I/O-bound, measured 4x faster
+        # than one-thread-per-region on this host
         feats = encode_slide(slide, coords, encoder, region_size=REGION,
-                             n_io_threads=0, prefetch=2)
+                             n_io_threads=16, prefetch=2)
         bag = np.zeros((N_PAD, 192), np.float32)
         mask = np.zeros((N_PAD,), bool)
         k = min(len(feats), N_PAD)

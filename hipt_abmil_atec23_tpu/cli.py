@@ -1034,6 +1034,46 @@ def _cmd_count(a):
           f"median {df['n_patches'].median():.1f}")
 
 
+def _add_export(sub):
+    p = sub.add_parser("export", help="export a trained MIL checkpoint to "
+                       "the reference's torch s_k_checkpoint.pt layout "
+                       "(models/convert.py clam_params_to_torch)")
+    p.add_argument("--ckpt", required=True, help="msgpack fold checkpoint")
+    p.add_argument("--out", required=True, help="output .pt path")
+    p.add_argument("--model_type", default="clam_sb",
+                   choices=["clam_sb", "clam_mb"])
+    p.add_argument("--model_size", default="hipt_smaller")
+    p.add_argument("--n_classes", type=int, default=2)
+    p.add_argument("--drop_out", type=float, default=0.0,
+                   help="match the reference model's dropout flag so the "
+                        "attention module index lines up (eval_utils.py:44)")
+
+
+def _cmd_export(a):
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from hipt_abmil_atec23_tpu.engine.checkpoint import load_params
+    from hipt_abmil_atec23_tpu.models import build_mil_model
+    from hipt_abmil_atec23_tpu.models.abmil import MIL_SIZE_DICT
+    from hipt_abmil_atec23_tpu.models.convert import clam_params_to_torch
+
+    feat_dim = MIL_SIZE_DICT[a.model_size][0]
+    model = build_mil_model(a.model_type, size_arg=a.model_size,
+                            n_classes=a.n_classes, dropout=a.drop_out)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((8, feat_dim), jnp.float32), None,
+                          label=jnp.array(0), instance_eval=True)
+    params = load_params(a.ckpt, template)
+    sd = clam_params_to_torch(params,
+                              multi_branch=a.model_type == "clam_mb",
+                              with_dropout=a.drop_out > 0)
+    os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
+    torch.save(sd, a.out)
+    print(f"[export] {a.ckpt} -> {a.out} ({len(sd)} tensors, reference "
+          f"CLAM layout; loads via eval.py --models_exp_code)")
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         prog="hipt_abmil_atec23_tpu",
@@ -1043,7 +1083,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                              "--cpu_only)")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for add in (_add_tile, _add_encode, _add_train, _add_eval, _add_splits,
-                _add_bootstrap, _add_heatmap, _add_count, _add_knn):
+                _add_bootstrap, _add_heatmap, _add_count, _add_knn,
+                _add_export):
         add(sub)
     a = parser.parse_args(argv)
     if a.cpu:
@@ -1052,7 +1093,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     cmd = {"tile": _cmd_tile, "encode": _cmd_encode, "train": _cmd_train,
            "eval": _cmd_eval, "splits": _cmd_splits,
            "bootstrap": _cmd_bootstrap, "heatmap": _cmd_heatmap,
-           "count": _cmd_count, "knn": _cmd_knn}[a.cmd]
+           "count": _cmd_count, "knn": _cmd_knn, "export": _cmd_export}[a.cmd]
     cmd(a)
     return 0
 

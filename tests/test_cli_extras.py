@@ -194,3 +194,32 @@ def test_cli_eval_sampling_online_features(tmp_path):
     fold0 = pd.read_csv(os.path.join(evals, "fold_0.csv"))
     assert {"slide_id", "Y", "Y_hat", "p_0", "p_1"} <= set(fold0.columns)
     assert np.isfinite(fold0[["p_0", "p_1"]].values).all()
+
+
+def test_cli_export_roundtrip(tmp_path):
+    """cli export writes a reference-layout torch state dict that converts
+    back to identical flax params."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from hipt_abmil_atec23_tpu.cli import main as cli
+    from hipt_abmil_atec23_tpu.engine.checkpoint import save_params
+    from hipt_abmil_atec23_tpu.models import build_mil_model
+    from hipt_abmil_atec23_tpu.models.convert import clam_params_from_torch
+
+    model = build_mil_model("clam_sb", size_arg="hipt_smaller", n_classes=2)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((8, 192), jnp.float32), None,
+                        label=jnp.array(0), instance_eval=True)
+    ckpt = str(tmp_path / "s_0_checkpoint.msgpack")
+    save_params(ckpt, params)
+    out = str(tmp_path / "s_0_checkpoint.pt")
+    cli(["export", "--ckpt", ckpt, "--out", out,
+         "--model_size", "hipt_smaller"])
+    sd = torch.load(out, weights_only=False)
+    assert "attention_net.0.weight" in sd
+    back = clam_params_from_torch({k: v.numpy() for k, v in sd.items()})
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["fc"]["kernel"]),
+        np.asarray(back["params"]["fc"]["kernel"]), rtol=1e-6)
