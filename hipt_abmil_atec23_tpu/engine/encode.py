@@ -184,6 +184,7 @@ def encode_slide(
     n_io_threads: int = 0,
     prefetch: int = 3,
     target_patch_size: int = 0,
+    overlap_dispatch: bool = True,
 ) -> np.ndarray:
     """Encode all coords of one slide -> [N, D] features.
 
@@ -198,6 +199,11 @@ def encode_slide(
     - the consumer DISPATCHES the device step asynchronously and only then
       collects the previous step's result, so the host->device transfer of
       batch i+1 rides under the device compute of batch i.
+
+    overlap_dispatch=False serializes dispatch-then-collect per batch:
+    on tunneled development links interleaving two in-flight 100MB
+    transfers degrades throughput ~2x (measured), so benches on such links
+    disable the overlap; on local TPU hosts keep it on.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -238,6 +244,10 @@ def encode_slide(
                 pad = np.zeros((bs - k,) + batch.shape[1:], batch.dtype)
                 batch = np.concatenate([batch, pad])
             out = encoder.apply(jnp.asarray(batch))  # async dispatch
+            if not overlap_dispatch:
+                feats[done:done + k] = np.asarray(out)[:k]
+                done += k
+                continue
             if pending is not None:
                 pk, pout = pending
                 feats[done:done + pk] = np.asarray(pout)[:pk]

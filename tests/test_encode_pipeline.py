@@ -158,3 +158,14 @@ def test_hipt_feature_variants(tmp_path):
         feats = encode_slide(slide, coords, enc, region_size=512)
         assert feats.shape == (1, dim), (variant, feats.shape)
     slide.close()
+
+
+def test_encode_slide_no_overlap_matches(tiled_slide):
+    """overlap_dispatch=False (tunnel-link mode) produces identical features
+    to the default double-buffered path."""
+    path, h5, coords, slide = tiled_slide
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=4,
+                                      dtype="float32"))
+    a = encode_slide(slide, coords, enc, overlap_dispatch=True)
+    b = encode_slide(slide, coords, enc, overlap_dispatch=False)
+    np.testing.assert_allclose(a, b, rtol=1e-6)
