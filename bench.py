@@ -198,16 +198,21 @@ def bench_e2e():
 
 
 def bench_vit256():
-    """Fused bf16 ViT-256 forward TFLOP/s (the HIPT inner loop).
-    In-graph lax.scan chaining amortizes the ~200-250ms tunnel dispatch."""
+    """Fused bf16 ViT-256 forward TFLOP/s (the HIPT inner loop), with the
+    production grouped-fused attention kernel. In-graph lax.scan chaining
+    amortizes the ~200-250ms tunnel dispatch."""
+    import dataclasses
     import jax
     import jax.numpy as jnp
     _setup_cache(jax)
     from hipt_abmil_atec23_tpu.models.hipt import hipt_eval_normalize
-    from hipt_abmil_atec23_tpu.models.vit import vit_small
+    from hipt_abmil_atec23_tpu.models.vit import (
+        VisionTransformer, VIT_CONFIGS)
 
     batch, chain = 512, 8
-    model = vit_small(dtype=jnp.bfloat16)
+    model = VisionTransformer(dataclasses.replace(
+        VIT_CONFIGS["vit_small"], dtype=jnp.bfloat16,
+        use_flash=jax.default_backend() == "tpu"))
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         variables = model.init(jax.random.PRNGKey(0),

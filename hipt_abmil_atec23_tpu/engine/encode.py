@@ -55,8 +55,13 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
     # throwaway multi-minute compile (TPU) or a slow XLA:CPU compile.
     cpu = jax.devices("cpu")[0]
 
+    # grouped fused attention beats XLA by ~21% at 257 tokens on TPU
+    # (ops/flash_attention.py); Pallas has no CPU lowering, so gate on
+    # the backend — CPU tests run the jnp attention path
+    use_flash = jax.default_backend() == "tpu"
+
     if cfg.model_type in ("HIPT_4K", "hipt_4k"):
-        model = make_hipt_encoder(dtype=dtype)
+        model = make_hipt_encoder(dtype=dtype, use_flash=use_flash)
         # feature variant (reference: forward_asset_dict, hipt_4k.py:79-118):
         # cls4k (192) | mean256 (384) | concat (576)
         variant = getattr(cfg, "hipt_features", "cls4k")
@@ -85,8 +90,11 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
             return assets["features_mean256_cls4k"]
 
     elif cfg.model_type == "vit256":
-        from hipt_abmil_atec23_tpu.models.vit import vit_small
-        model = vit_small(dtype=dtype)
+        import dataclasses as _dc
+        from hipt_abmil_atec23_tpu.models.vit import (
+            VisionTransformer, VIT_CONFIGS)
+        model = VisionTransformer(_dc.replace(
+            VIT_CONFIGS["vit_small"], dtype=dtype, use_flash=use_flash))
         input_size, feat_dim = 256, 384
         with jax.default_device(cpu):
             variables = model.init(key, jnp.zeros((1, 256, 256, 3),

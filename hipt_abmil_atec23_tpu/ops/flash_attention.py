@@ -47,57 +47,69 @@ def attention_reference(q, k, v, valid_len: Optional[int] = None):
 # single-pass kernel (K/V fully VMEM-resident) — the ViT path (N <= ~1024)
 # --------------------------------------------------------------------------
 
-def _fused_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
-    q = q_ref[0].astype(jnp.float32)                   # [BQ, D]
-    k = k_ref[0].astype(jnp.float32)                   # [NK, D]
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    nk = s.shape[-1]
-    if n_valid < nk:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+def _fused_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
+                       group):
+    # one program handles `group` (batch*head) entries; the inner loop is
+    # serial but each iteration is pure MXU/VPU work — this amortizes the
+    # per-grid-step dispatch overhead that dominates at tiny N
+    def body(g, _):
+        q = q_ref[g].astype(jnp.float32)               # [N, D]
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if n_valid < s.shape[-1]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o_ref[g] = o.astype(o_ref.dtype)
+        return 0
+    jax.lax.fori_loop(0, group, body, 0)
 
 
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     valid_len: Optional[int] = None,
-                    block_q: int = 128) -> jax.Array:
-    """q,k,v: [BH, N, D]; returns [BH, N, D]. N is padded internally to a
-    multiple of block_q; `valid_len` masks padded keys (default: true N)."""
+                    group: int = 8) -> jax.Array:
+    """q,k,v: [BH, N, D]; returns [BH, N, D]. Single-pass: K/V stay VMEM-
+    resident, the [N, N] attention matrix never touches HBM. `group` heads
+    share one grid step (ViT-257 at batch 512 is 3072 tiny heads — per-step
+    overhead, not compute, is the limiter). N pads to a sublane multiple;
+    `valid_len` masks padded keys (default: true N)."""
     bh, n, d = q.shape
     n_valid = valid_len if valid_len is not None else n
-    n_pad = _round_up(n, block_q)
+    n_pad = _round_up(n, 8)
     if n_pad != n:
         pad = [(0, 0), (0, n_pad - n), (0, 0)]
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
-    nq_blocks = n_pad // block_q
+    bh_pad = _round_up(bh, group)
+    if bh_pad != bh:
+        pad = [(0, bh_pad - bh), (0, 0), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
 
     out = pl.pallas_call(
         functools.partial(_fused_attn_kernel, scale=d ** -0.5,
-                          n_valid=n_valid),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-        grid=(bh, nq_blocks),
+                          n_valid=n_valid, group=group),
+        out_shape=jax.ShapeDtypeStruct((bh_pad, n_pad, d), q.dtype),
+        grid=(bh_pad // group,),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((group, n_pad, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((group, n_pad, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((group, n_pad, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((group, n_pad, d), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * n_pad * n_pad * d,
             bytes_accessed=bh * n_pad * d * 3 * q.dtype.itemsize,
             transcendentals=bh * n_pad * n_pad),
     )(q, k, v)
-    return out[:, :n, :]
+    return out[:bh, :n, :]
 
 
 # --------------------------------------------------------------------------
