@@ -61,7 +61,8 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
     use_flash = jax.default_backend() == "tpu"
 
     if cfg.model_type in ("HIPT_4K", "hipt_4k"):
-        model = make_hipt_encoder(dtype=dtype, use_flash=use_flash)
+        model = make_hipt_encoder(dtype=dtype, use_flash=use_flash,
+                                  use_fused_mlp=use_flash)
         # feature variant (reference: forward_asset_dict, hipt_4k.py:79-118):
         # cls4k (192) | mean256 (384) | concat (576)
         variant = getattr(cfg, "hipt_features", "cls4k")
@@ -94,7 +95,8 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
         from hipt_abmil_atec23_tpu.models.vit import (
             VisionTransformer, VIT_CONFIGS)
         model = VisionTransformer(_dc.replace(
-            VIT_CONFIGS["vit_small"], dtype=dtype, use_flash=use_flash))
+            VIT_CONFIGS["vit_small"], dtype=dtype, use_flash=use_flash,
+            use_fused_mlp=use_flash))
         input_size, feat_dim = 256, 384
         with jax.default_device(cpu):
             variables = model.init(key, jnp.zeros((1, 256, 256, 3),

@@ -96,10 +96,13 @@ class HIPT4K(nn.Module):
         return attn256, attn4k
 
 
-def make_hipt_encoder(dtype=jnp.bfloat16, use_flash: bool = False) -> HIPT4K:
+def make_hipt_encoder(dtype=jnp.bfloat16, use_flash: bool = False,
+                      use_fused_mlp: bool = False) -> HIPT4K:
     """Production config: bfloat16 compute through both ViTs; optional
-    Pallas fused attention."""
+    Pallas fused attention + fused MLP kernels (TPU only)."""
     v256 = dataclasses.replace(VIT_CONFIGS["vit_small"], dtype=dtype,
-                               use_flash=use_flash)
-    v4k = ViT4KConfig(dtype=dtype, use_flash=use_flash)
+                               use_flash=use_flash,
+                               use_fused_mlp=use_fused_mlp)
+    v4k = ViT4KConfig(dtype=dtype, use_flash=use_flash,
+                      use_fused_mlp=use_fused_mlp)
     return HIPT4K(vit256_config=v256, vit4k_config=v4k)

@@ -45,6 +45,7 @@ class ViTConfig:
     ln_eps: float = 1e-6
     dtype: Any = jnp.float32       # compute dtype (bfloat16 on TPU hot path)
     use_flash: bool = False        # Pallas fused attention (no HBM attn matrix)
+    use_fused_mlp: bool = False    # Pallas fc1+GELU+fc2 (no HBM hidden)
 
 
 VIT_CONFIGS = {
@@ -54,13 +55,38 @@ VIT_CONFIGS = {
 }
 
 
+class _DenseParams(nn.Module):
+    """Parameter shell with nn.Dense's exact tree (kernel/bias) and init,
+    for kernels that consume the weights directly."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,))
+        return k, b
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
     dtype: Any = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.use_fused:
+            # ONE Pallas kernel: fc1 -> exact GELU -> fc2, hidden stays in
+            # VMEM (ops/fused_mlp.py); identical param tree to the Dense path
+            from hipt_abmil_atec23_tpu.ops.fused_mlp import fused_mlp
+            w1, b1 = _DenseParams(self.hidden, x.shape[-1], name="fc1")()
+            w2, b2 = _DenseParams(self.out, self.hidden, name="fc2")()
+            return fused_mlp(x.astype(self.dtype),
+                             w1.astype(self.dtype), b1.astype(jnp.float32),
+                             w2.astype(self.dtype), b2.astype(jnp.float32))
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
@@ -114,6 +140,7 @@ class Block(nn.Module):
     ln_eps: float
     dtype: Any = jnp.float32
     use_flash: bool = False
+    use_fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, return_attn: bool = False):
@@ -122,7 +149,8 @@ class Block(nn.Module):
                             self.use_flash, name="attn")(
             nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x), return_attn)
         x = x + y
-        x = x + Mlp(int(c * self.mlp_ratio), c, self.dtype, name="mlp")(
+        x = x + Mlp(int(c * self.mlp_ratio), c, self.dtype,
+                    self.use_fused_mlp, name="mlp")(
             nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x))
         return x, attn
 
@@ -150,7 +178,8 @@ class VisionTransformer(nn.Module):
             "patch_bias", nn.initializers.zeros_init(), (cfg.embed_dim,))
         self.blocks = [
             Block(cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias, cfg.ln_eps,
-                  cfg.dtype, cfg.use_flash, name=f"block{i}")
+                  cfg.dtype, cfg.use_flash,
+                  getattr(cfg, "use_fused_mlp", False), name=f"block{i}")
             for i in range(cfg.depth)]
         self.norm = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")
 
@@ -215,6 +244,7 @@ class ViT4KConfig:
     ln_eps: float = 1e-6
     dtype: Any = jnp.float32
     use_flash: bool = False
+    use_fused_mlp: bool = False
 
 
 class VisionTransformer4K(nn.Module):
@@ -234,7 +264,8 @@ class VisionTransformer4K(nn.Module):
             (1, s * s + 1, cfg.output_embed_dim))
         self.blocks = [
             Block(cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias, cfg.ln_eps,
-                  cfg.dtype, cfg.use_flash, name=f"block{i}")
+                  cfg.dtype, cfg.use_flash, cfg.use_fused_mlp,
+                  name=f"block{i}")
             for i in range(cfg.depth)]
         self.norm = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")
 

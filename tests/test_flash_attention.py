@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from jax.experimental import pallas as pl
 from hipt_abmil_atec23_tpu.ops import flash_attention as fa
 
 
@@ -58,3 +59,36 @@ def test_flash_bf16(rng):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=0.05, atol=0.05)
+
+
+def test_fused_mlp_matches_dense_path(rng):
+    """ops/fused_mlp kernel (interpret) == nn.Dense+exact-GELU+nn.Dense,
+    with an identical parameter tree (same checkpoint loads both paths)."""
+    import dataclasses
+    import functools
+    import unittest.mock as mock
+
+    import jax
+    from hipt_abmil_atec23_tpu.models.vit import Mlp
+    from hipt_abmil_atec23_tpu.ops import fused_mlp as fm
+
+    x = jnp.asarray(rng.normal(size=(5, 37, 384)).astype(np.float32))
+    plain = Mlp(hidden=1536, out=384)
+    fused = Mlp(hidden=1536, out=384, use_fused=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    want = plain.apply(params, x)
+
+    orig = pl.pallas_call
+    with mock.patch.object(fm.pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        # SAME params tree drives the fused path
+        got = fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # and init from the fused path produces the same tree structure
+    p2 = None
+    with mock.patch.object(fm.pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        p2 = fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p2) == \
+        jax.tree_util.tree_structure(params)
