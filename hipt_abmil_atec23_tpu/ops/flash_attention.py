@@ -47,27 +47,25 @@ def attention_reference(q, k, v, valid_len: Optional[int] = None):
 # single-pass kernel (K/V fully VMEM-resident) — the ViT path (N <= ~1024)
 # --------------------------------------------------------------------------
 
-def _fused_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid,
-                       group):
-    # one program handles `group` (batch*head) entries; the inner loop is
-    # serial but each iteration is pure MXU/VPU work — this amortizes the
-    # per-grid-step dispatch overhead that dominates at tiny N
-    def body(g, _):
-        q = q_ref[g].astype(jnp.float32)               # [N, D]
-        k = k_ref[g].astype(jnp.float32)
-        v = v_ref[g].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        if n_valid < s.shape[-1]:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < n_valid, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-        o_ref[g] = o.astype(o_ref.dtype)
-        return 0
-    jax.lax.fori_loop(0, group, body, 0)
+def _fused_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
+    # one program handles a GROUP of (batch*head) entries as batched
+    # dot_generals — amortizes the per-grid-step dispatch overhead that
+    # dominates at tiny N (measured: 9ms vs 10.4ms for an inner fori of
+    # 2-D dots, vs ~60ms for one-head-per-program grids)
+    q = q_ref[...].astype(jnp.float32)                 # [G, N, D]
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    if n_valid < s.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < n_valid, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
 
 
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -91,7 +89,7 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_fused_attn_kernel, scale=d ** -0.5,
-                          n_valid=n_valid, group=group),
+                          n_valid=n_valid),
         out_shape=jax.ShapeDtypeStruct((bh_pad, n_pad, d), q.dtype),
         grid=(bh_pad // group,),
         in_specs=[
