@@ -70,6 +70,32 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _LNParams(nn.Module):
+    """Parameter shell with nn.LayerNorm's exact tree (scale/bias)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("scale", nn.initializers.ones_init(),
+                       (self.features,))
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,))
+        return g, b
+
+
+class _MlpParams(nn.Module):
+    """Mlp's parameter tree (fc1/fc2) without computation — for the fused
+    LN+MLP+residual kernel that consumes the weights directly."""
+    hidden: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.hidden, self.features, name="fc1")()
+        w2, b2 = _DenseParams(self.features, self.hidden, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
@@ -149,9 +175,23 @@ class Block(nn.Module):
                             self.use_flash, name="attn")(
             nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x), return_attn)
         x = x + y
-        x = x + Mlp(int(c * self.mlp_ratio), c, self.dtype,
-                    self.use_fused_mlp, name="mlp")(
-            nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x))
+        if self.use_fused_mlp:
+            # the block's whole second half as ONE Pallas kernel:
+            # x + MLP(LN(x)) — ops/fused_mlp.py; param trees unchanged
+            from hipt_abmil_atec23_tpu.ops.fused_mlp import (
+                fused_ln_mlp_residual)
+            g, be = _LNParams(c, name="norm2")()
+            w1, b1, w2, b2 = _MlpParams(int(c * self.mlp_ratio), c,
+                                        name="mlp")()
+            x = fused_ln_mlp_residual(
+                x.astype(self.dtype), g, be,
+                w1.astype(self.dtype), b1.astype(jnp.float32),
+                w2.astype(self.dtype), b2.astype(jnp.float32),
+                eps=self.ln_eps)
+        else:
+            x = x + Mlp(int(c * self.mlp_ratio), c, self.dtype,
+                        name="mlp")(
+                nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x))
         return x, attn
 
 

@@ -41,21 +41,26 @@ def _gelu_exact(x):
     return x * 0.5 * (1.0 + _erf(x * (2.0 ** -0.5)))
 
 
-def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+def _kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+            *, with_ln: bool, residual: bool, eps: float):
     x = x_ref[...].astype(jnp.float32)                       # [T, D]
-    h = jnp.dot(x, w1_ref[...].astype(jnp.float32),
+    if with_ln:
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        xn = (x - mu) * jax.lax.rsqrt(var + eps) * g_ref[...] + be_ref[...]
+    else:
+        xn = x
+    h = jnp.dot(xn, w1_ref[...].astype(jnp.float32),
                 preferred_element_type=jnp.float32) + b1_ref[...]
     h = _gelu_exact(h)                                       # in-register
     o = jnp.dot(h, w2_ref[...].astype(jnp.float32),
                 preferred_element_type=jnp.float32) + b2_ref[...]
+    if residual:
+        o = o + x
     o_ref[...] = o.astype(o_ref.dtype)
 
 
-def fused_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array,
-              w2: jax.Array, b2: jax.Array,
-              tile: int = 512) -> jax.Array:
-    """x: [..., D]; w1 [D, H], w2 [H, D]. Returns gelu(x@w1+b1)@w2+b2 with
-    the [rows, H] hidden never leaving VMEM. Rows pad to a tile multiple."""
+def _run(x, g, be, w1, b1, w2, b2, tile, with_ln, residual, eps):
     shape = x.shape
     d = shape[-1]
     h_dim = w1.shape[1]
@@ -69,11 +74,11 @@ def fused_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array,
 
     rep = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, with_ln=with_ln, residual=residual,
+                          eps=eps),
         grid=(rows_pad // tile,),
         in_specs=[pl.BlockSpec((tile, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  rep(), rep(), rep(), rep()],
+                               memory_space=pltpu.VMEM)] + [rep()] * 6,
         out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, d), x.dtype),
@@ -81,5 +86,28 @@ def fused_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array,
             flops=4 * rows_pad * d * h_dim,
             bytes_accessed=2 * rows_pad * d * x.dtype.itemsize,
             transcendentals=rows_pad * h_dim),
-    )(x2, w1, b1, w2, b2)
+    )(x2, g, be, w1, b1, w2, b2)
     return out[:rows].reshape(shape)
+
+
+def fused_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array,
+              w2: jax.Array, b2: jax.Array,
+              tile: int = 512) -> jax.Array:
+    """x: [..., D]; w1 [D, H], w2 [H, D]. Returns gelu(x@w1+b1)@w2+b2 with
+    the [rows, H] hidden never leaving VMEM. Rows pad to a tile multiple."""
+    d = x.shape[-1]
+    dummy = jnp.zeros((d,), jnp.float32)
+    return _run(x, dummy, dummy, w1, b1, w2, b2, tile,
+                with_ln=False, residual=False, eps=0.0)
+
+
+def fused_ln_mlp_residual(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                          w1: jax.Array, b1: jax.Array,
+                          w2: jax.Array, b2: jax.Array,
+                          eps: float = 1e-6, tile: int = 512) -> jax.Array:
+    """The transformer block's whole second half in ONE kernel:
+    ``x + MLP(LayerNorm(x))`` — pre-norm, exact-erf GELU, residual add —
+    with neither the normalized tokens nor the [rows, H] hidden touching
+    HBM. Matches flax LayerNorm + the Dense MLP path to f32 accuracy."""
+    return _run(x, gamma.astype(jnp.float32), beta.astype(jnp.float32),
+                w1, b1, w2, b2, tile, with_ln=True, residual=True, eps=eps)

@@ -92,3 +92,32 @@ def test_fused_mlp_matches_dense_path(rng):
         p2 = fused.init(jax.random.PRNGKey(0), x)
     assert jax.tree_util.tree_structure(p2) == \
         jax.tree_util.tree_structure(params)
+
+
+def test_vit_production_fused_config_parity(rng):
+    """The production TPU encoder config (use_flash + use_fused_mlp) matches
+    the plain XLA ViT in interpret mode — guards the TPU-only path from CPU."""
+    import dataclasses
+    import functools
+    import unittest.mock as mock
+
+    import jax
+    from hipt_abmil_atec23_tpu.models.vit import (
+        VIT_CONFIGS, VisionTransformer, vit_small)
+    from hipt_abmil_atec23_tpu.ops import flash_attention as fa_mod
+    from hipt_abmil_atec23_tpu.ops import fused_mlp as fm_mod
+
+    m0 = vit_small()
+    mf = VisionTransformer(dataclasses.replace(
+        VIT_CONFIGS["vit_small"], use_flash=True, use_fused_mlp=True))
+    x = jnp.asarray(rng.normal(size=(2, 256, 256, 3)).astype(np.float32))
+    params = m0.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(m0.apply(params, x))
+
+    orig = pl.pallas_call
+    with mock.patch.object(fa_mod.pl, "pallas_call",
+                           functools.partial(orig, interpret=True)), \
+         mock.patch.object(fm_mod.pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        got = np.asarray(mf.apply(params, x))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
