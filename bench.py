@@ -210,13 +210,17 @@ def bench_vit256():
         VisionTransformer, VIT_CONFIGS)
 
     batch, chain = 512, 8
+    on_tpu = jax.default_backend() == "tpu"
     model = VisionTransformer(dataclasses.replace(
         VIT_CONFIGS["vit_small"], dtype=jnp.bfloat16,
-        use_flash=jax.default_backend() == "tpu"))
+        use_flash=on_tpu, use_fused_mlp=on_tpu))
+    # init with a kernel-free twin (Pallas can't trace on the CPU device)
+    init_model = VisionTransformer(dataclasses.replace(
+        VIT_CONFIGS["vit_small"], dtype=jnp.bfloat16))
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 256, 256, 3), jnp.float32))
+        variables = init_model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 256, 256, 3), jnp.float32))
     variables = jax.device_put(variables, jax.devices()[0])
 
     # analytic FLOPs per image: 12 pre-norm blocks at L=257 tokens, D=384,

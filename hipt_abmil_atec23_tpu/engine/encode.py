@@ -63,14 +63,17 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
     if cfg.model_type in ("HIPT_4K", "hipt_4k"):
         model = make_hipt_encoder(dtype=dtype, use_flash=use_flash,
                                   use_fused_mlp=use_flash)
+        # init with a kernel-free twin: eager init runs on CPU, where
+        # Pallas can't trace; the parameter trees are identical by design
+        init_model = make_hipt_encoder(dtype=dtype)
         # feature variant (reference: forward_asset_dict, hipt_4k.py:79-118):
         # cls4k (192) | mean256 (384) | concat (576)
         variant = getattr(cfg, "hipt_features", "cls4k")
         input_size = 4096
         feat_dim = {"cls4k": 192, "mean256": 384, "concat": 576}[variant]
         with jax.default_device(cpu):
-            variables = model.init(key, jnp.zeros((1, 256, 256, 3),
-                                                  jnp.float32))
+            variables = init_model.init(key, jnp.zeros((1, 256, 256, 3),
+                                                       jnp.float32))
         if cfg.vit256_ckpt and cfg.vit4k_ckpt:
             from hipt_abmil_atec23_tpu.models.convert import (
                 load_torch_state_dict, hipt_params_from_torch)
@@ -98,9 +101,11 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
             VIT_CONFIGS["vit_small"], dtype=dtype, use_flash=use_flash,
             use_fused_mlp=use_flash))
         input_size, feat_dim = 256, 384
+        init_model = VisionTransformer(_dc.replace(
+            VIT_CONFIGS["vit_small"], dtype=dtype))  # kernel-free CPU init
         with jax.default_device(cpu):
-            variables = model.init(key, jnp.zeros((1, 256, 256, 3),
-                                                  jnp.float32))
+            variables = init_model.init(key, jnp.zeros((1, 256, 256, 3),
+                                                       jnp.float32))
         if cfg.vit256_ckpt:
             from hipt_abmil_atec23_tpu.models.convert import (
                 load_torch_state_dict, vit256_params_from_torch)
