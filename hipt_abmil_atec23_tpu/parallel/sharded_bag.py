@@ -71,8 +71,11 @@ def sharded_clam_forward(params: Any, bag: jax.Array, mask: jax.Array,
         scores = ((a * b) @ att["attn_c"]["kernel"] + att["attn_c"]["bias"])[:, 0]
         scores = jnp.where(mask_l, scores, NEG_INF)
 
-        # distributed masked softmax over the sharded instance axis
-        gmax = jax.lax.pmax(jnp.max(scores), axis)
+        # distributed masked softmax over the sharded instance axis.
+        # softmax(s - c) is invariant in c, so the global max is purely a
+        # numerical-stability shift — stop_gradient both keeps that exact
+        # and sidesteps pmax's missing differentiation rule.
+        gmax = jax.lax.pmax(jax.lax.stop_gradient(jnp.max(scores)), axis)
         e = jnp.exp(scores - gmax) * mask_l.astype(scores.dtype)
         gsum = jax.lax.psum(jnp.sum(e), axis)
         w = e / jnp.maximum(gsum, 1e-30)
@@ -91,3 +94,30 @@ def sharded_clam_forward(params: Any, bag: jax.Array, mask: jax.Array,
         check_vma=False,
     )
     return fwd(bag, mask)
+
+
+def sharded_clam_loss(params: Any, bag: jax.Array, mask: jax.Array,
+                      label, mesh: Mesh, *, axis: str = "inst") -> jax.Array:
+    """Cross-entropy bag loss on an instance-SHARDED full-slide bag.
+    Differentiable: shard_map has autodiff rules, so gradients flow through
+    the psum/pmax collectives back to every parameter — exact full-bag
+    training the reference can only approximate by subsampling
+    (datasets/dataset_generic.py:517-519)."""
+    logits, _ = sharded_clam_forward(params, bag, mask, mesh, axis=axis)
+    logp = jax.nn.log_softmax(logits[0])
+    return -logp[jnp.asarray(label)]
+
+
+def sharded_bag_train_step(params: Any, opt_state, tx, bag: jax.Array,
+                           mask: jax.Array, label, mesh: Mesh,
+                           *, axis: str = "inst"):
+    """One optimizer step on one exact full-slide bag with the instance axis
+    sharded over the mesh (sequence-parallel MIL training). `tx` is any
+    optax GradientTransformation; returns (params, opt_state, loss)."""
+    import optax
+
+    loss, grads = jax.value_and_grad(sharded_clam_loss)(
+        params, bag, mask, label, mesh, axis=axis)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss

@@ -90,3 +90,50 @@ def test_sharded_bag_fused_local_op(rng):
     np.testing.assert_allclose(np.asarray(a_raw)[0, :1000],
                                np.asarray(ref.a_raw)[0, :1000],
                                rtol=2e-4, atol=1e-5)
+
+
+def test_sharded_bag_training_matches_unsharded(rng):
+    """Sequence-parallel TRAINING: gradients through the sharded forward's
+    collectives == unsharded gradients, and an optimizer step stays in
+    lockstep — exact full-bag training, no subsampling."""
+    import optax
+    from hipt_abmil_atec23_tpu.parallel.sharded_bag import (
+        sharded_bag_train_step, sharded_clam_loss)
+
+    n, d = 512, 192
+    bag = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    mask = jnp.asarray(np.arange(n) < 480)
+    label = 1
+    model = CLAM_SB(size_arg="hipt_smaller", n_classes=2)
+    params = model.init(jax.random.PRNGKey(0), bag, None)
+    mesh = make_mesh([("inst", 8)])
+
+    # gradient parity
+    def ref_loss(p):
+        out = model.apply(p, bag, mask)
+        return -jax.nn.log_softmax(out.logits[0])[label]
+    ref_g = jax.grad(ref_loss)(params)
+    sh_g = jax.grad(sharded_clam_loss)(params, bag, mask, label, mesh)
+    # atol absorbs f32 cancellation noise on analytically-ZERO entries
+    # (attn_c bias is softmax-shift-invariant; verified ~1e-16 in f64)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1.5e-3),
+        ref_g, sh_g)
+
+    # one optimizer step stays in lockstep
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    p1, _, loss = sharded_bag_train_step(params, opt_state, tx, bag, mask,
+                                         label, mesh)
+    g = jax.grad(ref_loss)(params)
+    upd, _ = tx.update(g, tx.init(params), params)
+    p1_ref = optax.apply_updates(params, upd)
+    # Adam's first step is ~lr*sign(g): on the analytically-zero
+    # shift-invariant bias, f32 gradient noise produces a full lr-sized
+    # step in either run — bound the parity by one lr quantum (1e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1.5e-3),
+        p1, p1_ref)
+    assert np.isfinite(float(loss))
