@@ -183,6 +183,9 @@ def _add_train(sub):
                         "dispatch latency; semantics preserved)")
     p.add_argument("--fold_parallel", action="store_true",
                    help="train all folds at once, sharded over the mesh")
+    p.add_argument("--full_bag_sharded", action="store_true",
+                   help="exact full-bag training: the instance axis shards "
+                        "over the device mesh (no subsampling; clam_sb)")
     p.add_argument("--profile", action="store_true")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="write a JAX profiler trace (device timeline, "
@@ -392,6 +395,37 @@ def _cmd_train(a):
             return
         if a.extract_features:
             _train_online(a, cfg, manifest)
+            return
+        if a.full_bag_sharded:
+            # sequence-parallel exact full-bag training: every slide trains
+            # on ALL its instances, bag axis sharded over the device mesh
+            # (parallel/full_bag_train.py; no reference analog — it must
+            # subsample to max_patches_per_slide)
+            import jax
+            import pandas as pd
+            from hipt_abmil_atec23_tpu.engine.checkpoint import (
+                ckpt_path, save_params)
+            from hipt_abmil_atec23_tpu.engine.experiment import (
+                make_fold_datasets)
+            from hipt_abmil_atec23_tpu.parallel.full_bag_train import (
+                train_full_bags_sharded)
+            from hipt_abmil_atec23_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh([("inst", len(jax.devices()))])
+            os.makedirs(cfg.results_dir, exist_ok=True)
+            rows = []
+            for fold in range(cfg.train.k):
+                tr, va, te = make_fold_datasets(manifest, store, cfg, fold)
+                params, hist = train_full_bags_sharded(cfg, tr, va, mesh)
+                save_params(ckpt_path(cfg.results_dir, fold), params)
+                pd.DataFrame(hist).to_csv(
+                    os.path.join(cfg.results_dir, f"history_{fold}.csv"),
+                    index=False)
+                rows.append({"folds": fold, "val_auc": hist[-1]["val_auc"],
+                             "val_loss": hist[-1]["val_loss"]})
+            summary = pd.DataFrame(rows)
+            summary.to_csv(os.path.join(cfg.results_dir, "summary.csv"),
+                           index=False)
+            print(summary)
             return
         if a.fold_parallel:
             from hipt_abmil_atec23_tpu.engine.experiment import make_fold_datasets

@@ -223,3 +223,26 @@ def test_cli_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params["params"]["fc"]["kernel"]),
         np.asarray(back["params"]["fc"]["kernel"]), rtol=1e-6)
+
+
+def test_cli_train_full_bag_sharded(tmp_path):
+    """cli train --full_bag_sharded trains every fold on exact full bags."""
+    import pandas as pd
+
+    from hipt_abmil_atec23_tpu.cli import main as cli
+    from hipt_abmil_atec23_tpu.data.synthetic import make_synthetic_bags
+
+    bags = str(tmp_path / "bags")
+    manifest, _ = make_synthetic_bags(bags, n_slides=18, feat_dim=192,
+                                      signal=1.8, signal_fraction=0.5,
+                                      bag_range=(100, 300), seed=4, fmt="pt")
+    results = str(tmp_path / "results")
+    cli(["train", "--task", "treatment", "--csv_path",
+         os.path.join(bags, "labels.csv"), "--feat_dir", bags,
+         "--results_dir", results, "--model_type", "clam_sb",
+         "--model_size", "hipt_smaller", "--k", "3", "--max_epochs", "3",
+         "--full_bag_sharded"])
+    summary = pd.read_csv(os.path.join(results, "summary.csv"))
+    assert len(summary) == 3 and np.isfinite(summary["val_auc"]).all()
+    assert os.path.exists(os.path.join(results, "s_0_checkpoint.msgpack"))
+    assert os.path.exists(os.path.join(results, "history_2.csv"))

@@ -137,3 +137,31 @@ def test_sharded_bag_training_matches_unsharded(rng):
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=1.5e-3),
         p1, p1_ref)
     assert np.isfinite(float(loss))
+
+
+def test_full_bag_sharded_training_learns(tmp_path):
+    """Exact full-bag trainer (instance axis over the 8-device mesh) learns
+    the MIL signal without any subsampling."""
+    from hipt_abmil_atec23_tpu.data.bags import BagDataset
+    from hipt_abmil_atec23_tpu.data.synthetic import make_synthetic_bags
+    from hipt_abmil_atec23_tpu.parallel.full_bag_train import (
+        train_full_bags_sharded)
+    from hipt_abmil_atec23_tpu.utils.config import (
+        ExperimentConfig, BagConfig, ModelConfig, TaskConfig, TrainConfig)
+
+    manifest, store = make_synthetic_bags(
+        str(tmp_path), n_slides=28, feat_dim=192, signal=1.5,
+        signal_fraction=0.4, bag_range=(300, 900), seed=9)
+    cfg = ExperimentConfig(
+        task=TaskConfig(n_classes=2, label_dict={"0": 0, "1": 1}),
+        bags=BagConfig(max_patches_per_slide=None),
+        model=ModelConfig(model_type="clam_sb", model_size="hipt_smaller"),
+        train=TrainConfig(lr=2e-3, max_epochs=6, seed=0))
+    ids = list(manifest.slide_ids)
+    mk = lambda sel: BagDataset([ids[i] for i in sel],
+                                manifest.labels[list(sel)], store, cfg.bags)
+    mesh = make_mesh([("inst", 8)])
+    params, history = train_full_bags_sharded(
+        cfg, mk(range(20)), mk(range(20, 28)), mesh, verbose=False)
+    assert history[-1]["val_auc"] > 0.85, history
+    assert history[-1]["train_loss"] < history[0]["train_loss"]
