@@ -312,7 +312,8 @@ def bench_flash():
         s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
         return jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(s, axis=-1), v)
 
-    fl = jax.jit(lambda q, k, v: flash_attention(q, k, v))
+    from hipt_abmil_atec23_tpu.ops.flash_attention import attention
+    fl = jax.jit(lambda q, k, v: attention(q, k, v))  # medium-N q-tiled path
     out_f = jax.block_until_ready(fl(q, k, v))
     out_n = jax.block_until_ready(naive(q, k, v))
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),

@@ -51,10 +51,14 @@ def _fused_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
     # one program handles a GROUP of (batch*head) entries as batched
     # dot_generals — amortizes the per-grid-step dispatch overhead that
     # dominates at tiny N (measured: 9ms vs 10.4ms for an inner fori of
-    # 2-D dots, vs ~60ms for one-head-per-program grids)
-    q = q_ref[...].astype(jnp.float32)                 # [G, N, D]
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
+    # 2-D dots, vs ~60ms for one-head-per-program grids). Queries may be
+    # tiled ([G, BQ, D] with K/V full) — same code, K/V stay resident.
+    # operands stay in their storage dtype — the MXU multiplies bf16 with
+    # f32 accumulation natively (preferred_element_type), which matches the
+    # XLA path's numerics and halves VMEM vs upcasting K/V copies
+    q = q_ref[...]                                     # [G, BQ, D]
+    k = k_ref[...]                                     # [G, N, D]
+    v = v_ref[...]
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) * scale
     if n_valid < s.shape[-1]:
@@ -62,7 +66,7 @@ def _fused_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
         s = jnp.where(col < n_valid, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
     o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     o_ref[...] = o.astype(o_ref.dtype)
@@ -70,15 +74,20 @@ def _fused_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
 
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     valid_len: Optional[int] = None,
-                    group: int = 8) -> jax.Array:
+                    group: int = 8,
+                    block_q: Optional[int] = None) -> jax.Array:
     """q,k,v: [BH, N, D]; returns [BH, N, D]. Single-pass: K/V stay VMEM-
     resident, the [N, N] attention matrix never touches HBM. `group` heads
     share one grid step (ViT-257 at batch 512 is 3072 tiny heads — per-step
-    overhead, not compute, is the limiter). N pads to a sublane multiple;
-    `valid_len` masks padded keys (default: true N)."""
+    overhead, not compute, is the limiter). For medium N where [N, N]
+    scores exceed VMEM, `block_q` tiles the query axis while K/V stay
+    resident — no online-softmax recurrence needed until K/V themselves
+    outgrow VMEM (~8k at D=64; use flash_attention beyond). N pads to a
+    sublane multiple; `valid_len` masks padded keys (default: true N)."""
     bh, n, d = q.shape
     n_valid = valid_len if valid_len is not None else n
-    n_pad = _round_up(n, 8)
+    bq = block_q or _round_up(n, 8)
+    n_pad = _round_up(n, max(8, bq))
     if n_pad != n:
         pad = [(0, 0), (0, n_pad - n), (0, 0)]
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
@@ -91,16 +100,16 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         functools.partial(_fused_attn_kernel, scale=d ** -0.5,
                           n_valid=n_valid),
         out_shape=jax.ShapeDtypeStruct((bh_pad, n_pad, d), q.dtype),
-        grid=(bh_pad // group,),
+        grid=(bh_pad // group, n_pad // bq),
         in_specs=[
-            pl.BlockSpec((group, n_pad, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((group, bq, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, n_pad, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((group, n_pad, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, n_pad, d), lambda b: (b, 0, 0),
+            pl.BlockSpec((group, n_pad, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((group, n_pad, d), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((group, bq, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * n_pad * n_pad * d,
@@ -192,9 +201,13 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               valid_len: Optional[int] = None,
               interpret_threshold: int = 1024) -> jax.Array:
-    """Dispatch: single-pass fused kernel for short sequences (K/V fit VMEM),
-    tiled flash for long ones."""
+    """Dispatch by sequence length:
+    - short (scores fit VMEM): grouped single-pass kernel;
+    - medium (K/V fit VMEM, scores don't): query-tiled single-pass;
+    - long: tiled online-softmax flash."""
     n = q.shape[1]
     if n <= interpret_threshold:
         return fused_attention(q, k, v, valid_len)
+    if n <= 8192:
+        return fused_attention(q, k, v, valid_len, group=1, block_q=256)
     return flash_attention(q, k, v, valid_len)

@@ -121,3 +121,15 @@ def test_vit_production_fused_config_parity(rng):
                            functools.partial(orig, interpret=True)):
         got = np.asarray(mf.apply(params, x))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_fused_attention_query_tiled(rng):
+    """Medium-N path: query-tiled single-pass (K/V resident) == oracle."""
+    q, k, v = (jnp.asarray(rng.normal(size=(4, 1000, 64)).astype(np.float32))
+               for _ in range(3))
+    ref = fa.attention_reference(q, k, v, valid_len=990)
+    out = _run_interpret(fa.fused_attention, q, k, v, valid_len=990,
+                         group=1, block_q=256)
+    np.testing.assert_allclose(np.asarray(out)[:, :990],
+                               np.asarray(ref)[:, :990],
+                               rtol=2e-5, atol=2e-5)
