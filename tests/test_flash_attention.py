@@ -133,3 +133,33 @@ def test_fused_attention_query_tiled(rng):
     np.testing.assert_allclose(np.asarray(out)[:, :990],
                                np.asarray(ref)[:, :990],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_hipt_production_fused_config_parity(rng):
+    """The full hierarchical HIPT encoder under the production fused config
+    (flash attention incl. ViT-4K's head_dim=32 + fused LN/MLP) matches the
+    plain XLA graph in interpret mode."""
+    import functools
+    import unittest.mock as mock
+
+    import jax
+    from hipt_abmil_atec23_tpu.models.hipt import make_hipt_encoder
+    from hipt_abmil_atec23_tpu.ops import flash_attention as fa_mod
+    from hipt_abmil_atec23_tpu.ops import fused_mlp as fm_mod
+
+    m0 = make_hipt_encoder(dtype=jnp.float32)
+    mf = make_hipt_encoder(dtype=jnp.float32, use_flash=True,
+                           use_fused_mlp=True)
+    x = jnp.asarray(rng.normal(size=(1, 512, 512, 3)).astype(np.float32))
+    params = m0.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 256, 256, 3), jnp.float32))
+    want = np.asarray(m0.apply(params, x))
+
+    orig = pl.pallas_call
+    with mock.patch.object(fa_mod.pl, "pallas_call",
+                           functools.partial(orig, interpret=True)), \
+         mock.patch.object(fm_mod.pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        got = np.asarray(mf.apply(params, x))
+    assert want.shape == got.shape == (1, 192)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
