@@ -17,6 +17,8 @@ TPU redesign:
 """
 from __future__ import annotations
 
+import functools
+
 import math
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -462,3 +464,120 @@ def _bag_cap(scfg: SamplingConfig) -> int:
     the way (all_sampled <= iterations x samples_per_iteration)."""
     return _round8(scfg.final_sample_size
                    + scfg.resampling_iterations * scfg.samples_per_iteration)
+
+
+# ---------------------------------------------------------------------------
+# Fully on-device DRAS: the whole resampling loop as ONE lax.scan dispatch
+# (SURVEY.md §7 hard-parts plan: "express as lax.scan with fixed iteration
+# counts"). The host variant above keeps exact reference RNG semantics; this
+# variant trades bitwise parity for a single device program — weights, kNN,
+# attention and the draws all stay in HBM, so a 10-iteration DRAS pass costs
+# one dispatch instead of 10 round trips (~200ms each through a tunnel).
+# Divergence (documented): the reference's split draw (num_random uniform +
+# rest weighted, jointly without replacement) becomes a Gumbel-top-k draw
+# over the per-iteration MIXTURE distribution — statistically equivalent
+# epsilon-greedy exploration, different bits.
+# ---------------------------------------------------------------------------
+
+def dras_sample_slide_device(
+    features,                     # [N, D] jnp array (device-resident)
+    coords,                       # [N, 2]
+    params,
+    model,
+    cfg: SamplingConfig,
+    key,
+    texture_features=None,
+):
+    """Device-scan DRAS for one slide: returns (final_idxs [K], weights [N]).
+    Compiled ONCE per (model, N, spi, ...) class (lru-cached jit — a fresh
+    closure per call would re-enter the compile cache every slide); all
+    `resampling_iterations` run inside a single lax.scan."""
+    import jax.numpy as jnp
+
+    n = int(features.shape[0])
+    spi = min(cfg.samples_per_iteration, n)
+    k_final = min(cfg.final_sample_size, n)
+    neighbors = min(cfg.sampling_neighbors, n)
+    if cfg.sampling_type == "spatial":
+        X = jnp.asarray(coords, jnp.float32)
+    elif texture_features is not None:
+        X = jnp.asarray(texture_features, jnp.float32)
+    else:
+        X = jnp.asarray(features, jnp.float32)
+
+    # per-iteration epsilon schedule (static, like the host loop)
+    eps = []
+    e = cfg.sampling_random
+    for _ in range(cfg.resampling_iterations):
+        eps.append(e)
+        e = max(0.0, e - cfg.sampling_random_delta)
+
+    run = _dras_device_fn(model, n, spi, k_final, neighbors,
+                          cfg.resampling_iterations,
+                          float(cfg.weight_smoothing))
+    return run(params, features, X, jnp.asarray(eps, jnp.float32), key)
+
+
+@functools.lru_cache(maxsize=32)
+def _dras_device_fn(model, n, spi, k_final, neighbors, iters, power):
+    import jax
+    import jax.numpy as jnp
+    from hipt_abmil_atec23_tpu.ops.masking import masked_softmax
+
+    def gumbel_topk(key, logp, k):
+        g = jax.random.gumbel(key, logp.shape)
+        _, idx = jax.lax.top_k(logp + g, k)
+        return idx
+
+    @jax.jit
+    def run(params, features, X, eps, key):
+        x_sq = jnp.sum(X * X, axis=1)
+        weights0 = jnp.full((n,), 1e-4)                      # reference floor
+        sampled0 = jnp.zeros((n,), bool)
+        k0, key0 = jax.random.split(key)
+        idxs0 = gumbel_topk(k0, jnp.zeros((n,)), spi)        # uniform init
+
+        def body(carry, it):
+            weights, sampled, idxs, key = carry
+            sampled = sampled.at[idxs].set(True)
+            bag = jnp.take(features, idxs, axis=0)           # [spi, D]
+            a = model.apply(params, bag, None, attention_only=True)
+            attn = masked_softmax(a, jnp.ones((1, spi), bool), axis=-1)[0]
+            # exact kNN of the sampled points among all rows of X
+            q = jnp.take(X, idxs, axis=0)
+            d2 = (x_sq[None, :] - 2.0 * q @ X.T
+                  + jnp.sum(q * q, axis=1)[:, None])         # [spi, N]
+            _, nbrs = jax.lax.top_k(-d2, neighbors)          # [spi, k]
+            # 'max' propagation: w[nbr] = max(w[nbr], attn_i^power),
+            # then zero-out everything already sampled. Dense one-hot max:
+            # TPU scatter serializes per index, a [spi*k, N] masked
+            # max-reduce is one vectorized pass.
+            vals = jnp.repeat(attn ** power, neighbors)
+            hit = nbrs.reshape(-1)[:, None] == jnp.arange(n)[None, :]
+            prop = jnp.max(jnp.where(hit, vals[:, None], 0.0), axis=0)
+            weights = jnp.maximum(weights, prop)
+            weights = jnp.where(sampled, 0.0, weights)
+            # epsilon-greedy mixture draw without replacement (Gumbel top-k)
+            e = eps[it]
+            wsum = jnp.maximum(weights.sum(), 1e-30)
+            un = (~sampled).astype(jnp.float32)
+            usum = jnp.maximum(un.sum(), 1.0)
+            mix = (1.0 - e) * weights / wsum + e * un / usum
+            logp = jnp.where(mix > 0, jnp.log(jnp.maximum(mix, 1e-30)),
+                             -jnp.inf)
+            kd, key = jax.random.split(key)
+            nxt = gumbel_topk(kd, logp, spi)
+            return (weights, sampled, nxt, key), None
+
+        (weights, sampled, _, key), _ = jax.lax.scan(
+            body, (weights0, sampled0, idxs0, key0), jnp.arange(iters))
+        # final weighted draw over ALL patches (reference normalizes once);
+        # degenerate all-zero weights fall back to uniform like the host path
+        logp = jnp.where(weights > 0,
+                         jnp.log(jnp.maximum(weights, 1e-30)), -jnp.inf)
+        logp = jnp.where(weights.sum() > 0, logp, jnp.zeros_like(logp))
+        kf, _ = jax.random.split(key)
+        final = gumbel_topk(kf, logp, k_final)
+        return final, weights
+
+    return run
