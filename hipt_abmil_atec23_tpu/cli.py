@@ -552,6 +552,10 @@ def _add_eval(sub):
     p.add_argument("--seed", type=int, default=1)
     # inference-time DRAS sampling (reference: eval.py --use_sampling path)
     p.add_argument("--use_sampling", action="store_true")
+    p.add_argument("--device_sampling", action="store_true",
+                   help="run the whole DRAS loop as ONE device program "
+                        "(lax.scan; ~21x/slide) — statistically equivalent "
+                        "draws, not bitwise reference RNG parity")
     p.add_argument("--samples_per_iteration", type=int, default=100)
     p.add_argument("--resampling_iterations", type=int, default=10)
     p.add_argument("--sampling_neighbors", type=int, default=20)
@@ -761,7 +765,8 @@ def _eval_with_sampling(a, cfg, manifest, store):
                                           coords_lookup=coords_lookup,
                                           texture_lookup=texture_lookup,
                                           seed=cfg.train.seed + fold,
-                                          feature_lookup=feature_lookup)
+                                          feature_lookup=feature_lookup,
+                                          device_loop=a.device_sampling)
             auc = M.auc_score(ds.labels, probs, cfg.task.n_classes)
             rows.append({"folds": fold, "test_auc": auc,
                          "test_acc": M.accuracy(ds.labels, probs.argmax(1)),

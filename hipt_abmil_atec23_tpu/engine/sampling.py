@@ -412,7 +412,7 @@ def train_fold_sampling(cfg, scfg: SamplingConfig, fold, train_ds, val_ds,
 
 def eval_sampling(cfg, scfg: SamplingConfig, ds, params, model, *,
                   coords_lookup, texture_lookup=None, seed: int = 0,
-                  feature_lookup=None):
+                  feature_lookup=None, device_loop: bool = False):
     """Sampling-based inference (reference: summary_sampling,
     eval_utils.py:180-566): per slide, DRAS-select a final sample and
     classify it; returns per-slide probs + per-iteration tracking.
@@ -440,10 +440,18 @@ def eval_sampling(cfg, scfg: SamplingConfig, ds, params, model, *,
     for i, sid in enumerate(ds.slide_ids):
         full = feature_lookup[sid] if feature_lookup is not None \
             else ds._full_bag(sid)
-        res = dras_sample_slide(full, coords_lookup[sid],
-                                lambda sub: attention_fn(params, sub), scfg,
-                                rng,
-                                texture_features=(texture_lookup or {}).get(sid))
+        if device_loop and feature_lookup is None:
+            # one lax.scan dispatch for the whole loop (21x on the tunnel
+            # chip); host loop keeps exact reference RNG semantics
+            res = dras_sample_slide_device(
+                jnp.asarray(full), coords_lookup[sid], params, model, scfg,
+                jax.random.fold_in(jax.random.PRNGKey(seed), i),
+                texture_features=(texture_lookup or {}).get(sid))
+        else:
+            res = dras_sample_slide(
+                full, coords_lookup[sid],
+                lambda sub: attention_fn(params, sub), scfg, rng,
+                texture_features=(texture_lookup or {}).get(sid))
         sub = full.take(res.bag_idxs, axis=0)
         bag = np.zeros((n_final, feat_dim), np.float32)
         mask = np.zeros((n_final,), bool)
@@ -515,7 +523,12 @@ def dras_sample_slide_device(
     run = _dras_device_fn(model, n, spi, k_final, neighbors,
                           cfg.resampling_iterations,
                           float(cfg.weight_smoothing))
-    return run(params, features, X, jnp.asarray(eps, jnp.float32), key)
+    final, weights, sampled = run(params, features, X,
+                                  jnp.asarray(eps, jnp.float32), key)
+    return DrasResult(
+        final_idxs=np.asarray(final),
+        weights=np.asarray(weights),
+        all_sampled=[int(i) for i in np.flatnonzero(np.asarray(sampled))])
 
 
 @functools.lru_cache(maxsize=32)
@@ -578,6 +591,6 @@ def _dras_device_fn(model, n, spi, k_final, neighbors, iters, power):
         logp = jnp.where(weights.sum() > 0, logp, jnp.zeros_like(logp))
         kf, _ = jax.random.split(key)
         final = gumbel_topk(kf, logp, k_final)
-        return final, weights
+        return final, weights, sampled
 
     return run

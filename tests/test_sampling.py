@@ -231,11 +231,12 @@ def test_dras_device_scan_variant(rng):
     cfg = SamplingConfig(resampling_iterations=6, samples_per_iteration=64,
                          final_sample_size=96, sampling_neighbors=8,
                          sampling_type="spatial")
-    final, weights = dras_sample_slide_device(
+    res = dras_sample_slide_device(
         jnp.asarray(feats), coords, params, model, cfg,
         jax.random.PRNGKey(0))
-    final = np.asarray(final)
-    weights = np.asarray(weights)
+    final = np.asarray(res.final_idxs)
+    weights = np.asarray(res.weights)
+    assert len(res.all_sampled) >= 64   # sampled set exposed for bag_idxs
     assert final.shape == (96,)
     assert len(np.unique(final)) == 96          # without replacement
     assert np.isfinite(weights).all() and (weights >= 0).all()
@@ -249,11 +250,49 @@ def test_dras_device_scan_variant(rng):
     assert (weights[final] > 0).all()
     # deterministic in the key; different keys give different draws
     import jax as _jax
-    f2, _ = dras_sample_slide_device(
+    r2 = dras_sample_slide_device(
         jnp.asarray(feats), coords, params, model, cfg,
         _jax.random.PRNGKey(0))
-    np.testing.assert_array_equal(final, np.asarray(f2))
-    f3, _ = dras_sample_slide_device(
+    np.testing.assert_array_equal(final, np.asarray(r2.final_idxs))
+    r3 = dras_sample_slide_device(
         jnp.asarray(feats), coords, params, model, cfg,
         _jax.random.PRNGKey(5))
-    assert not np.array_equal(final, np.asarray(f3))
+    assert not np.array_equal(final, np.asarray(r3.final_idxs))
+
+
+def test_eval_sampling_device_loop(tmp_path, rng):
+    """eval_sampling(device_loop=True) classifies every slide via the
+    one-dispatch DRAS and returns sane probabilities."""
+    import jax
+    import jax.numpy as jnp
+    from hipt_abmil_atec23_tpu.data.bags import BagDataset
+    from hipt_abmil_atec23_tpu.data.synthetic import make_synthetic_bags
+    from hipt_abmil_atec23_tpu.engine.sampling import (
+        SamplingConfig, eval_sampling)
+    from hipt_abmil_atec23_tpu.models import build_mil_model
+    from hipt_abmil_atec23_tpu.utils.config import (
+        ExperimentConfig, BagConfig, ModelConfig, TaskConfig, TrainConfig)
+
+    manifest, store = make_synthetic_bags(str(tmp_path), n_slides=6,
+                                          feat_dim=192, bag_range=(200, 400),
+                                          seed=2)
+    cfg = ExperimentConfig(
+        task=TaskConfig(n_classes=2, label_dict={"0": 0, "1": 1}),
+        bags=BagConfig(max_patches_per_slide=0),
+        model=ModelConfig(model_type="clam_sb", model_size="hipt_smaller"),
+        train=TrainConfig())
+    ds = BagDataset(list(manifest.slide_ids), manifest.labels, store,
+                    cfg.bags)
+    model = build_mil_model("clam_sb", size_arg="hipt_smaller", n_classes=2)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((8, 192), jnp.float32), None)
+    coords = {s: np.asarray(rng.integers(0, 10000,
+                                         size=(len(store.load_features(s)), 2)))
+              for s in manifest.slide_ids}
+    scfg = SamplingConfig(resampling_iterations=3, samples_per_iteration=32,
+                          final_sample_size=48, sampling_neighbors=8)
+    probs, counts = eval_sampling(cfg, scfg, ds, params, model,
+                                  coords_lookup=coords, device_loop=True)
+    assert probs.shape == (6, 2)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
+    assert (counts > 0).all()
