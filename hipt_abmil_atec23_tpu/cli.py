@@ -210,6 +210,9 @@ def _add_train(sub):
     p.add_argument("--sampling_average", action="store_true",
                    help="use the running-average weight update instead of "
                         "max (reference: main.py:367)")
+    p.add_argument("--device_sampling", action="store_true",
+                   help="run each slide's DRAS loop as ONE device program "
+                        "(lax.scan; statistically equivalent draws)")
     p.add_argument("--samples_per_iteration", type=int, default=100)
     p.add_argument("--resampling_iterations", type=int, default=10)
     p.add_argument("--sampling_random", type=float, default=0.2)
@@ -365,7 +368,8 @@ def _cmd_train(a):
                 sampling_update=a.sampling_update,
                 no_sampling_epochs=a.no_sampling_epochs,
                 fully_random=a.fully_random,
-                grid_initial_sample=a.grid_sample)
+                grid_initial_sample=a.grid_sample,
+                device_loop=a.device_sampling)
             coords_lookup = {}
             for sid in manifest.slide_ids:
                 try:
@@ -687,7 +691,8 @@ def _eval_with_sampling(a, cfg, manifest, store):
         weight_smoothing=a.weight_smoothing,
         sampling_random=a.sampling_random,
         sampling_random_delta=a.sampling_random_delta,
-        fully_random=a.fully_random)
+        fully_random=a.fully_random,
+        device_loop=a.device_sampling)
     texture_lookup = _build_texture_lookup(a, manifest.slide_ids)
     rows = []
     os.makedirs(a.save_dir, exist_ok=True)

@@ -45,6 +45,7 @@ class SamplingConfig:
     fully_random: bool = False
     grid_initial_sample: bool = False
     sampling_average: bool = False
+    device_loop: bool = False            # one-lax.scan DRAS (see below)
 
     def __post_init__(self):
         # reference parity: --sampling_average overrides the update mode to
@@ -360,10 +361,17 @@ def train_fold_sampling(cfg, scfg: SamplingConfig, fold, train_ds, val_ds,
             for si, idx in enumerate(order):
                 sid = train_ds.slide_ids[idx]
                 full = train_ds._full_bag(sid)
-                res = dras_sample_slide(
-                    full, coords_lookup[sid],
-                    lambda sub: attention_fn(params, sub), scfg, rng,
-                    texture_features=(texture_lookup or {}).get(sid))
+                if scfg.device_loop:
+                    res = dras_sample_slide_device(
+                        jnp.asarray(full), coords_lookup[sid], params, model,
+                        scfg,
+                        jax.random.fold_in(key, (epoch + 1) * 7919 + si),
+                        texture_features=(texture_lookup or {}).get(sid))
+                else:
+                    res = dras_sample_slide(
+                        full, coords_lookup[sid],
+                        lambda sub: attention_fn(params, sub), scfg, rng,
+                        texture_features=(texture_lookup or {}).get(sid))
                 sub = full[res.bag_idxs]
                 fb = np.zeros((1, 1, n_final, feat_dim), np.float32)
                 mb = np.zeros((1, 1, n_final), bool)
