@@ -158,6 +158,7 @@ def bench_e2e():
                           seg=SegConfig(use_otsu=True, close=4, a_t=1))
 
     def one_slide():
+        t0 = time.perf_counter()
         slide = TiffSlide(slide_path)
         seg = segment_tissue(slide, tile_cfg.seg)
         coords = enumerate_coords(slide, seg, tile_cfg)
@@ -172,18 +173,22 @@ def bench_e2e():
                                 jnp.asarray(mask))
         jax.block_until_ready(logits)
         slide.close()
-        return len(coords)
+        return len(coords), time.perf_counter() - t0
 
     one_slide()  # untimed warm slide: cold decoder caches + link ramp-up
 
-    # ---- timed: the per-slide production path
-    regions_done = 0
-    t0 = time.perf_counter()
-    for i in range(N_SLIDES):
-        regions_done += one_slide()
-    dt = time.perf_counter() - t0
+    # ---- timed: the per-slide production path. The dev tunnel's H2D rate
+    # drifts ~2x within minutes (measured 29-63s for identical slides), so
+    # the headline uses the MEDIAN per-slide rate — robust to a single
+    # link stall — with the total-time figure kept as an extra.
+    per_slide = [one_slide() for _ in range(N_SLIDES)]
+    regions_done = sum(r for r, _ in per_slide)
+    dt = sum(t for _, t in per_slide)
+    rates = sorted(r / t for r, t in per_slide)
+    median_rate = rates[len(rates) // 2] if len(rates) % 2 else \
+        0.5 * (rates[len(rates) // 2 - 1] + rates[len(rates) // 2])
 
-    regions_per_hour = regions_done / dt * 3600.0
+    regions_per_hour = median_rate * 3600.0
     raw_slides_per_hour = N_SLIDES / dt * 3600.0
     tcga40 = regions_per_hour / REGIONS_PER_TCGA_SLIDE
     _emit({
@@ -191,10 +196,12 @@ def bench_e2e():
         "value": round(tcga40, 1),
         "unit": f"40-region TCGA-slide equivalents/hour "
                 f"({regions_done // N_SLIDES} full-tissue 4096px regions "
-                f"per measured 16k slide)",
+                f"per measured 16k slide; median per-slide rate)",
         "vs_baseline": round(tcga40 / TARGET_SLIDES_PER_HOUR, 2),
         "regions_per_hour": round(regions_per_hour, 1),
         "raw_slides_per_hour_16region": round(raw_slides_per_hour, 1),
+        "per_slide_s": [round(t, 1) for _, t in per_slide],
+        "total_regions_per_hour": round(regions_done / dt * 3600.0, 1),
         "note": "tunnel-H2D-bound (~50-90MB/s drifting link; 50MB uint8 "
                 "per region); local TPU hosts feed ~10x faster",
     })
