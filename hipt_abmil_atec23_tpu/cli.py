@@ -123,23 +123,24 @@ def _cmd_encode(a):
                            for f in os.listdir(patches_dir)
                            if f.endswith(".h5"))
     import time
-    t0 = time.perf_counter()
-    done = 0
+    from hipt_abmil_atec23_tpu.engine.encode import encode_many
+    jobs = []
     for sid in slide_ids:
         h5 = os.path.join(patches_dir, f"{sid}.h5")
         if not os.path.exists(h5):
             print(f"[encode] {sid}: no coords h5, skipping")
             continue
-        slide_path = os.path.join(a.data_slide_dir, sid + a.slide_ext)
-        out = encode_and_store(slide_path, h5, encoder, store, sid,
-                               skip_existing=not a.no_skip,
-                               transform=transform,
-                               target_patch_size=a.target_patch_size)
-        done += out is not None
-        print(f"[encode] {sid}: {'done' if out else 'skipped (exists)'}")
+        jobs.append((os.path.join(a.data_slide_dir, sid + a.slide_ext),
+                     h5, sid))
+    t0 = time.perf_counter()
+    # slide-level pipeline: next slide opens + artifact writes happen on
+    # background threads while the current slide streams through the device
+    done = encode_many(jobs, encoder, store, skip_existing=not a.no_skip,
+                       transform=transform,
+                       target_patch_size=a.target_patch_size)
     dt = time.perf_counter() - t0
-    print(f"[encode] {done} slides in {dt:.1f}s "
-          f"({done / max(dt, 1e-9) * 3600:.1f} slides/hour)")
+    print(f"[encode] {len(done)} slides in {dt:.1f}s "
+          f"({len(done) / max(dt, 1e-9) * 3600:.1f} slides/hour)")
 
 
 def _add_train(sub):

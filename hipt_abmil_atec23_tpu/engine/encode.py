@@ -308,3 +308,90 @@ def encode_and_store(
     store.save(slide_id, feats, coords=coords, formats=formats)
     return store.pt_path(slide_id) if "pt" in formats else \
         store.h5_path(slide_id)
+
+
+def encode_many(
+    jobs,
+    encoder: Encoder,
+    store: FeatureBagStore,
+    *,
+    formats=("h5", "pt"),
+    skip_existing: bool = True,
+    transform=None,
+    target_patch_size: int = 0,
+    verbose: bool = True,
+):
+    """Slide-level pipelined encode stage. `jobs`: sequence of
+    (slide_path, coords_h5, slide_id).
+
+    While slide i streams through the device, a prefetch thread opens
+    slide i+1 and loads its coords, and a writer thread persists slide
+    i-1's bag (h5+pt) — the device never idles on artifact IO between
+    slides (the reference serializes open -> encode -> save per slide,
+    extract_features_fp.py:223-255). Returns the list of encoded slide_ids.
+    """
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+    from hipt_abmil_atec23_tpu.slideio.patching import load_coords_h5
+    from hipt_abmil_atec23_tpu.slideio.reader import open_slide
+
+    jobs = [j for j in jobs]
+    todo = []
+    for path, h5, sid in jobs:
+        if skip_existing and store.exists(sid):
+            if verbose:
+                print(f"[encode] {sid}: skipped (exists)")
+            continue
+        todo.append((path, h5, sid))
+    if not todo:
+        return []
+
+    def _open(job):
+        path, h5, sid = job
+        coords, attrs = load_coords_h5(h5)
+        return sid, open_slide(path), coords, attrs
+
+    write_q: "queue.Queue" = queue.Queue(maxsize=4)
+    write_err = []
+
+    def _writer():
+        while True:
+            item = write_q.get()
+            if item is None:
+                return
+            sid, feats, coords = item
+            try:
+                store.save(sid, feats, coords=coords, formats=formats)
+            except Exception as e:  # surfaced after the loop
+                write_err.append((sid, e))
+
+    wt = threading.Thread(target=_writer, daemon=True)
+    wt.start()
+    done = []
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        nxt = ex.submit(_open, todo[0])
+        for i in range(len(todo)):
+            sid, slide, coords, attrs = nxt.result()
+            if i + 1 < len(todo):
+                nxt = ex.submit(_open, todo[i + 1])  # overlap with encode
+            try:
+                feats = encode_slide(
+                    slide, coords, encoder,
+                    patch_level=int(attrs.get("patch_level", 0)),
+                    region_size=int(attrs.get("patch_size",
+                                              encoder.input_size)),
+                    transform=transform,
+                    target_patch_size=target_patch_size)
+            finally:
+                slide.close()
+            write_q.put((sid, feats, coords))   # overlap with next encode
+            done.append(sid)
+            if verbose:
+                print(f"[encode] {sid}: done ({len(coords)} patches)")
+    write_q.put(None)
+    wt.join()
+    if write_err:
+        sid, e = write_err[0]
+        raise IOError(f"failed writing features for {sid}: {e}")
+    return done

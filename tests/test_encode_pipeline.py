@@ -169,3 +169,29 @@ def test_encode_slide_no_overlap_matches(tiled_slide):
     a = encode_slide(slide, coords, enc, overlap_dispatch=True)
     b = encode_slide(slide, coords, enc, overlap_dispatch=False)
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_encode_many_pipelined(tiled_slide, tmp_path):
+    """Slide-level pipelined encode: same artifacts as per-slide
+    encode_and_store, skip-existing honored, writer errors surfaced."""
+    from hipt_abmil_atec23_tpu.engine.encode import encode_many
+
+    path, h5, coords, slide = tiled_slide
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=8,
+                                      dtype="float32"))
+    jobs = [(path, h5, "sA"), (path, h5, "sB"), (path, h5, "sC")]
+    store = FeatureBagStore(str(tmp_path / "many"))
+    done = encode_many(jobs, enc, store, verbose=False)
+    assert done == ["sA", "sB", "sC"]
+    ref_store = FeatureBagStore(str(tmp_path / "one"))
+    from hipt_abmil_atec23_tpu.engine.encode import encode_and_store
+    encode_and_store(path, h5, enc, ref_store, "sA")
+    np.testing.assert_allclose(store.load_features("sA"),
+                               ref_store.load_features("sA"), atol=1e-5)
+    # coords land in the h5 artifact
+    import h5py
+    with h5py.File(store.h5_path("sB")) as f:
+        assert f["coords"].shape == (len(coords), 2)
+    # second run skips everything
+    done2 = encode_many(jobs, enc, store, verbose=False)
+    assert done2 == []

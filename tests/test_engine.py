@@ -214,3 +214,46 @@ def test_epoch_chunked_training_matches_semantics(synth, tmp_path):
     # checkpoint exists (early-stopping schedule saved snapshots)
     assert os.path.exists(os.path.join(cfg_chunked.results_dir,
                                        "s_0_checkpoint.msgpack"))
+
+
+def test_fused_full_bag_eval_route(tmp_path):
+    """evaluate_fold auto-routes un-subsampled large bags through the fused
+    full-bag path and matches the padded-batch evaluator's predictions."""
+    from hipt_abmil_atec23_tpu.data.bags import BagDataset
+    from hipt_abmil_atec23_tpu.engine.checkpoint import ckpt_path, save_params
+    from hipt_abmil_atec23_tpu.engine.evaluate import (
+        FUSED_EVAL_MIN_BAG, evaluate_fold, evaluate_full_bags_fused)
+    from hipt_abmil_atec23_tpu.engine.train import build_step_fns, evaluate_split
+    from hipt_abmil_atec23_tpu.utils.config import (
+        ExperimentConfig, BagConfig, ModelConfig, TaskConfig, TrainConfig)
+    import jax
+    import jax.numpy as jnp
+
+    manifest, store = make_synthetic_bags(
+        str(tmp_path / "bags"), n_slides=6, feat_dim=192,
+        bag_range=(FUSED_EVAL_MIN_BAG + 10, FUSED_EVAL_MIN_BAG + 200),
+        signal=2.0, signal_fraction=0.5, seed=1)
+    cfg = ExperimentConfig(
+        exp_code="fused", results_dir=str(tmp_path / "m"),
+        task=TaskConfig(n_classes=2, label_dict={"0": 0, "1": 1}),
+        bags=BagConfig(max_patches_per_slide=None, batch_size=1),
+        model=ModelConfig(model_type="clam_sb", model_size="hipt_smaller",
+                          no_inst_cluster=True),
+        train=TrainConfig(k=3, seed=0))
+    ds = BagDataset(list(manifest.slide_ids), manifest.labels, store,
+                    cfg.bags)
+    n_pad = ds.pad_size()
+    assert n_pad >= FUSED_EVAL_MIN_BAG
+    fns = build_step_fns(cfg, manifest.class_counts(), n_pad, 192)
+    params = fns.init_params(jax.random.PRNGKey(0))
+    os.makedirs(cfg.results_dir, exist_ok=True)
+    save_params(ckpt_path(cfg.results_dir, 0), params)
+
+    res = evaluate_fold(cfg, 0, ds, manifest.class_counts(), cfg.results_dir)
+    probs_fused, loss_fused = evaluate_full_bags_fused(cfg, ds, params, n_pad)
+    rng = np.random.default_rng(7)
+    probs_pad, loss_pad = evaluate_split(fns, params, ds, n_pad, rng)
+    np.testing.assert_allclose(probs_fused, probs_pad, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(res.test_probs, probs_pad, rtol=1e-4,
+                               atol=1e-5)
+    assert abs(loss_fused - loss_pad) < 1e-4
