@@ -296,3 +296,70 @@ def test_eval_sampling_device_loop(tmp_path, rng):
     assert probs.shape == (6, 2)
     np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
     assert (counts > 0).all()
+
+
+def test_dras_device_vs_host_behavioral_equivalence(rng):
+    """The device-scan DRAS's mixture draw is claimed statistically
+    equivalent to the host loop's split draw (COMPONENT_MAP divergence #7):
+    with a model whose attention provably prefers a planted region, the two
+    variants produce matching weight-concentration ratios and final-draw
+    planted fractions across seeds. (Concentration itself is mild by
+    reference design: power=0.15 flattens attention into near-uniform
+    weights — the point here is host/device AGREEMENT.)"""
+    import jax
+    import jax.numpy as jnp
+    from hipt_abmil_atec23_tpu.engine.sampling import (
+        SamplingConfig, dras_sample_slide, dras_sample_slide_device,
+        make_attention_fn)
+    from hipt_abmil_atec23_tpu.models import build_mil_model
+
+    n, d = 1000, 192
+    feats = rng.normal(size=(n, d)).astype(np.float32) * 0.1
+    planted = np.arange(200, 320)
+    feats[planted, 0] = 5.0          # the attention feature (see params)
+    coords = np.stack([np.arange(n) % 40, np.arange(n) // 40], 1) * 256
+
+    # hand-built CLAM_SB params: score monotone in feature 0, so planted
+    # patches get the top attention within every sampled subset
+    model = build_mil_model("clam_sb", size_arg="hipt_smaller", n_classes=2)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((8, d), jnp.float32), None)
+    p = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)),
+                     params)["params"]
+    p["fc"]["kernel"][0, 0] = 1.0
+    p["attention"]["attn_a"]["kernel"][0, 0] = 1.0
+    p["attention"]["attn_c"]["kernel"][0, 0] = 4.0
+    params = {"params": jax.tree.map(jnp.asarray, p)}
+
+    cfg = SamplingConfig(resampling_iterations=6, samples_per_iteration=64,
+                         final_sample_size=96, sampling_neighbors=8,
+                         sampling_type="spatial", sampling_random=0.4)
+    attn_fn = make_attention_fn(model, cfg.samples_per_iteration)
+
+    def stats(res):
+        w = np.asarray(res.weights)
+        ratio = w[planted].mean() / max(np.delete(w, planted).mean(), 1e-9)
+        frac = np.isin(np.asarray(res.final_idxs), planted).mean()
+        return ratio, frac
+
+    ratios_h, ratios_d, fracs_h, fracs_d = [], [], [], []
+    for seed in range(3):
+        rh = dras_sample_slide(feats, coords,
+                               lambda s: attn_fn(params, s), cfg,
+                               np.random.default_rng(seed))
+        rd = dras_sample_slide_device(jnp.asarray(feats), coords, params,
+                                      model, cfg, jax.random.PRNGKey(seed))
+        r1, f1 = stats(rh)
+        r2, f2 = stats(rd)
+        ratios_h.append(r1); ratios_d.append(r2)
+        fracs_h.append(f1); fracs_d.append(f2)
+
+    # weight concentration ratios agree variant-to-variant
+    assert abs(np.mean(ratios_h) - np.mean(ratios_d)) < 0.35, \
+        (ratios_h, ratios_d)
+    # final planted fractions agree in the mean
+    assert abs(np.mean(fracs_h) - np.mean(fracs_d)) < 0.08, \
+        (fracs_h, fracs_d)
+    # and neither variant collapses below half of chance coverage
+    chance = len(planted) / n
+    assert np.mean(fracs_h) > 0.5 * chance and np.mean(fracs_d) > 0.5 * chance
