@@ -208,18 +208,27 @@ def encode_slide(
     extract_features_fp.py:181-184, dataset_h5.py:147-152).
 
     region_size defaults to the encoder's input size (4096 for HIPT, 256 for
-    patch encoders). Three-way overlap:
+    patch encoders). Three independently-overlapped stages:
+
+      decode window  ->  H2D transfer thread  ->  compute dispatch/collect
+
     - up to `prefetch` compute batches decode concurrently in a sliding
       window (each batch's regions decode on the native thread pool);
-    - the consumer DISPATCHES the device step asynchronously and only then
-      collects the previous step's result, so the host->device transfer of
-      batch i+1 rides under the device compute of batch i.
+    - a DEDICATED transfer thread streams decoded batches to the device
+      (jax.device_put) one at a time, keeping up to `prefetch` device
+      batches queued ahead of compute. Serializing the H2D stream on one
+      thread matters on bandwidth-limited host links (tunneled dev links
+      run ~55 MB/s once compute has dispatched — measured; concurrent puts
+      don't aggregate any higher), while decode and device compute ride
+      under the transfer;
+    - the consumer DISPATCHES the device step for batch i and only then
+      collects batch i-1's result, so compute is always one batch deep.
 
-    overlap_dispatch=False serializes dispatch-then-collect per batch:
-    on tunneled development links interleaving two in-flight 100MB
-    transfers degrades throughput ~2x (measured), so benches on such links
-    disable the overlap; on local TPU hosts keep it on.
+    overlap_dispatch=False serializes transfer-dispatch-collect per batch
+    (the conservative mode; identical features, used by parity tests).
     """
+    import queue
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     size = region_size or encoder.input_size
@@ -238,41 +247,217 @@ def encode_slide(
                            interpolation=cv2.INTER_AREA) for p in batch])
         if transform is not None:
             batch = transform(batch)
+        k = len(chunk)
+        if k < bs:  # pad tail batch to the compiled shape
+            pad = np.zeros((bs - k,) + batch.shape[1:], batch.dtype)
+            batch = np.concatenate([batch, pad])
         return batch
 
     chunks = list(_batches(coords, bs))
     window = max(1, prefetch)
     feats = np.empty((n, encoder.feat_dim), np.float32)
     done = 0
-    pending = None  # (k, device result) of the previous dispatched batch
+    try:  # put batches where the weights live
+        device = next(iter(jax.tree.leaves(encoder.variables)[0].devices()))
+    except Exception:
+        device = jax.devices()[0]
 
-    with ThreadPoolExecutor(max_workers=window) as ex:
-        futures = [ex.submit(read_batch, c) for c in chunks[:window]]
-        next_submit = window
-        for ci in range(len(chunks)):
-            batch = futures[ci].result()
-            if next_submit < len(chunks):  # slide the decode window
-                futures.append(ex.submit(read_batch, chunks[next_submit]))
-                next_submit += 1
-            k = len(chunks[ci])
-            if k < bs:  # pad tail batch to the compiled shape
-                pad = np.zeros((bs - k,) + batch.shape[1:], batch.dtype)
-                batch = np.concatenate([batch, pad])
-            out = encoder.apply(jnp.asarray(batch))  # async dispatch
-            if not overlap_dispatch:
+    if not overlap_dispatch:
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futures = [ex.submit(read_batch, c) for c in chunks[:window]]
+            next_submit = window
+            for ci, chunk in enumerate(chunks):
+                batch = futures[ci].result()
+                if next_submit < len(chunks):
+                    futures.append(ex.submit(read_batch, chunks[next_submit]))
+                    next_submit += 1
+                out = encoder.apply(jnp.asarray(batch))
+                k = len(chunk)
                 feats[done:done + k] = np.asarray(out)[:k]
                 done += k
-                continue
+        return feats
+
+    dev_q: "queue.Queue" = queue.Queue(maxsize=window)
+    xfer_err = []
+
+    def _transfer(futures_ref):
+        try:
+            for ci in range(len(chunks)):
+                batch = futures_ref[ci].result()
+                if ci + window < len(chunks):  # slide the decode window
+                    futures_ref.append(
+                        ex.submit(read_batch, chunks[ci + window]))
+                d = jax.device_put(batch, device)
+                d.block_until_ready()  # one in-flight put: the link is the
+                dev_q.put(d)           # bottleneck, not put concurrency
+        except Exception as e:  # surfaced by the consumer
+            xfer_err.append(e)
+            dev_q.put(None)
+
+    pending = None  # (k, device result) of the previous dispatched batch
+    # ONE decode worker: a single read_regions call already parallelizes
+    # across n_io_threads native threads; overlapping multiple calls
+    # oversubscribes small hosts (measured 3-6x decode slowdown on 1 CPU).
+    # The window still queues `prefetch` batches ahead of the transfer.
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futures = [ex.submit(read_batch, c) for c in chunks[:window]]
+        xt = threading.Thread(target=_transfer, args=(futures,), daemon=True)
+        xt.start()
+        for ci in range(len(chunks)):
+            d = dev_q.get()
+            if d is None:
+                break
+            out = encoder.apply(d)  # async dispatch
             if pending is not None:
                 pk, pout = pending
                 feats[done:done + pk] = np.asarray(pout)[:pk]
                 done += pk
-            pending = (k, out)
+            pending = (len(chunks[ci]), out)
+        xt.join()
+    if xfer_err:
+        raise xfer_err[0]
     if pending is not None:
         pk, pout = pending
         feats[done:done + pk] = np.asarray(pout)[:pk]
         done += pk
     return feats
+
+
+def encode_stream(
+    jobs,
+    encoder: Encoder,
+    *,
+    patch_level: int = 0,
+    region_size: Optional[int] = None,
+    transform: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    target_patch_size: int = 0,
+    n_io_threads: int = 0,
+    prefetch: int = 3,
+):
+    """Encode a SEQUENCE of slides through one continuous pipeline.
+
+    ``jobs``: sequence of (slide_id, slide, coords). Yields
+    (slide_id, feats [N, D]) in job order as each slide's last batch
+    completes. Unlike per-slide ``encode_slide`` calls, the decode window
+    and H2D stream run across slide boundaries — the device and the host
+    link never drain between slides, so the per-slide pipeline ramp-up
+    (decode+transfer of the first batches) is paid once per stream, not
+    once per slide. This is the slide-stream redesign of the reference's
+    serial per-slide loop (reference: extract_features_fp.py:223-255).
+    """
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    size = region_size or encoder.input_size
+    bs = encoder.batch_size
+    jobs = list(jobs)
+
+    # flat work list across slides: (job_idx, chunk)
+    items = []
+    for ji, (sid, slide, coords) in enumerate(jobs):
+        for chunk in _batches(coords, bs):
+            items.append((ji, slide, chunk))
+    feats = [np.empty((len(c), encoder.feat_dim), np.float32)
+             for _, _, c in jobs]
+    remaining = [max(1, -(-len(c) // bs)) for _, _, c in jobs]
+    offs = [0] * len(jobs)
+
+    if not items:
+        for sid, _, c in jobs:
+            yield sid, np.zeros((0, encoder.feat_dim), np.float32)
+        return
+
+    def read_batch(item):
+        ji, slide, chunk = item
+        batch = slide.read_regions(chunk, patch_level, (size, size),
+                                   n_threads=n_io_threads or len(chunk))
+        if target_patch_size and target_patch_size != size:
+            import cv2
+            batch = np.stack([
+                cv2.resize(p, (target_patch_size, target_patch_size),
+                           interpolation=cv2.INTER_AREA) for p in batch])
+        if transform is not None:
+            batch = transform(batch)
+        k = len(chunk)
+        if k < bs:
+            pad = np.zeros((bs - k,) + batch.shape[1:], batch.dtype)
+            batch = np.concatenate([batch, pad])
+        return batch
+
+    try:
+        device = next(iter(jax.tree.leaves(encoder.variables)[0].devices()))
+    except Exception:
+        device = jax.devices()[0]
+
+    window = max(1, prefetch)
+    dev_q: "queue.Queue" = queue.Queue(maxsize=window)
+    xfer_err = []
+
+    def _transfer(futures_ref, ex):
+        try:
+            for ci in range(len(items)):
+                batch = futures_ref[ci].result()
+                if ci + window < len(items):
+                    futures_ref.append(
+                        ex.submit(read_batch, items[ci + window]))
+                d = jax.device_put(batch, device)
+                d.block_until_ready()  # serialize the H2D stream (see
+                dev_q.put(d)           # encode_slide docstring)
+        except Exception as e:
+            xfer_err.append(e)
+            dev_q.put(None)
+
+    def _collect(pend):
+        ji, k, out = pend
+        feats[ji][offs[ji]:offs[ji] + k] = np.asarray(out)[:k]
+        offs[ji] += k
+        remaining[ji] -= 1
+        return ji if remaining[ji] == 0 else None
+
+    pending = None
+    empties = [ji for ji, (_, _, c) in enumerate(jobs) if len(c) == 0]
+    next_yield = 0
+
+    def _drain_ready(done_ji):
+        # yield jobs in order once complete (empty jobs complete trivially)
+        nonlocal next_yield
+        ready = []
+        while next_yield < len(jobs):
+            if len(jobs[next_yield][2]) == 0 or remaining[next_yield] == 0:
+                ready.append((jobs[next_yield][0], feats[next_yield]
+                              if len(jobs[next_yield][2]) else
+                              np.zeros((0, encoder.feat_dim), np.float32)))
+                next_yield += 1
+            else:
+                break
+        return ready
+
+    # ONE decode worker (see encode_slide): read_regions parallelizes
+    # internally; the window is prefetch depth, not decode concurrency.
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futures = [ex.submit(read_batch, it) for it in items[:window]]
+        xt = threading.Thread(target=_transfer, args=(futures, ex),
+                              daemon=True)
+        xt.start()
+        for ci in range(len(items)):
+            d = dev_q.get()
+            if d is None:
+                break
+            out = encoder.apply(d)  # async dispatch
+            if pending is not None:
+                done = _collect(pending)
+                for item in _drain_ready(done):
+                    yield item
+            ji, _, chunk = items[ci]
+            pending = (ji, len(chunk), out)
+        xt.join()
+    if xfer_err:
+        raise xfer_err[0]
+    if pending is not None:
+        done = _collect(pending)
+        for item in _drain_ready(done):
+            yield item
 
 
 def encode_and_store(

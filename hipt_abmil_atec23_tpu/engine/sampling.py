@@ -570,13 +570,15 @@ def _dras_device_fn(model, n, spi, k_final, neighbors, iters, power):
                   + jnp.sum(q * q, axis=1)[:, None])         # [spi, N]
             _, nbrs = jax.lax.top_k(-d2, neighbors)          # [spi, k]
             # 'max' propagation: w[nbr] = max(w[nbr], attn_i^power),
-            # then zero-out everything already sampled. Dense one-hot max:
-            # TPU scatter serializes per index, a [spi*k, N] masked
-            # max-reduce is one vectorized pass.
+            # then zero-out everything already sampled. segment_max over
+            # the [spi*k] flattened neighbor list scatters ~2k elements;
+            # the dense [spi*k, N] one-hot alternative materializes ~800MB
+            # at N=100k (ADVICE r2 #5). Softmax attn >= 0, so clamping the
+            # -inf empty-segment fill at 0 reproduces the dense semantics.
             vals = jnp.repeat(attn ** power, neighbors)
-            hit = nbrs.reshape(-1)[:, None] == jnp.arange(n)[None, :]
-            prop = jnp.max(jnp.where(hit, vals[:, None], 0.0), axis=0)
-            weights = jnp.maximum(weights, prop)
+            prop = jax.ops.segment_max(vals, nbrs.reshape(-1),
+                                       num_segments=n)
+            weights = jnp.maximum(weights, jnp.maximum(prop, 0.0))
             weights = jnp.where(sampled, 0.0, weights)
             # epsilon-greedy mixture draw without replacement (Gumbel top-k)
             e = eps[it]

@@ -166,19 +166,18 @@ def threshold_blend(score01: np.ndarray, base: np.ndarray, threshold: float,
 # Batched attention extraction (ONE device call for all shifted variants)
 # --------------------------------------------------------------------------
 
-def region_attention_cls_maps(model, variables, regions_u8: np.ndarray
-                              ) -> Tuple[np.ndarray, np.ndarray]:
-    """regions_u8 [R, H, W, 3] uint8 (H, W multiples of 256) ->
-    (cls256 [R, T, h256, 16, 16], cls4k [R, h4k, gh, gw]) CLS-attention maps
-    from the fused HIPT forward (reference does this one region at a time
-    with a host bounce, hipt_4k.py:121-164). Extraction is on-device: only
-    the small CLS maps are fetched."""
-    import jax
-    import jax.numpy as jnp
-    from hipt_abmil_atec23_tpu.models.hipt import hipt_eval_normalize
+import functools
 
-    r, h, w, _ = regions_u8.shape
-    gh, gw = h // 256, w // 256
+
+@functools.lru_cache(maxsize=8)
+def _region_extract_fn(model, r, gh, gw):
+    # Hoisted + cached jitted extractor: a fresh jax.jit closure per call
+    # would recompile the full batched HIPT forward for every ROI region
+    # (minutes each on TPU). Flax modules are frozen/hashable, so (model,
+    # shape) keys one compiled executable per region geometry — the same
+    # pattern as engine/sampling.py _dras_device_fn.
+    import jax
+    from hipt_abmil_atec23_tpu.models.hipt import hipt_eval_normalize
 
     @jax.jit
     def _extract(v, batch_u8):
@@ -191,6 +190,21 @@ def region_attention_cls_maps(model, variables, regions_u8: np.ndarray
         c4k = c4k.reshape(r, -1, gh, gw)
         return c256, c4k
 
+    return _extract
+
+
+def region_attention_cls_maps(model, variables, regions_u8: np.ndarray
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    """regions_u8 [R, H, W, 3] uint8 (H, W multiples of 256) ->
+    (cls256 [R, T, h256, 16, 16], cls4k [R, h4k, gh, gw]) CLS-attention maps
+    from the fused HIPT forward (reference does this one region at a time
+    with a host bounce, hipt_4k.py:121-164). Extraction is on-device: only
+    the small CLS maps are fetched."""
+    import jax.numpy as jnp
+
+    r, h, w, _ = regions_u8.shape
+    gh, gw = h // 256, w // 256
+    _extract = _region_extract_fn(model, r, gh, gw)
     c256, c4k = _extract(variables, jnp.asarray(regions_u8))
     return np.asarray(c256, np.float32), np.asarray(c4k, np.float32)
 
@@ -304,7 +318,11 @@ def hierarchical_gallery(
     if cmap is None:
         cmap = light_jet_cmap()
     os.makedirs(output_dir, exist_ok=True)
-    weight256 = 2.0 if mode != "indiv" else 2.0  # gallery semantics (:556)
+    # all three gallery modes weight the 256 level 2x in the factorized
+    # combine (reference: hipt_heatmap_utils.py:475-477 indiv, :556-558
+    # concat) — unlike hipt_4k.py:289's 1x used by region_attention_heatmaps'
+    # default
+    weight256 = 2.0
     maps = region_attention_heatmaps(
         region_u8, model, variables, offset=offset, scale=scale, alpha=alpha,
         cmap=cmap, threshold=threshold, weight256=weight256)
@@ -369,13 +387,11 @@ def hierarchical_gallery(
 # Patch (256^2) galleries
 # --------------------------------------------------------------------------
 
-def patch_attention_cls_maps(vit256, variables, patches_u8: np.ndarray
-                             ) -> np.ndarray:
-    """[P, 256, 256, 3] uint8 -> [P, heads, 16, 16] CLS-attention maps,
-    one jitted call (reference: get_patch_attention_scores,
-    attention_visualization_utils.py)."""
+@functools.lru_cache(maxsize=4)
+def _patch_extract_fn(vit256):
+    # hoisted jit (same rationale as _region_extract_fn; shape changes
+    # retrace inside the one cached jit wrapper)
     import jax
-    import jax.numpy as jnp
     from hipt_abmil_atec23_tpu.models.hipt import hipt_eval_normalize
 
     @jax.jit
@@ -384,6 +400,17 @@ def patch_attention_cls_maps(vit256, variables, patches_u8: np.ndarray
                             method=vit256.get_last_selfattention)
         return attn[:, :, 0, 1:].reshape(x_u8.shape[0], -1, 16, 16)
 
+    return _extract
+
+
+def patch_attention_cls_maps(vit256, variables, patches_u8: np.ndarray
+                             ) -> np.ndarray:
+    """[P, 256, 256, 3] uint8 -> [P, heads, 16, 16] CLS-attention maps,
+    one jitted call (reference: get_patch_attention_scores,
+    attention_visualization_utils.py)."""
+    import jax.numpy as jnp
+
+    _extract = _patch_extract_fn(vit256)
     return np.asarray(_extract(variables, jnp.asarray(patches_u8)),
                       np.float32)
 

@@ -207,7 +207,14 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
     - long: tiled online-softmax flash."""
     n = q.shape[1]
     if n <= interpret_threshold:
-        return fused_attention(q, k, v, valid_len)
+        # scale the head-group with n: the single-pass kernel's f32 score
+        # block is group * n_pad^2 * 4 bytes — group=8 at n=1024 would be
+        # ~33MB, past the ~16MB VMEM budget (ADVICE r2 #1). Half the
+        # budget for scores leaves room for q/k/v/o blocks + double
+        # buffering; n=257 still gets the measured-best group of 8.
+        n_pad = _round_up(n, 8)
+        group = max(1, min(8, (8 * 1024 * 1024) // (4 * n_pad * n_pad)))
+        return fused_attention(q, k, v, valid_len, group=group)
     if n <= 8192:
         return fused_attention(q, k, v, valid_len, group=1, block_q=256)
     return flash_attention(q, k, v, valid_len)

@@ -121,11 +121,15 @@ def _kernel(bag_ref, mask_ref, nv_ref, wf_ref, bf_ref, wa_ref, ba_ref,
         s = jnp.where(col < nv_ref[0], s, NEG_INF)
     scores_ref[...] = s[None]
 
-    # online-softmax pooling recurrence
+    # online-softmax pooling recurrence. Masked rows carry s = NEG_INF;
+    # while m is still NEG_INF (no valid instance seen yet) exp(s - m)
+    # would be exp(0) = 1 and silently pool garbage (ADVICE r2 #4), so
+    # masked rows are forced to 0 explicitly — an all-masked bag then
+    # yields l = 0, acc = 0 and finalizes to the bias logits.
     m_prev = m_ref[0, 0]
     m_new = jnp.maximum(m_prev, jnp.max(s))
     alpha = jnp.exp(m_prev - m_new)
-    e = jnp.exp(s - m_new)                                  # [1, T]
+    e = jnp.where(s > 0.5 * NEG_INF, jnp.exp(s - m_new), 0.0)   # [1, T]
     l_ref[0, 0] = l_ref[0, 0] * alpha + jnp.sum(e)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
         e, h, preferred_element_type=jnp.float32)           # [1, L]

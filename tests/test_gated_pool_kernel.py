@@ -161,3 +161,26 @@ def test_apply_pooled_dispatch(rng):
     ref_mb = mb.apply(mb_params, bag, None)
     np.testing.assert_allclose(np.asarray(out_mb.logits),
                                np.asarray(ref_mb.logits), rtol=1e-6)
+
+
+def test_kernel_all_masked_bag_neutral(rng):
+    """An all-masked (empty) bag must not pool garbage: the kernel forces
+    masked rows' exp contributions to 0 even while the running max is still
+    NEG_INF, so l = 0, acc = 0 and the logits finalize to the classifier
+    bias (ADVICE r2 #4)."""
+    p = _random_params(rng)
+    bag = jnp.asarray(rng.normal(size=(128, 192)).astype(np.float32))
+    mask = jnp.zeros((128,), bool)
+    logits, scores = _interpret(gap.gated_attention_pool, bag, p, mask=mask)
+    np.testing.assert_allclose(np.asarray(logits)[0], np.asarray(p.b_cls),
+                               rtol=1e-6, atol=1e-6)
+    assert np.all(np.asarray(scores) <= 0.5 * gap.NEG_INF)
+
+    # leading all-masked tiles self-heal: only the valid tail contributes
+    mask2 = jnp.arange(300) >= 250
+    bag2 = jnp.asarray(rng.normal(size=(300, 192)).astype(np.float32))
+    ref_logits, _ = gap.gated_attention_pool_reference(bag2, mask2, p)
+    logits2, _ = _interpret(gap.gated_attention_pool, bag2, p, mask=mask2,
+                            tile=128)
+    np.testing.assert_allclose(np.asarray(logits2)[0], np.asarray(ref_logits),
+                               rtol=1e-5, atol=1e-5)
