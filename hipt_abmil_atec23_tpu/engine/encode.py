@@ -554,26 +554,46 @@ def encode_many(
     wt = threading.Thread(target=_writer, daemon=True)
     wt.start()
     done = []
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        nxt = ex.submit(_open, todo[0])
-        for i in range(len(todo)):
-            sid, slide, coords, attrs = nxt.result()
-            if i + 1 < len(todo):
-                nxt = ex.submit(_open, todo[i + 1])  # overlap with encode
-            try:
-                feats = encode_slide(
-                    slide, coords, encoder,
-                    patch_level=int(attrs.get("patch_level", 0)),
-                    region_size=int(attrs.get("patch_size",
-                                              encoder.input_size)),
-                    transform=transform,
-                    target_patch_size=target_patch_size)
-            finally:
-                slide.close()
-            write_q.put((sid, feats, coords))   # overlap with next encode
-            done.append(sid)
-            if verbose:
-                print(f"[encode] {sid}: done ({len(coords)} patches)")
+    # Stream slides in groups of GROUP through ONE continuous pipeline
+    # (encode_stream): the decode window and H2D stream cross slide
+    # boundaries, so the device/link only drain once per group instead of
+    # once per slide. GROUP bounds concurrently-open slide handles; the
+    # next group's slides open on a background thread while the current
+    # group streams.
+    GROUP = 8
+    chunks = [todo[i:i + GROUP] for i in range(0, len(todo), GROUP)]
+    with ThreadPoolExecutor(max_workers=1) as openex:
+        nxt = openex.submit(lambda c=chunks[0]: [_open(j) for j in c])
+        for gi in range(len(chunks)):
+            opened = nxt.result()
+            if gi + 1 < len(chunks):
+                nxt = openex.submit(
+                    lambda c=chunks[gi + 1]: [_open(j) for j in c])
+            # consecutive same-geometry runs share one stream (patch size /
+            # level are per-slide h5 attrs and fix the compiled batch shape)
+            runs = []
+            for sid, slide, coords, attrs in opened:
+                geo = (int(attrs.get("patch_level", 0)),
+                       int(attrs.get("patch_size", encoder.input_size)))
+                if runs and runs[-1][0] == geo:
+                    runs[-1][1].append((sid, slide, coords))
+                else:
+                    runs.append((geo, [(sid, slide, coords)]))
+            for (lvl, size), sjobs in runs:
+                coords_by_sid = {sid: c for sid, _, c in sjobs}
+                try:
+                    for sid, feats in encode_stream(
+                            sjobs, encoder, patch_level=lvl,
+                            region_size=size, transform=transform,
+                            target_patch_size=target_patch_size):
+                        write_q.put((sid, feats, coords_by_sid[sid]))
+                        done.append(sid)
+                        if verbose:
+                            print(f"[encode] {sid}: done "
+                                  f"({len(coords_by_sid[sid])} patches)")
+                finally:
+                    for _, slide, _ in sjobs:
+                        slide.close()
     write_q.put(None)
     wt.join()
     if write_err:

@@ -21,16 +21,23 @@ def _np(t) -> np.ndarray:
 
 def load_torch_state_dict(path: str, checkpoint_key: str = "teacher"
                           ) -> Dict[str, np.ndarray]:
-    """Load a torch checkpoint with the reference's DINO conventions."""
+    """Load a torch checkpoint with the reference's loading conventions:
+    DINO ('teacher' key, 'module.'/'backbone.' prefixes —
+    HIPT_4K/hipt_model_utils.py:39-110) and the Histo self-supervised
+    ResNet layout ({'state_dict': ...} with 'model.'/'resnet.' prefixes —
+    models/resnet_custom.py:112-135)."""
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if checkpoint_key and checkpoint_key in sd:
         sd = sd[checkpoint_key]
+    elif isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]  # lightning-style wrapper (Histo ResNet ckpt)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     out = {}
     for k, v in sd.items():
         k = k.replace("module.", "").replace("backbone.", "")
+        k = k.replace("model.", "").replace("resnet.", "")
         out[k] = _np(v)
     return out
 
