@@ -224,8 +224,8 @@ def bench_e2e():
 
 def bench_vit256():
     """Fused bf16 ViT-256 forward TFLOP/s (the HIPT inner loop), with the
-    production grouped-fused attention kernel. In-graph lax.scan chaining
-    amortizes the ~200-250ms tunnel dispatch."""
+    production whole-block fused kernel (ops/fused_block.py). In-graph
+    lax.scan chaining amortizes the tunnel dispatch latency."""
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -238,7 +238,7 @@ def bench_vit256():
     on_tpu = jax.default_backend() == "tpu"
     model = VisionTransformer(dataclasses.replace(
         VIT_CONFIGS["vit_small"], dtype=jnp.bfloat16,
-        use_flash=on_tpu, use_fused_mlp=on_tpu))
+        use_fused_block=on_tpu))
     # init with a kernel-free twin (Pallas can't trace on the CPU device)
     init_model = VisionTransformer(dataclasses.replace(
         VIT_CONFIGS["vit_small"], dtype=jnp.bfloat16))

@@ -55,14 +55,14 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
     # throwaway multi-minute compile (TPU) or a slow XLA:CPU compile.
     cpu = jax.devices("cpu")[0]
 
-    # grouped fused attention beats XLA by ~21% at 257 tokens on TPU
-    # (ops/flash_attention.py); Pallas has no CPU lowering, so gate on
-    # the backend — CPU tests run the jnp attention path
+    # whole-block fused kernel (ops/fused_block.py): 85.5 TFLOP/s vs 44.6
+    # for the separate flash-attention + fused-MLP kernels at the ViT-256
+    # production shape. Pallas has no CPU lowering, so gate on the
+    # backend — CPU tests run the jnp attention path
     use_flash = jax.default_backend() == "tpu"
 
     if cfg.model_type in ("HIPT_4K", "hipt_4k"):
-        model = make_hipt_encoder(dtype=dtype, use_flash=use_flash,
-                                  use_fused_mlp=use_flash)
+        model = make_hipt_encoder(dtype=dtype, use_fused_block=use_flash)
         # init with a kernel-free twin: eager init runs on CPU, where
         # Pallas can't trace; the parameter trees are identical by design
         init_model = make_hipt_encoder(dtype=dtype)
@@ -98,8 +98,8 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
         from hipt_abmil_atec23_tpu.models.vit import (
             VisionTransformer, VIT_CONFIGS)
         model = VisionTransformer(_dc.replace(
-            VIT_CONFIGS["vit_small"], dtype=dtype, use_flash=use_flash,
-            use_fused_mlp=use_flash))
+            VIT_CONFIGS["vit_small"], dtype=dtype,
+            use_fused_block=use_flash))
         input_size, feat_dim = 256, 384
         init_model = VisionTransformer(_dc.replace(
             VIT_CONFIGS["vit_small"], dtype=dtype))  # kernel-free CPU init

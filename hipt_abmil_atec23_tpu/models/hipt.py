@@ -97,12 +97,18 @@ class HIPT4K(nn.Module):
 
 
 def make_hipt_encoder(dtype=jnp.bfloat16, use_flash: bool = False,
-                      use_fused_mlp: bool = False) -> HIPT4K:
-    """Production config: bfloat16 compute through both ViTs; optional
-    Pallas fused attention + fused MLP kernels (TPU only)."""
+                      use_fused_mlp: bool = False,
+                      use_fused_block: bool = False) -> HIPT4K:
+    """Production config: bfloat16 compute through both ViTs. On TPU,
+    use_fused_block runs each transformer block as ONE Pallas kernel
+    (ops/fused_block.py, measured 85.5 TFLOP/s vs 44.6 for the separate
+    flash-attention + fused-MLP kernels); the older per-op kernels remain
+    selectable for comparison."""
     v256 = dataclasses.replace(VIT_CONFIGS["vit_small"], dtype=dtype,
                                use_flash=use_flash,
-                               use_fused_mlp=use_fused_mlp)
+                               use_fused_mlp=use_fused_mlp,
+                               use_fused_block=use_fused_block)
     v4k = ViT4KConfig(dtype=dtype, use_flash=use_flash,
-                      use_fused_mlp=use_fused_mlp)
+                      use_fused_mlp=use_fused_mlp,
+                      use_fused_block=use_fused_block)
     return HIPT4K(vit256_config=v256, vit4k_config=v4k)

@@ -46,6 +46,8 @@ class ViTConfig:
     dtype: Any = jnp.float32       # compute dtype (bfloat16 on TPU hot path)
     use_flash: bool = False        # Pallas fused attention (no HBM attn matrix)
     use_fused_mlp: bool = False    # Pallas fc1+GELU+fc2 (no HBM hidden)
+    use_fused_block: bool = False  # whole block as ONE kernel (supersedes
+                                   # use_flash/use_fused_mlp on the forward)
 
 
 VIT_CONFIGS = {
@@ -159,6 +161,18 @@ class Attention(nn.Module):
         return out, attn
 
 
+class _AttnParams(nn.Module):
+    """Attention's parameter tree (qkv/proj) without computation — for the
+    fused whole-block kernel that consumes the weights directly."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _DenseParams(3 * self.dim, self.dim, name="qkv")()
+        wproj, bproj = _DenseParams(self.dim, self.dim, name="proj")()
+        return wqkv, bqkv, wproj, bproj
+
+
 class Block(nn.Module):
     num_heads: int
     mlp_ratio: float
@@ -167,10 +181,32 @@ class Block(nn.Module):
     dtype: Any = jnp.float32
     use_flash: bool = False
     use_fused_mlp: bool = False
+    use_fused_block: bool = False
 
     @nn.compact
-    def __call__(self, x, return_attn: bool = False):
+    def __call__(self, x, return_attn: bool = False,
+                 n_valid: Optional[int] = None):
         c = x.shape[-1]
+        if self.use_fused_block and not return_attn:
+            # the whole block as ONE Pallas kernel (ops/fused_block.py);
+            # the caller pads tokens to a sublane multiple once per network
+            # and threads n_valid down for key masking. Param tree is
+            # identical to the Dense/Attention path (shells below).
+            assert self.qkv_bias, "fused block assumes qkv_bias=True (DINO)"
+            from hipt_abmil_atec23_tpu.ops.fused_block import fused_vit_block
+            g1, be1 = _LNParams(c, name="norm1")()
+            wqkv, bqkv, wproj, bproj = _AttnParams(c, name="attn")()
+            g2, be2 = _LNParams(c, name="norm2")()
+            w1, b1, w2, b2 = _MlpParams(int(c * self.mlp_ratio), c,
+                                        name="mlp")()
+            b = x.shape[0]
+            # group=4 measured fastest at production shape (85.5 TFLOP/s vs
+            # 81.6 at g2 / 79.3 at g8, batch 512 x 257 x 384 bf16)
+            group = next(g for g in (4, 2, 1) if b % g == 0)
+            return fused_vit_block(
+                x.astype(self.dtype), g1, be1, wqkv, bqkv, wproj, bproj,
+                g2, be2, w1, b1, w2, b2, num_heads=self.num_heads,
+                n_valid=n_valid, eps=self.ln_eps, group=group), None
         y, attn = Attention(self.num_heads, self.qkv_bias, self.dtype,
                             self.use_flash, name="attn")(
             nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x), return_attn)
@@ -219,7 +255,8 @@ class VisionTransformer(nn.Module):
         self.blocks = [
             Block(cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias, cfg.ln_eps,
                   cfg.dtype, cfg.use_flash,
-                  getattr(cfg, "use_fused_mlp", False), name=f"block{i}")
+                  getattr(cfg, "use_fused_mlp", False),
+                  getattr(cfg, "use_fused_block", False), name=f"block{i}")
             for i in range(cfg.depth)]
         self.norm = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")
 
@@ -248,8 +285,19 @@ class VisionTransformer(nn.Module):
 
     def __call__(self, x):
         tok = self.prepare_tokens(x)
-        for blk in self.blocks:
-            tok, _ = blk(tok)
+        if getattr(self.config, "use_fused_block", False):
+            # pad the token axis ONCE to a sublane multiple (not once per
+            # block) and mask padded keys inside the fused block kernel
+            n = tok.shape[1]
+            n_pad = (n + 7) // 8 * 8
+            if n_pad != n:
+                tok = jnp.pad(tok, ((0, 0), (0, n_pad - n), (0, 0)))
+            for blk in self.blocks:
+                tok, _ = blk(tok, n_valid=n)
+            tok = tok[:, :n]
+        else:
+            for blk in self.blocks:
+                tok, _ = blk(tok)
         tok = self.norm(tok)
         return tok[:, 0].astype(jnp.float32)
 
@@ -285,6 +333,7 @@ class ViT4KConfig:
     dtype: Any = jnp.float32
     use_flash: bool = False
     use_fused_mlp: bool = False
+    use_fused_block: bool = False
 
 
 class VisionTransformer4K(nn.Module):
@@ -305,7 +354,7 @@ class VisionTransformer4K(nn.Module):
         self.blocks = [
             Block(cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias, cfg.ln_eps,
                   cfg.dtype, cfg.use_flash, cfg.use_fused_mlp,
-                  name=f"block{i}")
+                  getattr(cfg, "use_fused_block", False), name=f"block{i}")
             for i in range(cfg.depth)]
         self.norm = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm")
 
@@ -322,8 +371,17 @@ class VisionTransformer4K(nn.Module):
 
     def __call__(self, grid):
         tok = self.prepare_tokens(grid)
-        for blk in self.blocks:
-            tok, _ = blk(tok)
+        if getattr(self.config, "use_fused_block", False):
+            n = tok.shape[1]
+            n_pad = (n + 7) // 8 * 8
+            if n_pad != n:
+                tok = jnp.pad(tok, ((0, 0), (0, n_pad - n), (0, 0)))
+            for blk in self.blocks:
+                tok, _ = blk(tok, n_valid=n)
+            tok = tok[:, :n]
+        else:
+            for blk in self.blocks:
+                tok, _ = blk(tok)
         tok = self.norm(tok)
         return tok[:, 0].astype(jnp.float32)
 
