@@ -275,84 +275,116 @@ def bench_vit256():
 
 
 def bench_abmil_pool():
-    """Fused Pallas gated-attention pooling vs the jnp (XLA) path on a
-    full-slide 100k x 192 bag (VERDICT r1 #3 done-criterion)."""
+    """Gated-attention ABMIL pooling: fused Pallas kernel vs the jnp (XLA)
+    path at N in {10k, 100k}, plus the production auto-dispatch
+    (ops/gated_attention_pool.py apply_pooled) which must pick the
+    measured-faster path per size (VERDICT r2 #2 done-criterion)."""
     import jax
     import jax.numpy as jnp
     _setup_cache(jax)
     from hipt_abmil_atec23_tpu.models import build_mil_model
     from hipt_abmil_atec23_tpu.ops import gated_attention_pool as gap
 
-    n, d = 100_000, 192
+    d = 192
     rng = np.random.default_rng(0)
     model = build_mil_model("clam_sb", size_arg="hipt_smaller", n_classes=2)
     small = jnp.zeros((8, d), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), small, None)
     p = gap.params_from_clam(params)
-    bag = jax.device_put(jnp.asarray(
-        rng.normal(size=(n, d)).astype(np.float32)))
-    mask = jnp.ones((n,), bool)
 
-    fused = jax.jit(lambda b, m: gap.gated_attention_pool(b, p, mask=m))
-    jnp_path = jax.jit(lambda b, m: gap.gated_attention_pool_reference(b, m, p))
-
-    out_f = jax.block_until_ready(fused(bag, mask))
-    out_j = jax.block_until_ready(jnp_path(bag, mask))
-    # sanity only (strict parity lives in tests/test_gated_pool_kernel.py);
-    # on TPU the jnp path's default-precision matmuls run bf16 passes while
-    # the kernel accumulates f32, so allow a few 1e-3 of drift
-    np.testing.assert_allclose(np.asarray(out_f[0])[0], np.asarray(out_j[0]),
-                               rtol=5e-2, atol=5e-3)
-    t_fused = _chained_time(lambda _, b: gap.gated_attention_pool(
-        b, p, mask=mask), None, bag)
-    t_jnp = _chained_time(lambda _, b: gap.gated_attention_pool_reference(
-        b, mask, p), None, bag)
+    extras, t_prod_100k, worst = {}, None, 1e9
+    for n in (10_000, 100_000):
+        bag = jax.device_put(jnp.asarray(
+            rng.normal(size=(n, d)).astype(np.float32)))
+        mask = jnp.ones((n,), bool)
+        out_f = jax.block_until_ready(gap.gated_attention_pool(
+            bag, p, mask=mask))
+        out_j = jax.block_until_ready(jax.jit(
+            gap.gated_attention_pool_reference)(bag, mask, p))
+        # sanity only (strict parity lives in tests/test_gated_pool_kernel
+        # .py); the jnp path's default-precision matmuls run bf16 passes on
+        # TPU while the kernel accumulates f32
+        np.testing.assert_allclose(np.asarray(out_f[0])[0],
+                                   np.asarray(out_j[0]),
+                                   rtol=5e-2, atol=5e-3)
+        t_f = _chained_time(lambda _, b: gap.gated_attention_pool(
+            b, p, mask=mask), None, bag)
+        t_j = _chained_time(lambda _, b: gap.gated_attention_pool_reference(
+            b, mask, p), None, bag)
+        t_prod = _chained_time(lambda _, b: gap.apply_pooled(
+            model, params, b, mask).logits, None, bag)
+        extras[f"fused_ms_{n//1000}k"] = round(t_f * 1e3, 3)
+        extras[f"jnp_ms_{n//1000}k"] = round(t_j * 1e3, 3)
+        extras[f"dispatched_ms_{n//1000}k"] = round(t_prod * 1e3, 3)
+        # dispatch quality: production path vs best-of-both (>= ~1.0 means
+        # the auto-dispatch picked the measured-faster implementation;
+        # sub-ms timings on the dev tunnel carry ~15% jitter)
+        worst = min(worst, min(t_f, t_j) / t_prod)
+        if n == 100_000:
+            t_prod_100k = t_prod
     _emit({
-        "metric": "abmil_pool_fused_bags_per_sec",
-        "value": round(1.0 / t_fused, 1),
-        "unit": f"full {n//1000}k-instance bags/sec (fused Pallas kernel, "
-                f"hipt_smaller)",
-        "vs_baseline": round(t_jnp / t_fused, 2),
-        "fused_ms": round(t_fused * 1e3, 3),
-        "jnp_ms": round(t_jnp * 1e3, 3),
+        "metric": "abmil_pool_dispatched_bags_per_sec",
+        "value": round(1.0 / t_prod_100k, 1),
+        "unit": "full 100k-instance bags/sec (production apply_pooled "
+                "auto-dispatch, hipt_smaller)",
+        "vs_baseline": round(worst, 2),
+        **extras,
     })
 
 
 def bench_flash():
-    """Pallas flash attention vs naive XLA attention at a long sequence
-    (the regime the kernels exist for; at N=257 XLA wins — CLAUDE.md)."""
+    """Long-sequence attention: the production dispatcher (q-tiled
+    resident-K/V single pass, ops/flash_attention.py attention()) vs naive
+    XLA and vs the online-softmax flash path, across the crossover sweep
+    N in {4k, 16k, 32k} (VERDICT r2 #8). Equal total work per row (bh
+    scales down with N)."""
     import jax
     import jax.numpy as jnp
     _setup_cache(jax)
-    from hipt_abmil_atec23_tpu.ops.flash_attention import flash_attention
+    from hipt_abmil_atec23_tpu.ops.flash_attention import (
+        attention, flash_attention)
 
-    bh, n, dh = 24, 4096, 64  # 4 regions x 6 heads
+    dh = 64
     rng = np.random.default_rng(0)
-    q, k, v = (jnp.asarray(rng.normal(size=(bh, n, dh)).astype(np.float32))
-               for _ in range(3))
-    scale = dh ** -0.5  # flash_attention applies 1/sqrt(d) internally
+    scale = dh ** -0.5
 
     @jax.jit
     def naive(q, k, v):
         s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
         return jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(s, axis=-1), v)
 
-    from hipt_abmil_atec23_tpu.ops.flash_attention import attention
-    fl = jax.jit(lambda q, k, v: attention(q, k, v))  # medium-N q-tiled path
-    out_f = jax.block_until_ready(fl(q, k, v))
-    out_n = jax.block_until_ready(naive(q, k, v))
-    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_n),
-                               rtol=2e-2, atol=2e-3)
-    t_f = _chained_time(lambda _, x: flash_attention(*x), None, (q, k, v),
-                        chain=16)
-    t_n = _chained_time(lambda _, x: naive(*x), None, (q, k, v), chain=16)
+    extras = {}
+    head = None
+    for bh, n in ((24, 4096), (6, 16384), (3, 32768)):
+        q, k, v = (jnp.asarray(
+            rng.normal(size=(bh, n, dh)).astype(np.float32))
+            for _ in range(3))
+        t_d = _chained_time(lambda _, x: attention(*x), None, (q, k, v),
+                            chain=8)
+        extras[f"dispatched_ms_{n}"] = round(t_d * 1e3, 2)
+        if bh * n * n * 4 <= 8e9:  # XLA must materialize [bh, N, N] f32
+            out_d = jax.block_until_ready(jax.jit(attention)(q, k, v))
+            out_n = jax.block_until_ready(naive(q, k, v))
+            np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_n),
+                                       rtol=2e-2, atol=2e-3)
+            t_n = _chained_time(lambda _, x: naive(*x), None, (q, k, v),
+                                chain=8)
+            extras[f"xla_ms_{n}"] = round(t_n * 1e3, 2)
+            extras[f"speedup_vs_xla_{n}"] = round(t_n / t_d, 2)
+        else:
+            t_fl = _chained_time(lambda _, x: flash_attention(*x), None,
+                                 (q, k, v), chain=8)
+            extras[f"xla_ms_{n}"] = "OOM (scores > HBM budget)"
+            extras[f"flash_online_softmax_ms_{n}"] = round(t_fl * 1e3, 2)
+        if n == 4096:
+            head = t_d
     _emit({
-        "metric": "flash_attention_calls_per_sec",
-        "value": round(1.0 / t_f, 1),
-        "unit": f"[{bh},{n},{dh}] attention calls/sec (Pallas flash)",
-        "vs_baseline": round(t_n / t_f, 2),
-        "flash_ms": round(t_f * 1e3, 3),
-        "xla_ms": round(t_n * 1e3, 3),
+        "metric": "attention_dispatched_calls_per_sec",
+        "value": round(1.0 / head, 1),
+        "unit": "[24,4096,64] attention calls/sec (production dispatch: "
+                "q-tiled resident-K/V Pallas kernel)",
+        "vs_baseline": extras.get("speedup_vs_xla_4096", 0.0),
+        **extras,
     })
 
 

