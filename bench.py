@@ -202,6 +202,25 @@ def bench_e2e():
     rates = np.array(n_regions) / intervals
     median_rate = float(np.median(rates))
 
+    # ---- heatmap stage from CACHED features (VERDICT r2 #9): attention
+    # inference + rasterization only — the fine pass never re-encodes
+    # (explain/driver.py reuses the feature bag; reference
+    # create_heatmaps.py:379-381 recomputes through the encoder).
+    from hipt_abmil_atec23_tpu.explain.heatmaps import (
+        infer_attention, draw_heatmap)
+    slide = TiffSlide(slide_path)
+    seg = segment_tissue(slide, tile_cfg.seg)
+    coords = enumerate_coords(slide, seg, tile_cfg)
+    feats = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(0), (len(coords), 192)), np.float32)
+    t0h = time.perf_counter()
+    scores = infer_attention(mil, mil_params, feats)
+    hm = draw_heatmap(slide, coords, np.asarray(scores), REGION,
+                      patch_level=0, cmap="coolwarm", alpha=0.4)
+    t_heat = time.perf_counter() - t0h
+    assert hm.size > 0
+    slide.close()
+
     regions_per_hour = median_rate * 3600.0
     raw_slides_per_hour = N_SLIDES / dt * 3600.0
     tcga40 = regions_per_hour / REGIONS_PER_TCGA_SLIDE
@@ -217,6 +236,7 @@ def bench_e2e():
         "raw_slides_per_hour_16region": round(raw_slides_per_hour, 1),
         "per_slide_s": [round(t, 1) for t in intervals],
         "total_regions_per_hour": round(regions_done / dt * 3600.0, 1),
+        "heatmap_ms_per_slide_cached_features": round(t_heat * 1e3, 1),
         "note": "tunnel-H2D-bound (~55MB/s once compute dispatches; 50MB "
                 "uint8 per region); local TPU hosts feed ~10x faster",
     })

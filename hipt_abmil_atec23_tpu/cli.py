@@ -859,6 +859,10 @@ def _add_heatmap(sub):
     p.add_argument("--config", default=None,
                    help="JSON job config: batch mode over many slides "
                         "(explain/driver.py); other flags ignored")
+    p.add_argument("--confirm", action="store_true",
+                   help="print the resolved config and ask Y/N before "
+                        "running (reference: create_heatmaps.py:85-101; "
+                        "off by default so batch jobs stay unattended)")
     p.add_argument("--slide", default=None)
     p.add_argument("--coords_h5", default=None)
     p.add_argument("--features", default=None,
@@ -891,9 +895,28 @@ def _add_heatmap(sub):
 def _cmd_heatmap(a):
     if a.config:
         # config-driven batch mode (reference: create_heatmaps.py YAML)
+        import dataclasses as _dc
         from hipt_abmil_atec23_tpu.explain.driver import (
             HeatmapJobConfig, run_heatmap_job)
-        run_heatmap_job(HeatmapJobConfig.load(a.config))
+        job = HeatmapJobConfig.load(a.config)
+        if a.confirm:
+            # reference prints every (nested) config entry then gates on
+            # Y/N (create_heatmaps.py:85-101)
+            for key, value in _dc.asdict(job).items():
+                if isinstance(value, dict):
+                    print("\n" + key)
+                    for vk, vv in value.items():
+                        print(f"{vk} : {vv}")
+                else:
+                    print(f"\n{key} : {value}")
+            decision = input("Continue? Y/N ")
+            if decision in ("Y", "y", "Yes", "yes"):
+                pass
+            elif decision in ("N", "n", "No", "NO"):
+                raise SystemExit(0)
+            else:
+                raise NotImplementedError(decision)
+        run_heatmap_job(job)
         return
     for req in ("slide", "coords_h5", "ckpt", "save_dir"):
         if getattr(a, req) is None:

@@ -34,14 +34,40 @@ def plot_sampling(slide: BaseSlide, sample_coords: np.ndarray, out_path: str,
 
 
 def plot_weight_map(coords: np.ndarray, weights: np.ndarray, out_path: str,
-                    point_size: int = 8) -> None:
-    """Sampling-weight scatter map (reference: plot_weighting)."""
+                    point_size: int = 8,
+                    slide: Optional[BaseSlide] = None,
+                    sample_coords: Optional[np.ndarray] = None,
+                    patch_size: int = 256,
+                    thumbnail_size: int = 1000,
+                    cmap: str = "jet") -> None:
+    """Sampling-weight map (reference: plot_weighting /
+    plot_weighting_gif frames, sampling_utils.py:244-335): jet-colored
+    patch-center scatter, optionally over the slide thumbnail with the
+    current iteration's samples overlaid in gray. Without a slide, a bare
+    weight scatter (y-flipped to image orientation)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     fig, ax = plt.subplots(figsize=(8, 8))
-    sc = ax.scatter(coords[:, 0], -coords[:, 1], c=weights, s=point_size,
-                    cmap="viridis")
+    if slide is not None:
+        w0, h0 = slide.dimensions
+        scale = thumbnail_size / max(w0, h0)
+        lvl = slide.get_best_level_for_downsample(1.0 / scale)
+        thumb = slide.read_level(lvl)
+        dx, dy = slide.level_downsamples[lvl]
+        ax.imshow(thumb)
+        half = patch_size / 2  # reference plots patch centers (+128)
+        xs, ys = (coords[:, 0] + half) / dx, (coords[:, 1] + half) / dy
+        sc = ax.scatter(xs, ys, c=weights, s=point_size, cmap=cmap,
+                        alpha=0.6, marker="s", edgecolors="none")
+        if sample_coords is not None and len(sample_coords):
+            ax.scatter((sample_coords[:, 0] + half) / dx,
+                       (sample_coords[:, 1] + half) / dy,
+                       c="gray", s=point_size, alpha=0.8, marker="s",
+                       edgecolors="none")
+    else:
+        sc = ax.scatter(coords[:, 0], -coords[:, 1], c=weights,
+                        s=point_size, cmap=cmap)
     fig.colorbar(sc)
     ax.axis("off")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)

@@ -246,3 +246,26 @@ def test_cli_train_full_bag_sharded(tmp_path):
     assert len(summary) == 3 and np.isfinite(summary["val_auc"]).all()
     assert os.path.exists(os.path.join(results, "s_0_checkpoint.msgpack"))
     assert os.path.exists(os.path.join(results, "history_2.csv"))
+
+
+def test_heatmap_confirm_prompt_declines(tmp_path):
+    """--confirm prints the resolved config and gates on Y/N
+    (reference: create_heatmaps.py:85-101); 'N' exits cleanly without
+    running the job."""
+    import json
+    import subprocess
+    import sys
+    cfg = {"slide_dir": str(tmp_path), "save_dir": str(tmp_path / "out"),
+           "ckpt_path": "missing.ckpt"}
+    cfg_path = tmp_path / "job.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    r = subprocess.run(
+        [sys.executable, "-m", "hipt_abmil_atec23_tpu.cli", "heatmap",
+         "--config", str(cfg_path), "--confirm"],
+        input="N\n", capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert "slide_dir" in r.stdout and "Continue? Y/N" in r.stdout
+    assert not os.path.exists(cfg["save_dir"])  # declined before running
