@@ -113,8 +113,11 @@ def bench_e2e():
 
     # ---- setup (untimed): fabricate a FULL-tissue slide (all 16 regions
     # carry tissue, like the dense core of a TCGA section), build + warm.
+    # v3 stores TCGA-faithful YCbCr 4:2:0 JPEG tiles (real .svs files are
+    # chroma-subsampled), which enables the raw-plane transfer path:
+    # 1.5 bytes/px to the device, RGB reconstructed on-chip (ops/yuv.py).
     # The slide is deterministic — cache it across bench runs (~60s saved).
-    slide_path = f"/tmp/bench_slide_{SLIDE_PX}_fulltissue_v2.tif"
+    slide_path = f"/tmp/bench_slide_{SLIDE_PX}_fulltissue_v3.tif"
     if not os.path.exists(slide_path):
         rng = np.random.default_rng(0)
         block = np.clip(
@@ -132,7 +135,7 @@ def bench_e2e():
         write_synthetic_slide(slide_path + ".part", SLIDE_PX, SLIDE_PX,
                               n_levels=5,
                               compression=native.COMPRESSION_JPEG,
-                              image=full)
+                              image=full, ycbcr420=True)
         os.replace(slide_path + ".part", slide_path)
         del full, block
 
@@ -147,8 +150,11 @@ def bench_e2e():
         out = mil.apply(params, bag, mask)
         return out.logits, out.a_raw
 
-    warm = np.zeros((REGION_BATCH, REGION, REGION, 3), np.uint8)
-    jax.block_until_ready(encoder.apply(jnp.asarray(warm)))
+    # warm/compile the raw-YCbCr encoder entry (the v3 slide's path)
+    warm_y = np.zeros((REGION_BATCH, REGION, REGION), np.uint8)
+    warm_c = np.zeros((REGION_BATCH, REGION // 2, REGION // 2), np.uint8)
+    jax.block_until_ready(encoder.apply_yuv(
+        jnp.asarray(warm_y), jnp.asarray(warm_c), jnp.asarray(warm_c)))
     N_PAD = 32  # max regions per bag (16 full regions + margin)
     jax.block_until_ready(mil_forward(
         mil_params, jnp.zeros((N_PAD, 192), jnp.float32),
@@ -206,16 +212,19 @@ def bench_e2e():
     # inference + rasterization only — the fine pass never re-encodes
     # (explain/driver.py reuses the feature bag; reference
     # create_heatmaps.py:379-381 recomputes through the encoder).
-    from hipt_abmil_atec23_tpu.explain.heatmaps import (
-        infer_attention, draw_heatmap)
+    from hipt_abmil_atec23_tpu.explain.heatmaps import draw_heatmap
     slide = TiffSlide(slide_path)
     seg = segment_tissue(slide, tile_cfg.seg)
     coords = enumerate_coords(slide, seg, tile_cfg)
     feats = np.asarray(jax.random.normal(
         jax.random.PRNGKey(0), (len(coords), 192)), np.float32)
     t0h = time.perf_counter()
-    scores = infer_attention(mil, mil_params, feats)
-    hm = draw_heatmap(slide, coords, np.asarray(scores), REGION,
+    bag = np.zeros((N_PAD, 192), np.float32)
+    mask = np.zeros((N_PAD,), bool)
+    bag[:len(feats)], mask[:len(feats)] = feats, True
+    _, a_raw = mil_forward(mil_params, jnp.asarray(bag), jnp.asarray(mask))
+    scores = np.asarray(a_raw)[0, :len(feats)]
+    hm = draw_heatmap(slide, coords, scores, REGION,
                       patch_level=0, cmap="coolwarm", alpha=0.4)
     t_heat = time.perf_counter() - t0h
     assert hm.size > 0
@@ -237,8 +246,10 @@ def bench_e2e():
         "per_slide_s": [round(t, 1) for t in intervals],
         "total_regions_per_hour": round(regions_done / dt * 3600.0, 1),
         "heatmap_ms_per_slide_cached_features": round(t_heat * 1e3, 1),
-        "note": "tunnel-H2D-bound (~55MB/s once compute dispatches; 50MB "
-                "uint8 per region); local TPU hosts feed ~10x faster",
+        "note": "tunnel-H2D-bound (~55MB/s once compute dispatches); the "
+                "raw YCbCr 4:2:0 path ships 25MB/region (planes verbatim, "
+                "RGB reconstructed on-device) — local TPU hosts feed ~10x "
+                "faster",
     })
 
 

@@ -39,6 +39,11 @@ class Encoder:
     input_size: int      # spatial size S of one input (region or patch)
     feat_dim: int
     variables: Dict
+    # raw-YCbCr entry (Y [B,S,S], Cb/Cr [B,S/2,S/2] uint8 planes): the
+    # device reconstructs RGB (ops/yuv.py) so the host link carries
+    # 1.5 bytes/px instead of 3. Set for encoders whose forward starts
+    # with a pure normalize (HIPT/ViT/ResNet); None otherwise.
+    apply_yuv: Optional[Callable] = None
 
 
 def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
@@ -60,6 +65,7 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
     # production shape. Pallas has no CPU lowering, so gate on the
     # backend — CPU tests run the jnp attention path
     use_flash = jax.default_backend() == "tpu"
+    _fwd_yuv = None
 
     if cfg.model_type in ("HIPT_4K", "hipt_4k"):
         model = make_hipt_encoder(dtype=dtype, use_fused_block=use_flash)
@@ -81,17 +87,25 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
                 load_torch_state_dict(cfg.vit256_ckpt),
                 load_torch_state_dict(cfg.vit4k_ckpt))
 
-        @jax.jit
-        def _fwd(v, batch_u8):
-            # weights as ARGUMENTS, not closure constants: a weight-embedding
-            # HLO costs minutes to (re)compile through the device tunnel
-            x = hipt_eval_normalize(batch_u8)
+        def _run_hipt(v, x):
             if variant == "cls4k":
                 return model.apply(v, x)
             assets = model.apply(v, x, method=model.asset_dict)
             if variant == "mean256":
                 return assets["features_mean256"]
             return assets["features_mean256_cls4k"]
+
+        @jax.jit
+        def _fwd(v, batch_u8):
+            # weights as ARGUMENTS, not closure constants: a weight-embedding
+            # HLO costs minutes to (re)compile through the device tunnel
+            return _run_hipt(v, hipt_eval_normalize(batch_u8))
+
+        @jax.jit
+        def _fwd_yuv(v, yp, cb, cr):
+            from hipt_abmil_atec23_tpu.ops.yuv import yuv420_to_rgb
+            x = yuv420_to_rgb(yp, cb, cr) / 127.5 - 1.0  # fused normalize
+            return _run_hipt(v, x)
 
     elif cfg.model_type == "vit256":
         import dataclasses as _dc
@@ -116,6 +130,12 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
         def _fwd(v, batch_u8):
             return model.apply(v, hipt_eval_normalize(batch_u8))
 
+        @jax.jit
+        def _fwd_yuv(v, yp, cb, cr):
+            from hipt_abmil_atec23_tpu.ops.yuv import yuv420_to_rgb
+            x = yuv420_to_rgb(yp, cb, cr) / 127.5 - 1.0
+            return model.apply(v, x)
+
     elif cfg.model_type in ("resnet50", "resnet18"):
         model = resnet50_trunc(dtype=dtype) if cfg.model_type == "resnet50" \
             else resnet18(dtype=dtype)
@@ -135,6 +155,12 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
         @jax.jit
         def _fwd(v, batch_u8):
             return model.apply(v, imagenet_normalize(batch_u8))
+
+        @jax.jit
+        def _fwd_yuv(v, yp, cb, cr):
+            from hipt_abmil_atec23_tpu.ops.yuv import yuv420_to_rgb
+            return model.apply(v, imagenet_normalize(
+                yuv420_to_rgb(yp, cb, cr)))
 
     elif cfg.model_type in ("levit_128s", "levit_256"):
         from hipt_abmil_atec23_tpu.models.levit import levit_texture_encoder
@@ -176,7 +202,9 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
 
     return Encoder(name=cfg.model_type, apply=apply,
                    batch_size=cfg.batch_size, input_size=input_size,
-                   feat_dim=feat_dim, variables=variables)
+                   feat_dim=feat_dim, variables=variables,
+                   apply_yuv=None if _fwd_yuv is None
+                   else partial(_fwd_yuv, variables))
 
 
 # --------------------------------------------------------------------------
@@ -353,11 +381,20 @@ def encode_stream(
     bs = encoder.batch_size
     jobs = list(jobs)
 
-    # flat work list across slides: (job_idx, chunk)
+    # flat work list across slides: (job_idx, slide, chunk, use_yuv).
+    # Slides storing JPEG YCbCr 4:2:0 (TCGA .svs convention) ship RAW
+    # chroma-subsampled planes — 1.5 bytes/px over the host link instead
+    # of 3 — and the device reconstructs RGB inside the encoder forward
+    # (ops/yuv.py). Host-side transforms/resizes need RGB, so they
+    # disable the fast path.
     items = []
     for ji, (sid, slide, coords) in enumerate(jobs):
+        use_yuv = (encoder.apply_yuv is not None and transform is None
+                   and not target_patch_size and size % 2 == 0
+                   and getattr(slide, "supports_yuv420",
+                               lambda lvl: False)(patch_level))
         for chunk in _batches(coords, bs):
-            items.append((ji, slide, chunk))
+            items.append((ji, slide, chunk, use_yuv))
     feats = [np.empty((len(c), encoder.feat_dim), np.float32)
              for _, _, c in jobs]
     remaining = [max(1, -(-len(c) // bs)) for _, _, c in jobs]
@@ -368,8 +405,23 @@ def encode_stream(
             yield sid, np.zeros((0, encoder.feat_dim), np.float32)
         return
 
+    def _pad(batch, k):
+        if k < bs:
+            pad = np.zeros((bs - k,) + batch.shape[1:], batch.dtype)
+            batch = np.concatenate([batch, pad])
+        return batch
+
     def read_batch(item):
-        ji, slide, chunk = item
+        ji, slide, chunk, use_yuv = item
+        k = len(chunk)
+        if use_yuv:
+            try:
+                yp, cb, cr = slide.read_regions_yuv420(
+                    chunk, patch_level, (size, size),
+                    n_threads=n_io_threads or k)
+                return (_pad(yp, k), _pad(cb, k), _pad(cr, k))
+            except IOError:
+                pass  # odd-aligned coords etc. — fall back to RGB
         batch = slide.read_regions(chunk, patch_level, (size, size),
                                    n_threads=n_io_threads or len(chunk))
         if target_patch_size and target_patch_size != size:
@@ -379,11 +431,7 @@ def encode_stream(
                            interpolation=cv2.INTER_AREA) for p in batch])
         if transform is not None:
             batch = transform(batch)
-        k = len(chunk)
-        if k < bs:
-            pad = np.zeros((bs - k,) + batch.shape[1:], batch.dtype)
-            batch = np.concatenate([batch, pad])
-        return batch
+        return _pad(batch, k)
 
     try:
         device = next(iter(jax.tree.leaves(encoder.variables)[0].devices()))
@@ -401,9 +449,9 @@ def encode_stream(
                 if ci + window < len(items):
                     futures_ref.append(
                         ex.submit(read_batch, items[ci + window]))
-                d = jax.device_put(batch, device)
-                d.block_until_ready()  # serialize the H2D stream (see
-                dev_q.put(d)           # encode_slide docstring)
+                d = jax.device_put(batch, device)  # batch may be a
+                jax.block_until_ready(d)           # (y, cb, cr) tuple
+                dev_q.put(d)  # one serialized H2D stream (see encode_slide)
         except Exception as e:
             xfer_err.append(e)
             dev_q.put(None)
@@ -444,12 +492,13 @@ def encode_stream(
             d = dev_q.get()
             if d is None:
                 break
-            out = encoder.apply(d)  # async dispatch
+            out = (encoder.apply_yuv(*d) if isinstance(d, tuple)
+                   else encoder.apply(d))  # async dispatch
             if pending is not None:
                 done = _collect(pending)
                 for item in _drain_ready(done):
                     yield item
-            ji, _, chunk = items[ci]
+            ji, _, chunk, _ = items[ci]
             pending = (ji, len(chunk), out)
         xt.join()
     if xfer_err:

@@ -58,18 +58,33 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
         lib.ws_write_pyramid.restype = ctypes.c_int32
+        lib.ws_write_pyramid2.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32]
+        lib.ws_write_pyramid2.restype = ctypes.c_int32
+        lib.ws_supports_yuv420.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.ws_supports_yuv420.restype = ctypes.c_int32
+        lib.ws_read_regions_yuv420.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32]
+        lib.ws_read_regions_yuv420.restype = ctypes.c_int32
         _lib = lib
         return lib
 
 
 def write_pyramid(path: str, level0: np.ndarray, tile: int = 256,
                   n_levels: int = 4, compression: int = COMPRESSION_JPEG,
-                  quality: int = 80) -> None:
-    """Write an RGB [H, W, 3] uint8 array as a tiled pyramidal TIFF."""
+                  quality: int = 80, ycbcr420: bool = False) -> None:
+    """Write an RGB [H, W, 3] uint8 array as a tiled pyramidal TIFF.
+    ycbcr420 stores JPEG tiles as YCbCr with 2x2 chroma subsampling (the
+    TCGA .svs convention) — enables the raw-plane read fast path."""
     lib = get_lib()
     level0 = np.ascontiguousarray(level0, dtype=np.uint8)
     h, w = level0.shape[:2]
-    r = lib.ws_write_pyramid(path.encode(), level0.ctypes.data_as(ctypes.c_void_p),
-                             w, h, tile, n_levels, compression, quality)
+    r = lib.ws_write_pyramid2(
+        path.encode(), level0.ctypes.data_as(ctypes.c_void_p),
+        w, h, tile, n_levels, compression, quality, int(ycbcr420))
     if r != 0:
         raise IOError(f"ws_write_pyramid failed ({r}) for {path}")

@@ -122,6 +122,36 @@ class TiffSlide(BaseSlide):
             raise IOError(f"read_regions failed ({r})")
         return out
 
+    def supports_yuv420(self, level: int = 0) -> bool:
+        """True when this level stores JPEG YCbCr 4:2:0 tiles (TCGA .svs
+        convention) — the raw-plane read path halves host->device bytes."""
+        return bool(self._lib.ws_supports_yuv420(self._h, level))
+
+    def read_regions_yuv420(self, locations, level, size,
+                            n_threads: int = 0):
+        """Batched raw 4:2:0 reads: (Y [n,h,w], Cb [n,h/2,w/2],
+        Cr [n,h/2,w/2]) uint8 planes straight from the JPEG codec — no host
+        chroma upsample, no color conversion, 1.5 bytes/px on the wire.
+        The device reconstructs RGB (ops/yuv.py). Coords/size must be even."""
+        locations = np.asarray(locations, np.int64)
+        dx, dy = self.level_downsamples[level]
+        lvl_coords = np.ascontiguousarray(
+            np.stack([(locations[:, 0] / dx).astype(np.int64),
+                      (locations[:, 1] / dy).astype(np.int64)], axis=1))
+        w, h = size
+        n = len(locations)
+        yp = np.empty((n, h, w), np.uint8)
+        cb = np.empty((n, h // 2, w // 2), np.uint8)
+        cr = np.empty((n, h // 2, w // 2), np.uint8)
+        r = self._lib.ws_read_regions_yuv420(
+            self._h, level, lvl_coords.ctypes.data_as(ctypes.c_void_p),
+            n, w, h, yp.ctypes.data_as(ctypes.c_void_p),
+            cb.ctypes.data_as(ctypes.c_void_p),
+            cr.ctypes.data_as(ctypes.c_void_p), n_threads)
+        if r != 0:
+            raise IOError(f"read_regions_yuv420 failed ({r})")
+        return yp, cb, cr
+
     def close(self):
         if self._h:
             self._lib.ws_close(self._h)

@@ -43,7 +43,9 @@ enum : uint32_t {
   TAG_TILEWIDTH = 322,
   TAG_TILELENGTH = 323,
   TAG_SAMPLEFORMAT = 339,
-  TAG_JPEGQUALITY = 65537,  // pseudo-tag
+  TAG_YCBCRSUBSAMPLING = 530,
+  TAG_JPEGQUALITY = 65537,   // pseudo-tag
+  TAG_JPEGCOLORMODE = 65538,  // pseudo-tag
 };
 
 enum : uint16_t {
@@ -51,5 +53,8 @@ enum : uint16_t {
   COMPRESSION_JPEG_ = 7,
   COMPRESSION_DEFLATE_ = 8,
   PHOTOMETRIC_RGB_ = 2,
+  PHOTOMETRIC_YCBCR_ = 6,
   PLANARCONFIG_CONTIG_ = 1,
+  JPEGCOLORMODE_RAW_ = 0,
+  JPEGCOLORMODE_RGB_ = 1,
 };

@@ -87,6 +87,9 @@ bool decode_tile_rgb(TIFF* tif, const LevelInfo& L, uint32_t tx, uint32_t ty,
     tmsize_t n = TIFFReadEncodedTile(tif, tile, rgb, tmsize_t(npix * 3));
     return n > 0;
   }
+  if (comp == COMPRESSION_JPEG_)  // the YUV raw reader may have left the
+    TIFFSetField(tif, TAG_JPEGCOLORMODE,  // pooled handle in RAW mode
+                 int32_t(JPEGCOLORMODE_RGB_));
   // RGBA fallback (bottom-up raster)
   std::vector<uint32_t> raster(npix);
   if (!TIFFReadRGBATile(tif, tx * L.tile_w, ty * L.tile_h, raster.data()))
@@ -231,22 +234,175 @@ int32_t ws_read_regions(void* handle, int32_t level, const int64_t* coords,
 }
 
 // ---------------------------------------------------------------------------
+// Raw YCbCr 4:2:0 region reads: the host-link diet for JPEG-YCbCr slides
+// (TCGA .svs files store 4:2:0/4:2:2 JPEG). With JPEGCOLORMODE_RAW libtiff
+// returns the codec's subsampled planes WITHOUT chroma upsampling or color
+// conversion — 1.5 bytes/px instead of 3 — packed per TIFF 6.0 interleave:
+// one 2x2 unit = Y00 Y01 Y10 Y11 Cb Cr. The accelerator reconstructs RGB
+// (ops/yuv.py, fused into the encoder forward), so the host->device link
+// carries HALF the bytes of an RGB transfer.
+// ---------------------------------------------------------------------------
+namespace {
+
+// Decode one tile's raw 4:2:0 planes into region-plane buffers.
+// Region (x, y, w, h) and tile sizes must all be even.
+bool decode_tile_yuv420(TIFF* tif, const LevelInfo& L, uint32_t tx,
+                        uint32_t ty, std::vector<uint8_t>& raw,
+                        int64_t x, int64_t y, int64_t w, int64_t h,
+                        int64_t x1, int64_t y1,
+                        uint8_t* yp, uint8_t* cbp, uint8_t* crp) {
+  TIFFSetField(tif, TAG_JPEGCOLORMODE, int32_t(JPEGCOLORMODE_RAW_));
+  uint32_t tile = TIFFComputeTile(tif, tx * L.tile_w, ty * L.tile_h, 0, 0);
+  if (TIFFReadEncodedTile(tif, tile, raw.data(),
+                          tmsize_t(raw.size())) <= 0)
+    return false;
+  const int64_t tgx = int64_t(tx) * L.tile_w, tgy = int64_t(ty) * L.tile_h;
+  const int64_t gx0 = std::max<int64_t>(tgx, x);
+  const int64_t gx1 = std::min<int64_t>(tgx + L.tile_w, x1);
+  const int64_t gy0 = std::max<int64_t>(tgy, y);
+  const int64_t gy1 = std::min<int64_t>(tgy + L.tile_h, y1);
+  const int64_t units_per_row = L.tile_w / 2;
+  for (int64_t gy = gy0 & ~1; gy < gy1; gy += 2) {
+    for (int64_t gx = gx0 & ~1; gx < gx1; gx += 2) {
+      const int64_t ur = (gy - tgy) / 2, uc = (gx - tgx) / 2;
+      const uint8_t* u = raw.data() + size_t(ur * units_per_row + uc) * 6;
+      const int64_t ry = gy - y, rx = gx - x;  // region-relative (even)
+      if (ry >= 0 && rx >= 0 && ry + 1 < h + 1 && rx + 1 < w + 1) {
+        uint8_t* d = yp + size_t(ry) * w + rx;
+        d[0] = u[0];
+        if (rx + 1 < w) d[1] = u[1];
+        if (ry + 1 < h) {
+          d += w;
+          d[0] = u[2];
+          if (rx + 1 < w) d[1] = u[3];
+        }
+        cbp[size_t(ry / 2) * (w / 2) + rx / 2] = u[4];
+        crp[size_t(ry / 2) * (w / 2) + rx / 2] = u[5];
+      }
+    }
+  }
+  return true;
+}
+
+bool read_region_yuv420_impl(Slide* s, TIFF* tif, int level, int64_t x,
+                             int64_t y, int64_t w, int64_t h, uint8_t* yp,
+                             uint8_t* cbp, uint8_t* crp) {
+  const LevelInfo& L = s->levels[level];
+  if (!TIFFSetDirectory(tif, L.dir)) return false;
+  uint16_t photometric = 0, comp = 0, sh = 0, sv = 0;
+  TIFFGetField(tif, TAG_PHOTOMETRIC, &photometric);
+  TIFFGetField(tif, TAG_COMPRESSION, &comp);
+  TIFFGetField(tif, TAG_YCBCRSUBSAMPLING, &sh, &sv);
+  if (photometric != PHOTOMETRIC_YCBCR_ || comp != COMPRESSION_JPEG_ ||
+      sh != 2 || sv != 2 || (x | y | w | h | L.tile_w | L.tile_h) & 1)
+    return false;  // caller falls back to the RGB path
+  // white background (RGB 255,255,255 in JFIF YCbCr)
+  std::memset(yp, 0xff, size_t(w) * h);
+  std::memset(cbp, 0x80, size_t(w / 2) * (h / 2));
+  std::memset(crp, 0x80, size_t(w / 2) * (h / 2));
+  const int64_t x0 = std::max<int64_t>(x, 0), y0 = std::max<int64_t>(y, 0);
+  const int64_t x1 = std::min<int64_t>(x + w, L.width);
+  const int64_t y1 = std::min<int64_t>(y + h, L.height);
+  if (x0 >= x1 || y0 >= y1) return true;
+  // raw tile bytes: ceil(th/2) unit rows x (tw/2) units x 6 bytes
+  std::vector<uint8_t> raw(size_t(L.tile_h / 2) * (L.tile_w / 2) * 6);
+  const uint32_t tx0 = uint32_t(x0 / L.tile_w),
+                 tx1 = uint32_t((x1 - 1) / L.tile_w);
+  const uint32_t ty0 = uint32_t(y0 / L.tile_h),
+                 ty1 = uint32_t((y1 - 1) / L.tile_h);
+  for (uint32_t ty = ty0; ty <= ty1; ++ty)
+    for (uint32_t tx = tx0; tx <= tx1; ++tx)
+      if (!decode_tile_yuv420(tif, L, tx, ty, raw, x, y, w, h, x1, y1,
+                              yp, cbp, crp))
+        return false;
+  return true;
+}
+
+}  // namespace
+
+// Probe: does this level support the raw 4:2:0 fast path?
+int32_t ws_supports_yuv420(void* handle, int32_t level) {
+  Slide* s = static_cast<Slide*>(handle);
+  TIFF* tif = s->acquire();
+  if (!tif) return 0;
+  const LevelInfo& L = s->levels[level];
+  int32_t ok = 0;
+  if (TIFFSetDirectory(tif, L.dir)) {
+    uint16_t photometric = 0, comp = 0, sh = 0, sv = 0;
+    TIFFGetField(tif, TAG_PHOTOMETRIC, &photometric);
+    TIFFGetField(tif, TAG_COMPRESSION, &comp);
+    TIFFGetField(tif, TAG_YCBCRSUBSAMPLING, &sh, &sv);
+    ok = photometric == PHOTOMETRIC_YCBCR_ && comp == COMPRESSION_JPEG_ &&
+         sh == 2 && sv == 2 && !(L.tile_w & 1) && !(L.tile_h & 1);
+  }
+  s->release(tif);
+  return ok;
+}
+
+// Batched thread-pooled raw 4:2:0 reads. coords/w/h must be even.
+// y_out: uint8[n*h*w]; cb_out/cr_out: uint8[n*(h/2)*(w/2)].
+int32_t ws_read_regions_yuv420(void* handle, int32_t level,
+                               const int64_t* coords, int32_t n, int64_t w,
+                               int64_t h, uint8_t* y_out, uint8_t* cb_out,
+                               uint8_t* cr_out, int32_t n_threads) {
+  Slide* s = static_cast<Slide*>(handle);
+  if (n_threads <= 0) n_threads = int32_t(std::thread::hardware_concurrency());
+  n_threads = std::max(1, std::min<int32_t>(n_threads, n));
+  std::atomic<int32_t> next(0), failed(0);
+  auto worker = [&]() {
+    TIFF* tif = s->acquire();
+    if (!tif) {
+      failed.fetch_add(1);
+      return;
+    }
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) break;
+      if (!read_region_yuv420_impl(
+              s, tif, level, coords[2 * i], coords[2 * i + 1], w, h,
+              y_out + size_t(i) * w * h,
+              cb_out + size_t(i) * (w / 2) * (h / 2),
+              cr_out + size_t(i) * (w / 2) * (h / 2)))
+        failed.fetch_add(1);
+    }
+    // restore RGB mode before the handle returns to the shared pool
+    TIFFSetField(tif, TAG_JPEGCOLORMODE, int32_t(JPEGCOLORMODE_RGB_));
+    s->release(tif);
+  };
+  std::vector<std::thread> threads;
+  for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load() ? -int32_t(failed.load()) : 0;
+}
+
+// ---------------------------------------------------------------------------
 // Pyramid writer: level-0 RGB -> tiled multi-directory TIFF with 2x
 // box-filtered levels. compression: 1=none, 7=jpeg, 8=deflate.
 // ---------------------------------------------------------------------------
 static bool write_level(TIFF* tif, const uint8_t* img, int64_t w, int64_t h,
-                        uint32_t tile, uint16_t compression, int quality) {
+                        uint32_t tile, uint16_t compression, int quality,
+                        bool ycbcr420 = false) {
   TIFFSetField(tif, TAG_IMAGEWIDTH, uint32_t(w));
   TIFFSetField(tif, TAG_IMAGELENGTH, uint32_t(h));
   TIFFSetField(tif, TAG_BITSPERSAMPLE, uint16_t(8));
   TIFFSetField(tif, TAG_SAMPLESPERPIXEL, uint16_t(3));
-  TIFFSetField(tif, TAG_PHOTOMETRIC, uint16_t(PHOTOMETRIC_RGB_));
+  if (ycbcr420 && compression == COMPRESSION_JPEG_) {
+    // TCGA-style storage: JPEG-coded YCbCr with 2x2 chroma subsampling.
+    // JPEGCOLORMODE_RGB lets us feed RGB rows; libjpeg subsamples inside.
+    TIFFSetField(tif, TAG_PHOTOMETRIC, uint16_t(PHOTOMETRIC_YCBCR_));
+    TIFFSetField(tif, TAG_YCBCRSUBSAMPLING, uint16_t(2), uint16_t(2));
+  } else {
+    TIFFSetField(tif, TAG_PHOTOMETRIC, uint16_t(PHOTOMETRIC_RGB_));
+  }
   TIFFSetField(tif, TAG_PLANARCONFIG, uint16_t(PLANARCONFIG_CONTIG_));
   TIFFSetField(tif, TAG_COMPRESSION, compression);
   TIFFSetField(tif, TAG_TILEWIDTH, tile);
   TIFFSetField(tif, TAG_TILELENGTH, tile);
-  if (compression == COMPRESSION_JPEG_)
+  if (compression == COMPRESSION_JPEG_) {
     TIFFSetField(tif, TAG_JPEGQUALITY, quality);
+    if (ycbcr420)
+      TIFFSetField(tif, TAG_JPEGCOLORMODE, int32_t(JPEGCOLORMODE_RGB_));
+  }
 
   std::vector<uint8_t> tilebuf(size_t(tile) * tile * 3, 0xff);
   for (int64_t ty = 0; ty < (h + tile - 1) / tile; ++ty) {
@@ -268,9 +424,10 @@ static bool write_level(TIFF* tif, const uint8_t* img, int64_t w, int64_t h,
   return TIFFWriteDirectory(tif) == 1;
 }
 
-int32_t ws_write_pyramid(const char* path, const uint8_t* level0, int64_t w,
-                         int64_t h, int32_t tile, int32_t n_levels,
-                         int32_t compression, int32_t quality) {
+int32_t ws_write_pyramid2(const char* path, const uint8_t* level0, int64_t w,
+                          int64_t h, int32_t tile, int32_t n_levels,
+                          int32_t compression, int32_t quality,
+                          int32_t ycbcr420) {
   TIFFSetErrorHandler(quiet_handler);
   TIFFSetWarningHandler(quiet_handler);
   TIFF* tif = TIFFOpen(path, "w");
@@ -279,7 +436,7 @@ int32_t ws_write_pyramid(const char* path, const uint8_t* level0, int64_t w,
   int64_t cw = w, ch = h;
   for (int32_t lvl = 0; lvl < n_levels; ++lvl) {
     if (!write_level(tif, cur.data(), cw, ch, uint32_t(tile),
-                     uint16_t(compression), quality)) {
+                     uint16_t(compression), quality, ycbcr420 != 0)) {
       TIFFClose(tif);
       return -2;
     }
@@ -303,6 +460,13 @@ int32_t ws_write_pyramid(const char* path, const uint8_t* level0, int64_t w,
   }
   TIFFClose(tif);
   return 0;
+}
+
+int32_t ws_write_pyramid(const char* path, const uint8_t* level0, int64_t w,
+                         int64_t h, int32_t tile, int32_t n_levels,
+                         int32_t compression, int32_t quality) {
+  return ws_write_pyramid2(path, level0, w, h, tile, n_levels, compression,
+                           quality, 0);
 }
 
 }  // extern "C"

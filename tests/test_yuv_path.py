@@ -1,0 +1,87 @@
+"""Raw YCbCr 4:2:0 transfer path (native ws_read_regions_yuv420 +
+ops/yuv.py device reconstruction): the host->device diet for TCGA-style
+JPEG-YCbCr slides — 1.5 bytes/px on the wire instead of 3.
+
+Parity oracle: libtiff's own full decode (read_regions), which runs
+libjpeg's fancy chroma upsample + fixed-point JFIF color conversion. The
+float reconstruction must match within a few LSB."""
+import numpy as np
+import pytest
+
+from hipt_abmil_atec23_tpu.slideio.reader import TiffSlide
+from hipt_abmil_atec23_tpu.slideio.synthetic import write_synthetic_slide
+
+
+@pytest.fixture(scope="module")
+def ycbcr_slide(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("yuv")
+    path = str(tmp / "ycbcr.tif")
+    img = write_synthetic_slide(path, 1024, 1024, n_levels=2, seed=3,
+                                ycbcr420=True)
+    slide = TiffSlide(path)
+    yield slide, img
+    slide.close()
+
+
+def test_supports_probe(ycbcr_slide, tmp_path):
+    slide, _ = ycbcr_slide
+    assert slide.supports_yuv420(0)
+    # plain RGB-JPEG slides do NOT support the raw path
+    p = str(tmp_path / "rgb.tif")
+    write_synthetic_slide(p, 512, 512, n_levels=1, seed=1)
+    rgb = TiffSlide(p)
+    assert not rgb.supports_yuv420(0)
+    rgb.close()
+
+
+def test_yuv_planes_reconstruct_to_libtiff_decode(ycbcr_slide):
+    import jax
+    from hipt_abmil_atec23_tpu.ops.yuv import yuv420_to_rgb
+
+    slide, _ = ycbcr_slide
+    coords = np.array([[0, 0], [256, 256], [512, 128], [768, 768]])
+    ref = slide.read_regions(coords, 0, (256, 256))       # libjpeg decode
+    yp, cb, cr = slide.read_regions_yuv420(coords, 0, (256, 256))
+    assert yp.shape == (4, 256, 256) and cb.shape == (4, 128, 128)
+    got = np.asarray(jax.jit(yuv420_to_rgb)(yp, cb, cr))
+    diff = np.abs(got - ref.astype(np.float32))
+    # small float-vs-fixed-point differences; identical structure
+    assert diff.mean() < 1.0, diff.mean()
+    assert np.quantile(diff, 0.99) <= 4.0, np.quantile(diff, 0.99)
+
+
+def test_yuv_region_boundary_padding(ycbcr_slide):
+    import jax
+    from hipt_abmil_atec23_tpu.ops.yuv import yuv420_to_rgb
+
+    slide, _ = ycbcr_slide
+    # region hanging off the slide edge pads white, like the RGB path
+    coords = np.array([[896, 896]])
+    ref = slide.read_regions(coords, 0, (256, 256))
+    yp, cb, cr = slide.read_regions_yuv420(coords, 0, (256, 256))
+    got = np.asarray(jax.jit(yuv420_to_rgb)(yp, cb, cr))
+    assert np.all(got[0, 200:, 200:] > 250)  # off-slide area is white
+    diff = np.abs(got - ref.astype(np.float32))
+    assert diff.mean() < 1.0, diff.mean()
+
+
+def test_encode_stream_uses_yuv_and_matches_rgb(ycbcr_slide, tmp_path):
+    """The stream pipeline auto-detects the 4:2:0 slide, ships planes, and
+    produces features matching the RGB transfer path."""
+    from hipt_abmil_atec23_tpu.engine.encode import (
+        build_encoder, encode_stream)
+    from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+
+    slide, _ = ycbcr_slide
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=2,
+                                      dtype="float32"))
+    assert enc.apply_yuv is not None
+    coords = np.array([[0, 0], [256, 0], [0, 256], [512, 512], [256, 768]])
+
+    outs = dict(encode_stream([("a", slide, coords)], enc))
+    want = dict(encode_stream([("a", slide, coords)], enc,
+                              transform=lambda x: x))  # forces RGB path
+    assert outs["a"].shape == want["a"].shape == (5, enc.feat_dim)
+    np.testing.assert_allclose(outs["a"], want["a"], rtol=5e-2, atol=5e-2)
+    # features respond to the actual pixel content (not blank)
+    assert np.abs(outs["a"]).max() > 0.01
