@@ -28,6 +28,12 @@ Numerics: bf16 MXU operands with f32 accumulation everywhere
 (preferred_element_type), f32 LayerNorm/softmax statistics — same policy as
 the XLA path it replaces; parity-tested against the flax Block in
 tests/test_fused_block.py.
+
+Scope: a FORWARD/inference kernel (no custom VJP) — exactly what the
+reference's frozen DINO encoders need (HIPT_4K/hipt_model_utils.py:55-56
+sets requires_grad=False). To fine-tune the ViTs, build them with
+use_fused_block=False and differentiate the XLA path; the parameter trees
+are identical either way.
 """
 from __future__ import annotations
 

@@ -85,3 +85,32 @@ def test_encode_stream_uses_yuv_and_matches_rgb(ycbcr_slide, tmp_path):
     np.testing.assert_allclose(outs["a"], want["a"], rtol=5e-2, atol=5e-2)
     # features respond to the actual pixel content (not blank)
     assert np.abs(outs["a"]).max() > 0.01
+
+
+def test_encode_stream_mixed_yuv_and_rgb_slides(ycbcr_slide, tmp_path):
+    """One stream over a 4:2:0 slide AND a plain RGB-JPEG slide: per-slide
+    transfer formats coexist; both yield correct-shaped features."""
+    from hipt_abmil_atec23_tpu.engine.encode import (
+        build_encoder, encode_stream)
+    from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+
+    yslide, _ = ycbcr_slide
+    p = str(tmp_path / "rgb2.tif")
+    write_synthetic_slide(p, 512, 512, n_levels=1, seed=5)
+    rgb = TiffSlide(p)
+    try:
+        enc = build_encoder(EncoderConfig(model_type="resnet18",
+                                          batch_size=2, dtype="float32"))
+        coords_y = np.array([[0, 0], [256, 256], [512, 0]])
+        coords_r = np.array([[0, 0], [256, 256]])
+        outs = dict(encode_stream([("yuv", yslide, coords_y),
+                                   ("rgb", rgb, coords_r)], enc))
+        assert outs["yuv"].shape == (3, enc.feat_dim)
+        assert outs["rgb"].shape == (2, enc.feat_dim)
+        # the RGB slide's features equal a direct RGB encode
+        import jax.numpy as jnp
+        want = np.asarray(enc.apply(jnp.asarray(
+            rgb.read_regions(coords_r, 0, (256, 256)))))
+        np.testing.assert_allclose(outs["rgb"], want, rtol=1e-5, atol=1e-5)
+    finally:
+        rgb.close()
