@@ -305,50 +305,15 @@ def encode_slide(
                 done += k
         return feats
 
-    dev_q: "queue.Queue" = queue.Queue(maxsize=window)
-    xfer_err = []
-
-    def _transfer(futures_ref):
-        try:
-            for ci in range(len(chunks)):
-                batch = futures_ref[ci].result()
-                if ci + window < len(chunks):  # slide the decode window
-                    futures_ref.append(
-                        ex.submit(read_batch, chunks[ci + window]))
-                d = jax.device_put(batch, device)
-                d.block_until_ready()  # one in-flight put: the link is the
-                dev_q.put(d)           # bottleneck, not put concurrency
-        except Exception as e:  # surfaced by the consumer
-            xfer_err.append(e)
-            dev_q.put(None)
-
-    pending = None  # (k, device result) of the previous dispatched batch
-    # ONE decode worker: a single read_regions call already parallelizes
-    # across n_io_threads native threads; overlapping multiple calls
-    # oversubscribes small hosts (measured 3-6x decode slowdown on 1 CPU).
-    # The window still queues `prefetch` batches ahead of the transfer.
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        futures = [ex.submit(read_batch, c) for c in chunks[:window]]
-        xt = threading.Thread(target=_transfer, args=(futures,), daemon=True)
-        xt.start()
-        for ci in range(len(chunks)):
-            d = dev_q.get()
-            if d is None:
-                break
-            out = encoder.apply(d)  # async dispatch
-            if pending is not None:
-                pk, pout = pending
-                feats[done:done + pk] = np.asarray(pout)[:pk]
-                done += pk
-            pending = (len(chunks[ci]), out)
-        xt.join()
-    if xfer_err:
-        raise xfer_err[0]
-    if pending is not None:
-        pk, pout = pending
-        feats[done:done + pk] = np.asarray(pout)[:pk]
-        done += pk
-    return feats
+    # overlapped mode: one-slide stream through the shared pipeline
+    # (decode window -> H2D transfer thread -> compute) — including the raw
+    # YCbCr 4:2:0 transfer path for chroma-subsampled slides.
+    out = dict(encode_stream(
+        [("_solo", slide, coords)], encoder, patch_level=patch_level,
+        region_size=size, transform=transform,
+        target_patch_size=target_patch_size, n_io_threads=n_io_threads,
+        prefetch=prefetch))
+    return out["_solo"]
 
 
 def encode_stream(
