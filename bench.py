@@ -139,26 +139,33 @@ def bench_e2e():
         os.replace(slide_path + ".part", slide_path)
         del full, block
 
+    # NOTHING below may EXECUTE on the device until the staged H2D phase
+    # has transferred every byte: the tunnel link runs ~1.4 GB/s in a
+    # fresh process and collapses ~25-60x permanently after the FIRST jit
+    # execution dispatches (measured; AOT .compile() leaves it untouched).
     encoder = build_encoder(EncoderConfig(
         model_type="HIPT_4K", batch_size=REGION_BATCH, dtype="bfloat16"))
     mil = build_mil_model("clam_sb", size_arg="hipt_smaller", n_classes=2)
-    mil_params = mil.init(jax.random.PRNGKey(0),
-                          jnp.zeros((32, 192), jnp.float32), None)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):  # init is an execution — keep it off-chip
+        mil_params = mil.init(jax.random.PRNGKey(0),
+                              jnp.zeros((32, 192), jnp.float32), None)
+    mil_params = jax.device_put(mil_params, jax.devices()[0])
 
     @jax.jit
     def mil_forward(params, bag, mask):
         out = mil.apply(params, bag, mask)
         return out.logits, out.a_raw
 
-    # warm/compile the raw-YCbCr encoder entry (the v3 slide's path)
+    # AOT-compile (no execution) the raw-YCbCr encoder entry + MIL forward
     warm_y = np.zeros((REGION_BATCH, REGION, REGION), np.uint8)
     warm_c = np.zeros((REGION_BATCH, REGION // 2, REGION // 2), np.uint8)
-    jax.block_until_ready(encoder.apply_yuv(
-        jnp.asarray(warm_y), jnp.asarray(warm_c), jnp.asarray(warm_c)))
+    encoder.compile_ahead((warm_y, warm_c, warm_c), yuv=True)
     N_PAD = 32  # max regions per bag (16 full regions + margin)
-    jax.block_until_ready(mil_forward(
-        mil_params, jnp.zeros((N_PAD, 192), jnp.float32),
-        jnp.ones((N_PAD,), bool)))
+    _mil_compiled = mil_forward.lower(
+        mil_params,
+        jax.ShapeDtypeStruct((N_PAD, 192), jnp.float32),
+        jax.ShapeDtypeStruct((N_PAD,), bool)).compile()
 
     tile_cfg = TileConfig(patch_size=REGION, step_size=REGION,
                           contour_fn="four_pt",
@@ -169,15 +176,16 @@ def bench_e2e():
         mask = np.zeros((N_PAD,), bool)
         k = min(len(feats), N_PAD)
         bag[:k], mask[:k] = feats[:k], True
-        logits, _ = mil_forward(mil_params, jnp.asarray(bag),
-                                jnp.asarray(mask))
+        logits, _ = _mil_compiled(mil_params, jax.device_put(bag),
+                                  jax.device_put(mask))
         jax.block_until_ready(logits)
 
     def run_stream(n_slides):
-        """tile -> HIPT encode -> ABMIL for `n_slides` slides through ONE
-        continuous decode->H2D->compute pipeline (engine.encode.encode_stream
-        — the production slide-stream path): the host link and the device
-        never drain between slides. Returns per-slide completion times."""
+        """tile -> HIPT encode -> ABMIL for `n_slides` slides through the
+        STAGED production pipeline (engine.encode.encode_stream stage=True):
+        decode + raw-YCbCr H2D of every region ride the fresh link BEFORE
+        the first compute dispatch; the AOT-compiled forward then drains
+        the staged HBM. Returns per-slide completion times."""
         t0 = time.perf_counter()
         slides, jobs = [], []
         for i in range(n_slides):
@@ -188,7 +196,8 @@ def bench_e2e():
             jobs.append((f"s{i}", slide, coords))
         done_t, n_regions = [], []
         for sid, feats in encode_stream(jobs, encoder, region_size=REGION,
-                                        n_io_threads=16, prefetch=3):
+                                        n_io_threads=16, prefetch=3,
+                                        stage=True):
             mil_step(feats)
             done_t.append(time.perf_counter())
             n_regions.append(len(feats))
@@ -196,17 +205,21 @@ def bench_e2e():
             s.close()
         return t0, done_t, n_regions
 
-    run_stream(1)  # untimed warm slide: cold decoder caches + link ramp-up
+    # untimed warm: cold host decoder caches only — NO device execution
+    # (a warm compute run would collapse the link before the timed stage)
+    _ws = TiffSlide(slide_path)
+    _ws.read_regions(np.array([[0, 0], [REGION, 0]]), 0, (REGION, REGION),
+                     n_threads=16)
+    _ws.close()
 
-    # ---- timed: the slide-stream production path. The dev tunnel's H2D
-    # rate drifts ~2x within minutes, so the headline uses the MEDIAN
-    # per-slide completion interval — robust to a single link stall.
+    # ---- timed: the staged production path. Every byte of decode+H2D
+    # rides the fresh link; completions cluster at the end of the flush,
+    # so the honest estimator is TOTAL time, not per-slide intervals.
     t0, done_t, n_regions = run_stream(N_SLIDES)
     intervals = np.diff([t0] + done_t)
     regions_done = sum(n_regions)
     dt = done_t[-1] - t0
-    rates = np.array(n_regions) / intervals
-    median_rate = float(np.median(rates))
+    median_rate = regions_done / dt
 
     # ---- heatmap stage from CACHED features (VERDICT r2 #9): attention
     # inference + rasterization only — the fine pass never re-encodes
@@ -222,7 +235,8 @@ def bench_e2e():
     bag = np.zeros((N_PAD, 192), np.float32)
     mask = np.zeros((N_PAD,), bool)
     bag[:len(feats)], mask[:len(feats)] = feats, True
-    _, a_raw = mil_forward(mil_params, jnp.asarray(bag), jnp.asarray(mask))
+    _, a_raw = _mil_compiled(mil_params, jax.device_put(bag),
+                             jax.device_put(mask))
     scores = np.asarray(a_raw)[0, :len(feats)]
     hm = draw_heatmap(slide, coords, scores, REGION,
                       patch_level=0, cmap="coolwarm", alpha=0.4)
@@ -238,18 +252,17 @@ def bench_e2e():
         "value": round(tcga40, 1),
         "unit": f"40-region TCGA-slide equivalents/hour "
                 f"({regions_done // N_SLIDES} full-tissue 4096px regions "
-                f"per measured 16k slide; median per-slide rate in a "
-                f"{N_SLIDES}-slide stream)",
+                f"per measured 16k slide; total time for the "
+                f"{N_SLIDES}-slide staged stream)",
         "vs_baseline": round(tcga40 / TARGET_SLIDES_PER_HOUR, 2),
         "regions_per_hour": round(regions_per_hour, 1),
         "raw_slides_per_hour_16region": round(raw_slides_per_hour, 1),
         "per_slide_s": [round(t, 1) for t in intervals],
-        "total_regions_per_hour": round(regions_done / dt * 3600.0, 1),
         "heatmap_ms_per_slide_cached_features": round(t_heat * 1e3, 1),
-        "note": "tunnel-H2D-bound (~55MB/s once compute dispatches); the "
-                "raw YCbCr 4:2:0 path ships 25MB/region (planes verbatim, "
-                "RGB reconstructed on-device) — local TPU hosts feed ~10x "
-                "faster",
+        "note": "staged H2D: every region's raw YCbCr 4:2:0 planes "
+                "(25MB/region) transfer on the fresh ~1.4GB/s link BEFORE "
+                "the first compute dispatch (the tunnel collapses ~25-60x "
+                "after it); throughput is host-JPEG-decode-bound",
     })
 
 

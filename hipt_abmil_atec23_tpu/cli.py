@@ -94,6 +94,10 @@ def _add_encode(sub):
     p.add_argument("--hipt_features", default="cls4k",
                    choices=["cls4k", "mean256", "concat"],
                    help="HIPT output variant (reference forward_asset_dict)")
+    p.add_argument("--stage_h2d", action="store_true",
+                   help="stage all decode+H2D transfers before the first "
+                        "compute dispatch (best for bandwidth-collapsed "
+                        "tunneled device links; see encode_stream stage=)")
 
 
 def _cmd_encode(a):
@@ -137,7 +141,8 @@ def _cmd_encode(a):
     # background threads while the current slide streams through the device
     done = encode_many(jobs, encoder, store, skip_existing=not a.no_skip,
                        transform=transform,
-                       target_patch_size=a.target_patch_size)
+                       target_patch_size=a.target_patch_size,
+                       stage=a.stage_h2d)
     dt = time.perf_counter() - t0
     print(f"[encode] {len(done)} slides in {dt:.1f}s "
           f"({len(done) / max(dt, 1e-9) * 3600:.1f} slides/hour)")

@@ -14,7 +14,7 @@ computes the current one. Artifacts keep the reference's schema
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 from typing import Callable, Dict, Iterable, Optional
 
@@ -44,6 +44,39 @@ class Encoder:
     # 1.5 bytes/px instead of 3. Set for encoders whose forward starts
     # with a pure normalize (HIPT/ViT/ResNet); None otherwise.
     apply_yuv: Optional[Callable] = None
+    # raw jit functions taking (variables, ...) — kept for AOT compilation
+    # (encode_stream's staged-H2D mode compiles WITHOUT executing: on
+    # tunneled dev links the H2D rate collapses ~25-60x after the first
+    # jit EXECUTION dispatches, but AOT .compile() leaves it untouched)
+    jit_fwd: Optional[Callable] = None
+    jit_fwd_yuv: Optional[Callable] = None
+    aot_cache: Dict = field(default_factory=dict)
+
+    def compile_ahead(self, sample, yuv: bool) -> Optional[Callable]:
+        """AOT-compile the forward for `sample`'s shapes; returns a callable
+        over device buffers, or None when no matching jit entry exists.
+        Compilation does not execute anything on the device, so it is safe
+        before a staged H2D phase (see encode_stream stage=True). Compiled
+        executables are cached per (entry, shapes) — benches/CLIs can call
+        this in untimed setup and the staged stream reuses them."""
+        import jax as _jax
+        fn = self.jit_fwd_yuv if yuv else self.jit_fwd
+        if fn is None:
+            return None
+        spec = _jax.tree.map(
+            lambda a: _jax.ShapeDtypeStruct(a.shape, a.dtype), sample)
+        key = (yuv,) + tuple((s.shape, str(s.dtype))
+                             for s in _jax.tree.leaves(spec))
+        if key not in self.aot_cache:
+            v = self.variables
+            if yuv:
+                compiled = fn.lower(v, *spec).compile()
+                self.aot_cache[key] = \
+                    lambda y, cb, cr: compiled(v, y, cb, cr)
+            else:
+                compiled = fn.lower(v, spec).compile()
+                self.aot_cache[key] = lambda b: compiled(v, b)
+        return self.aot_cache[key]
 
 
 def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
@@ -53,12 +86,16 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
     init (useful for pipeline tests/benches; quality runs must supply the
     DINO/ImageNet weights via the converters in models/convert.py).
     """
-    key = jax.random.PRNGKey(rng_seed)
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     # Initialize EAGERLY on CPU with the smallest valid input: parameter
     # shapes are input-size independent, and a jitted init would pay a
     # throwaway multi-minute compile (TPU) or a slow XLA:CPU compile.
     cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        # even PRNGKey is a device EXECUTION — keep it off the accelerator
+        # so building an encoder never triggers the tunnel's post-dispatch
+        # H2D collapse before a staged transfer phase
+        key = jax.random.PRNGKey(rng_seed)
 
     # whole-block fused kernel (ops/fused_block.py): 85.5 TFLOP/s vs 44.6
     # for the separate flash-attention + fused-MLP kernels at the ViT-256
@@ -204,7 +241,8 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
                    batch_size=cfg.batch_size, input_size=input_size,
                    feat_dim=feat_dim, variables=variables,
                    apply_yuv=None if _fwd_yuv is None
-                   else partial(_fwd_yuv, variables))
+                   else partial(_fwd_yuv, variables),
+                   jit_fwd=_fwd, jit_fwd_yuv=_fwd_yuv)
 
 
 # --------------------------------------------------------------------------
@@ -326,6 +364,8 @@ def encode_stream(
     target_patch_size: int = 0,
     n_io_threads: int = 0,
     prefetch: int = 3,
+    stage: bool = False,
+    stage_budget_bytes: int = 6 << 30,
 ):
     """Encode a SEQUENCE of slides through one continuous pipeline.
 
@@ -337,6 +377,20 @@ def encode_stream(
     (decode+transfer of the first batches) is paid once per stream, not
     once per slide. This is the slide-stream redesign of the reference's
     serial per-slide loop (reference: extract_features_fp.py:223-255).
+
+    ``stage=True`` enables STAGED H2D: all batches are decoded and
+    transferred to device HBM (up to ``stage_budget_bytes`` per flush)
+    BEFORE the first compute dispatch, using AOT-compiled executables
+    (Encoder.compile_ahead) so nothing executes during the transfer
+    phase. Motivation: on tunneled dev links the H2D rate collapses
+    ~25-60x permanently after the FIRST jit execution dispatches
+    (measured: 1.4 GB/s fresh -> 22-55 MB/s after; AOT .compile() leaves
+    the link untouched). Staging keeps every byte of the first flush on
+    the fresh link, turning a link-bound stream into a decode-bound one.
+    On healthy local hosts staging costs only the deferred compute
+    (compute is ~8x faster than decode here), so it is safe to leave on
+    for batch feature-extraction jobs; latency-sensitive callers keep
+    the overlapped default.
     """
     import queue
     import threading
@@ -404,6 +458,13 @@ def encode_stream(
         device = jax.devices()[0]
 
     window = max(1, prefetch)
+
+    if stage:
+        yield from _encode_stream_staged(
+            items, jobs, feats, remaining, offs, encoder, read_batch,
+            device, stage_budget_bytes, window)
+        return
+
     dev_q: "queue.Queue" = queue.Queue(maxsize=window)
     xfer_err = []
 
@@ -474,6 +535,105 @@ def encode_stream(
             yield item
 
 
+def _encode_stream_staged(items, jobs, feats, remaining, offs, encoder,
+                          read_batch, device, budget, window):
+    """Staged-H2D body of encode_stream (stage=True): decode+transfer every
+    batch (budget-bounded flushes) BEFORE the first compute dispatch; AOT
+    compilation overlaps the decode so the flush never waits on it."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    next_yield = 0
+
+    def drain():
+        nonlocal next_yield
+        out = []
+        while next_yield < len(jobs):
+            if len(jobs[next_yield][2]) == 0:
+                out.append((jobs[next_yield][0],
+                            np.zeros((0, encoder.feat_dim), np.float32)))
+                next_yield += 1
+            elif remaining[next_yield] == 0:
+                out.append((jobs[next_yield][0], feats[next_yield]))
+                next_yield += 1
+            else:
+                break
+        return out
+
+    compiled = {}  # 'yuv'|'rgb' -> AOT callable or None (jit fallback)
+    lock = threading.Lock()
+
+    def get_compiled(kind, sample):
+        with lock:
+            if kind not in compiled:
+                try:
+                    compiled[kind] = encoder.compile_ahead(
+                        sample, yuv=kind == "yuv")
+                except Exception:
+                    compiled[kind] = None
+            return compiled[kind]
+
+    def compute(buf):
+        is_yuv = isinstance(buf, tuple)
+        fn = compiled.get("yuv" if is_yuv else "rgb")
+        if fn is None:  # AOT unavailable: ordinary jit entries
+            return encoder.apply_yuv(*buf) if is_yuv else encoder.apply(buf)
+        return fn(*buf) if is_yuv else fn(buf)
+
+    staged = []  # [ji, k, device buffers] (buffers dropped as collected)
+    state = {"bytes": 0}
+
+    def flush():
+        # dispatch EVERY compute first (the device queue runs them
+        # back-to-back), then one concat + ONE host fetch for the whole
+        # flush: per-batch fetches would pay the link round-trip latency
+        # once per batch, which dwarfs the ~40ms compute on degraded links
+        outs = []
+        for rec in staged:
+            outs.append(compute(rec[2]))
+            rec[2] = None  # free the staged HBM as the queue consumes it
+        if outs:
+            flat = np.asarray(jnp.concatenate(outs, axis=0)) \
+                if len(outs) > 1 else np.asarray(outs[0])
+            row = 0
+            for (ji, k, _), out in zip(staged, outs):
+                feats[ji][offs[ji]:offs[ji] + k] = flat[row:row + k]
+                row += out.shape[0]
+                offs[ji] += k
+                remaining[ji] -= 1
+        staged.clear()
+        state["bytes"] = 0
+        yield from drain()
+
+    # Phase A: decode -> device_put (the only traffic on the link), one
+    # decode worker with a `window`-deep prefetch; AOT compile rides on a
+    # second thread underneath the decode.
+    compile_futs = {}
+    with ThreadPoolExecutor(max_workers=1) as ex, \
+            ThreadPoolExecutor(max_workers=1) as cex:
+        futures = [ex.submit(read_batch, it) for it in items[:window]]
+        for ci in range(len(items)):
+            batch = futures[ci].result()
+            if ci + window < len(items):
+                futures.append(ex.submit(read_batch, items[ci + window]))
+            kind = "yuv" if isinstance(batch, tuple) else "rgb"
+            if kind not in compile_futs:
+                compile_futs[kind] = cex.submit(get_compiled, kind, batch)
+            d = jax.device_put(batch, device)
+            jax.block_until_ready(d)
+            ji, _, chunk, _ = items[ci]
+            staged.append([ji, len(chunk), d])
+            bufs = batch if isinstance(batch, tuple) else (batch,)
+            state["bytes"] += sum(a.nbytes for a in bufs)
+            if state["bytes"] >= budget:
+                for f in compile_futs.values():
+                    f.result()
+                yield from flush()
+        for f in compile_futs.values():
+            f.result()
+    yield from flush()
+
+
 def encode_and_store(
     slide_path: str,
     coords_h5: str,
@@ -519,6 +679,7 @@ def encode_many(
     transform=None,
     target_patch_size: int = 0,
     verbose: bool = True,
+    stage: bool = False,
 ):
     """Slide-level pipelined encode stage. `jobs`: sequence of
     (slide_path, coords_h5, slide_id).
@@ -599,7 +760,8 @@ def encode_many(
                     for sid, feats in encode_stream(
                             sjobs, encoder, patch_level=lvl,
                             region_size=size, transform=transform,
-                            target_patch_size=target_patch_size):
+                            target_patch_size=target_patch_size,
+                            stage=stage):
                         write_q.put((sid, feats, coords_by_sid[sid]))
                         done.append(sid)
                         if verbose:

@@ -171,6 +171,28 @@ def test_encode_slide_no_overlap_matches(tiled_slide):
     np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def test_encode_stream_staged_parity(tiled_slide):
+    """stage=True (staged H2D: decode+transfer everything, AOT compile, then
+    compute) yields identical features, order, and empty-job handling as the
+    overlapped stream; a tiny budget forces multiple flushes."""
+    from hipt_abmil_atec23_tpu.engine.encode import encode_stream
+
+    path, h5, coords, slide = tiled_slide
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=4,
+                                      dtype="float32"))
+    jobs = [("a", slide, coords), ("empty", slide, coords[:0]),
+            ("b", slide, coords[:5])]
+    ref = dict(encode_stream(jobs, enc))
+    got = dict(encode_stream(jobs, enc, stage=True))
+    assert list(got) == ["a", "empty", "b"]
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], atol=1e-5)
+    # budget-bounded flushes (every batch over the budget) match too
+    got2 = dict(encode_stream(jobs, enc, stage=True, stage_budget_bytes=1))
+    for k in ref:
+        np.testing.assert_allclose(got2[k], ref[k], atol=1e-5)
+
+
 def test_encode_many_pipelined(tiled_slide, tmp_path):
     """Slide-level pipelined encode: same artifacts as per-slide
     encode_and_store, skip-existing honored, writer errors surfaced."""

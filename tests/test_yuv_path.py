@@ -87,6 +87,31 @@ def test_encode_stream_uses_yuv_and_matches_rgb(ycbcr_slide, tmp_path):
     assert np.abs(outs["a"]).max() > 0.01
 
 
+def test_encode_stream_staged_yuv(ycbcr_slide, tmp_path):
+    """stage=True over a mixed yuv+rgb stream: the staged phase transfers
+    raw planes, AOT-compiles BOTH entry kinds, and matches the overlapped
+    stream's features."""
+    from hipt_abmil_atec23_tpu.engine.encode import (
+        build_encoder, encode_stream)
+    from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+
+    yslide, _ = ycbcr_slide
+    p = str(tmp_path / "rgb3.tif")
+    write_synthetic_slide(p, 512, 512, n_levels=1, seed=6)
+    rgb = TiffSlide(p)
+    try:
+        enc = build_encoder(EncoderConfig(model_type="resnet18",
+                                          batch_size=2, dtype="float32"))
+        jobs = [("yuv", yslide, np.array([[0, 0], [256, 256], [512, 0]])),
+                ("rgb", rgb, np.array([[0, 0], [256, 256]]))]
+        ref = dict(encode_stream(jobs, enc))
+        got = dict(encode_stream(jobs, enc, stage=True))
+        for k in ref:
+            np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-5)
+    finally:
+        rgb.close()
+
+
 def test_encode_stream_mixed_yuv_and_rgb_slides(ycbcr_slide, tmp_path):
     """One stream over a 4:2:0 slide AND a plain RGB-JPEG slide: per-slide
     transfer formats coexist; both yield correct-shaped features."""
