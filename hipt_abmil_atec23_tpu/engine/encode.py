@@ -45,9 +45,8 @@ class Encoder:
     # with a pure normalize (HIPT/ViT/ResNet); None otherwise.
     apply_yuv: Optional[Callable] = None
     # raw jit functions taking (variables, ...) — kept for AOT compilation
-    # (encode_stream's staged-H2D mode compiles WITHOUT executing: on
-    # tunneled dev links the H2D rate collapses ~25-60x after the first
-    # jit EXECUTION dispatches, but AOT .compile() leaves it untouched)
+    # (compile without executing; used by encode_stream's staged mode and
+    # by benches that want every compile paid before the timed section)
     jit_fwd: Optional[Callable] = None
     jit_fwd_yuv: Optional[Callable] = None
     aot_cache: Dict = field(default_factory=dict)
@@ -93,8 +92,7 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         # even PRNGKey is a device EXECUTION — keep it off the accelerator
-        # so building an encoder never triggers the tunnel's post-dispatch
-        # H2D collapse before a staged transfer phase
+        # so building an encoder dispatches nothing to the device
         key = jax.random.PRNGKey(rng_seed)
 
     # whole-block fused kernel (ops/fused_block.py): 85.5 TFLOP/s vs 44.6
@@ -382,15 +380,16 @@ def encode_stream(
     transferred to device HBM (up to ``stage_budget_bytes`` per flush)
     BEFORE the first compute dispatch, using AOT-compiled executables
     (Encoder.compile_ahead) so nothing executes during the transfer
-    phase. Motivation: on tunneled dev links the H2D rate collapses
-    ~25-60x permanently after the FIRST jit execution dispatches
-    (measured: 1.4 GB/s fresh -> 22-55 MB/s after; AOT .compile() leaves
-    the link untouched). Staging keeps every byte of the first flush on
-    the fresh link, turning a link-bound stream into a decode-bound one.
-    On healthy local hosts staging costs only the deferred compute
-    (compute is ~8x faster than decode here), so it is safe to leave on
-    for batch feature-extraction jobs; latency-sensitive callers keep
-    the overlapped default.
+    phase. CAUTION — measured on the tunneled dev link: puts issued
+    before the first execution are BUFFERED (block_until_ready returns
+    at apparent GB/s while the wire drains asynchronously at the true
+    25-55 MB/s), so staging does not shorten the wire time; it only
+    defers compute past the full transfer and lets the background drain
+    starve the host decoder. The overlapped default (decode -> H2D ->
+    compute pipelined across slide boundaries) is faster everywhere it
+    was measured and is the production path; staging is kept for
+    DMA-attached hosts where a caller wants the device queue saturated
+    with back-to-back dispatches after a bulk load.
     """
     import queue
     import threading
