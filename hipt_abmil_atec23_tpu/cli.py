@@ -96,8 +96,9 @@ def _add_encode(sub):
                    help="HIPT output variant (reference forward_asset_dict)")
     p.add_argument("--stage_h2d", action="store_true",
                    help="stage all decode+H2D transfers before the first "
-                        "compute dispatch (best for bandwidth-collapsed "
-                        "tunneled device links; see encode_stream stage=)")
+                        "compute dispatch (DMA-attached hosts only; loses "
+                        "to the overlapped default on buffered tunnel "
+                        "links — see encode_stream stage= docstring)")
 
 
 def _cmd_encode(a):
@@ -1147,6 +1148,68 @@ def _cmd_export(a):
           f"CLAM layout; loads via eval.py --models_exp_code)")
 
 
+def _add_serve(sub):
+    p = sub.add_parser("serve", help="continuous slide-inference service: "
+                       "watch a folder, tile+encode+score new slides "
+                       "through one pipelined stream (no reference "
+                       "equivalent — its pipeline is batch scripts)")
+    p.add_argument("--slide_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--ckpt", required=True,
+                   help="MIL checkpoint (flax .ckpt or torch .pt)")
+    p.add_argument("--model_type", default="clam_sb")
+    p.add_argument("--model_size", default="hipt_smaller")
+    p.add_argument("--n_classes", type=int, default=2)
+    p.add_argument("--encoder", default="HIPT_4K",
+                   choices=["resnet18", "resnet50", "levit_128s",
+                            "levit_256", "HIPT_4K", "vit256"])
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--patch_size", type=int, default=4096)
+    p.add_argument("--patch_level", type=int, default=0)
+    p.add_argument("--use_otsu", action="store_true")
+    p.add_argument("--a_t", type=int, default=100)
+    p.add_argument("--vit256_ckpt", default=None)
+    p.add_argument("--vit4k_ckpt", default=None)
+    p.add_argument("--resnet_ckpt", default=None)
+    p.add_argument("--once", action="store_true",
+                   help="drain pending slides once and exit (cron-style)")
+    p.add_argument("--poll_s", type=float, default=5.0)
+    p.add_argument("--max_drains", type=int, default=None,
+                   help="stop the daemon after N polls (bounded serving)")
+    p.add_argument("--save_features", action="store_true",
+                   help="persist feature bags (FeatureBagStore layout) "
+                        "so heatmap/eval stages can reuse them")
+    p.add_argument("--top_k", type=int, default=8)
+    p.add_argument("--float32", action="store_true")
+
+
+def _cmd_serve(a):
+    from hipt_abmil_atec23_tpu.engine.serve import (
+        ServeConfig, serve_forever, serve_once, write_config)
+    from hipt_abmil_atec23_tpu.utils.config import (
+        EncoderConfig, ModelConfig, SegConfig, TileConfig)
+    cfg = ServeConfig(
+        slide_dir=a.slide_dir, out_dir=a.out_dir, ckpt_path=a.ckpt,
+        encoder=EncoderConfig(
+            model_type=a.encoder, batch_size=a.batch_size,
+            vit256_ckpt=a.vit256_ckpt, vit4k_ckpt=a.vit4k_ckpt,
+            resnet_ckpt=a.resnet_ckpt,
+            dtype="float32" if a.float32 else "bfloat16"),
+        model=ModelConfig(model_type=a.model_type, model_size=a.model_size),
+        tile=TileConfig(patch_size=a.patch_size, step_size=a.patch_size,
+                        patch_level=a.patch_level,
+                        seg=SegConfig(use_otsu=a.use_otsu, a_t=a.a_t)),
+        n_classes=a.n_classes, poll_s=a.poll_s,
+        save_features=a.save_features, top_k=a.top_k)
+    write_config(cfg)
+    if a.once:
+        recs = serve_once(cfg)
+        print(f"[serve] drained {len(recs)} slides")
+    else:
+        n = serve_forever(cfg, max_drains=a.max_drains)
+        print(f"[serve] served {n} slides")
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         prog="hipt_abmil_atec23_tpu",
@@ -1157,7 +1220,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
     for add in (_add_tile, _add_encode, _add_train, _add_eval, _add_splits,
                 _add_bootstrap, _add_heatmap, _add_count, _add_knn,
-                _add_export):
+                _add_export, _add_serve):
         add(sub)
     a = parser.parse_args(argv)
     if a.cpu:
@@ -1166,7 +1229,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     cmd = {"tile": _cmd_tile, "encode": _cmd_encode, "train": _cmd_train,
            "eval": _cmd_eval, "splits": _cmd_splits,
            "bootstrap": _cmd_bootstrap, "heatmap": _cmd_heatmap,
-           "count": _cmd_count, "knn": _cmd_knn, "export": _cmd_export}[a.cmd]
+           "count": _cmd_count, "knn": _cmd_knn, "export": _cmd_export,
+           "serve": _cmd_serve}[a.cmd]
     cmd(a)
     return 0
 

@@ -1,0 +1,263 @@
+"""Production serving stage: continuous slide-inference service.
+
+The reference has no serving story — its pipeline is three batch scripts
+run by hand (create_patches_fp.py -> extract_features_fp.py -> eval.py).
+This stage composes the same tile -> encode -> MIL path into a
+watch-folder service shaped for TPU deployment:
+
+- slides that arrive together ride ONE encode_stream pipeline
+  (engine/encode.py): decode, H2D and device compute overlap across
+  slide boundaries, so the chip never drains between slides;
+- results are journaled idempotently (``serve_journal.csv``) — a
+  restarted server never re-scores a finished slide (same
+  artifact-idempotence design as the tile stage's resume journal,
+  reference: create_patches_fp.py:99-102, batch_process_utils.py:17-82);
+- per-slide outputs keep the reference's artifact schemas: attention
+  blockmap h5 (create_heatmaps.py:379-381), optional feature bag in the
+  FeatureBagStore layout, one prediction JSON per slide plus an appended
+  ``predictions.jsonl`` stream for downstream consumers.
+
+Use ``serve_once`` for a single drain (cron-style batch serving) or
+``serve_forever`` for a polling daemon; both share all state through
+ServeState so a daemon is just repeated drains.
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from hipt_abmil_atec23_tpu.utils.config import (
+    EncoderConfig, ModelConfig, SegConfig, TileConfig)
+
+_DONE_STATUSES = ("done", "failed_seg")
+
+
+@dataclass
+class ServeConfig:
+    slide_dir: str
+    out_dir: str
+    ckpt_path: str                      # flax .ckpt or torch .pt
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    tile: TileConfig = field(default_factory=lambda: TileConfig(
+        patch_size=4096, step_size=4096, seg=SegConfig(use_otsu=True)))
+    n_classes: int = 2
+    poll_s: float = 5.0                 # daemon poll interval
+    save_features: bool = False         # persist bags in FeatureBagStore
+    top_k: int = 8                      # top-attention regions per slide
+
+
+@dataclass
+class ServeState:
+    """Lazily-built heavy objects shared across drains."""
+    encoder: object = None
+    model: object = None
+    params: object = None
+
+
+def _journal_path(cfg: ServeConfig) -> str:
+    return os.path.join(cfg.out_dir, "serve_journal.csv")
+
+
+def load_journal(cfg: ServeConfig) -> Dict[str, str]:
+    """slide_id -> last status."""
+    path = _journal_path(cfg)
+    out: Dict[str, str] = {}
+    if os.path.exists(path):
+        with open(path, newline="") as f:
+            for row in csv.DictReader(f):
+                out[row["slide_id"]] = row["status"]
+    return out
+
+
+def _journal_append(cfg: ServeConfig, slide_id: str, status: str,
+                    detail: str = "") -> None:
+    path = _journal_path(cfg)
+    new = not os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if new:
+            w.writerow(["slide_id", "status", "time", "detail"])
+        w.writerow([slide_id, status, f"{time.time():.3f}", detail])
+
+
+def discover(cfg: ServeConfig) -> List[str]:
+    """Slide files in slide_dir not yet finished per the journal."""
+    from hipt_abmil_atec23_tpu.slideio.pipeline import SLIDE_EXTS
+    journal = load_journal(cfg)
+    pending = []
+    for fname in sorted(os.listdir(cfg.slide_dir)):
+        if not fname.lower().endswith(SLIDE_EXTS):
+            continue
+        sid = os.path.splitext(fname)[0]
+        if journal.get(sid) in _DONE_STATUSES:
+            continue
+        pending.append(fname)
+    return pending
+
+
+def _ensure_state(cfg: ServeConfig, state: ServeState) -> None:
+    if state.encoder is None:
+        from hipt_abmil_atec23_tpu.engine.encode import build_encoder
+        state.encoder = build_encoder(cfg.encoder)
+    if state.model is None:
+        import jax
+        import jax.numpy as jnp
+        from hipt_abmil_atec23_tpu.engine.checkpoint import load_params
+        from hipt_abmil_atec23_tpu.models import build_mil_model
+
+        feat_dim = state.encoder.feat_dim
+        model = build_mil_model(cfg.model.model_type,
+                                size_arg=cfg.model.model_size,
+                                n_classes=cfg.n_classes)
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((8, feat_dim), jnp.float32), None)
+        if cfg.ckpt_path.endswith(".pt"):
+            # torch checkpoints load through the key-cleanup converter
+            # (reference: eval_utils.py:51-57 initiate_model)
+            from hipt_abmil_atec23_tpu.models.convert import (
+                clam_params_from_torch, load_torch_state_dict)
+            loaded = clam_params_from_torch(
+                load_torch_state_dict(cfg.ckpt_path, checkpoint_key=None),
+                n_classes=cfg.n_classes,
+                multi_branch=cfg.model.model_type == "clam_mb")
+            merged = dict(template["params"])
+            merged.update(loaded["params"])
+            state.params = {"params": merged}
+        else:
+            state.params = load_params(cfg.ckpt_path, template)
+        state.model = model
+
+
+def serve_once(cfg: ServeConfig, state: Optional[ServeState] = None,
+               *, verbose: bool = True) -> List[Dict]:
+    """Drain every pending slide through one encode_stream pipeline.
+
+    Returns the per-slide prediction records written this drain.
+    """
+    import jax.numpy as jnp
+
+    from hipt_abmil_atec23_tpu.engine.encode import encode_stream
+    from hipt_abmil_atec23_tpu.explain.heatmaps import save_blockmap
+    from hipt_abmil_atec23_tpu.ops.gated_attention_pool import apply_pooled
+    from hipt_abmil_atec23_tpu.slideio.patching import enumerate_coords
+    from hipt_abmil_atec23_tpu.slideio.reader import open_slide
+    from hipt_abmil_atec23_tpu.slideio.seg import segment_tissue
+
+    state = state if state is not None else ServeState()
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    results_dir = os.path.join(cfg.out_dir, "results")
+    os.makedirs(results_dir, exist_ok=True)
+
+    pending = discover(cfg)
+    if not pending:
+        return []
+    _ensure_state(cfg, state)
+
+    # host-side prep: seg + coords per slide, all slides join ONE stream
+    jobs, slides, coord_map, records = [], [], {}, []
+    for fname in pending:
+        sid = os.path.splitext(fname)[0]
+        try:
+            slide = open_slide(os.path.join(cfg.slide_dir, fname))
+            seg = segment_tissue(slide, cfg.tile.seg)
+            coords = enumerate_coords(slide, seg, cfg.tile)
+        except Exception as e:  # unreadable file: journal and keep serving
+            _journal_append(cfg, sid, "error", repr(e))
+            if verbose:
+                print(f"[serve] {sid}: ERROR {e!r}")
+            continue
+        if len(coords) == 0:
+            slide.close()
+            _journal_append(cfg, sid, "failed_seg")
+            records.append({"slide_id": sid, "status": "failed_seg"})
+            if verbose:
+                print(f"[serve] {sid}: no tissue, failed_seg")
+            continue
+        slides.append(slide)
+        coord_map[sid] = coords
+        jobs.append((sid, slide, coords))
+
+    store = None
+    if cfg.save_features:
+        from hipt_abmil_atec23_tpu.data.bags import FeatureBagStore
+        store = FeatureBagStore(os.path.join(cfg.out_dir, "features"))
+
+    jsonl = open(os.path.join(cfg.out_dir, "predictions.jsonl"), "a")
+    try:
+        for sid, feats in encode_stream(
+                jobs, state.encoder, region_size=cfg.tile.patch_size,
+                patch_level=cfg.tile.patch_level):
+            t_done = time.time()
+            coords = coord_map[sid]
+            out = apply_pooled(state.model, state.params, jnp.asarray(feats))
+            y_prob = np.asarray(out.y_prob)[0]
+            scores = np.asarray(out.a_raw)[0][:len(coords)]
+            order = np.argsort(scores)[::-1][:cfg.top_k]
+            rec = {
+                "slide_id": sid,
+                "status": "done",
+                "y_hat": int(np.asarray(out.y_hat)[0]),
+                "p": [float(v) for v in y_prob],
+                "n_regions": int(len(coords)),
+                "top_regions": [
+                    [int(coords[i][0]), int(coords[i][1]), float(scores[i])]
+                    for i in order],
+                "time": t_done,
+            }
+            save_blockmap(os.path.join(results_dir, f"{sid}_blockmap.h5"),
+                          coords, scores)
+            if store is not None:
+                store.save(sid, feats, coords=coords)
+            with open(os.path.join(results_dir, f"{sid}.json"), "w") as f:
+                json.dump(rec, f, indent=2)
+            jsonl.write(json.dumps(rec) + "\n")
+            jsonl.flush()
+            _journal_append(cfg, sid, "done")
+            records.append(rec)
+            if verbose:
+                print(f"[serve] {sid}: pred {rec['y_hat']} p={rec['p']} "
+                      f"({rec['n_regions']} regions)")
+    finally:
+        jsonl.close()
+        for s in slides:
+            s.close()
+    return records
+
+
+def serve_forever(cfg: ServeConfig, *, stop=None, verbose: bool = True,
+                  max_drains: Optional[int] = None) -> int:
+    """Polling daemon: drain pending slides, sleep poll_s, repeat.
+
+    ``stop``: optional threading.Event for graceful shutdown;
+    ``max_drains`` bounds the loop (tests / cron). Returns the total
+    number of slides served.
+    """
+    state = ServeState()
+    served = 0
+    drains = 0
+    while True:
+        recs = serve_once(cfg, state, verbose=verbose)
+        served += len(recs)
+        drains += 1
+        if max_drains is not None and drains >= max_drains:
+            return served
+        if stop is not None and stop.wait(cfg.poll_s):
+            return served
+        if stop is None:
+            time.sleep(cfg.poll_s)
+
+
+def write_config(cfg: ServeConfig) -> None:
+    """Dump the effective serve config next to the journal (mirrors the
+    reference's per-run config dump, create_heatmaps.py:95-101)."""
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    with open(os.path.join(cfg.out_dir, "serve_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)

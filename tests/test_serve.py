@@ -1,0 +1,141 @@
+"""Serving-stage tests: watch-folder drain, idempotent journal, outputs.
+
+The reference has no serving story (batch scripts only); engine/serve.py
+composes tile -> encode_stream -> MIL into a journaled service. These
+tests drive it at the library boundary and through the CLI."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hipt_abmil_atec23_tpu.engine.checkpoint import save_params
+from hipt_abmil_atec23_tpu.engine.serve import (
+    ServeConfig, ServeState, discover, load_journal, serve_forever,
+    serve_once)
+from hipt_abmil_atec23_tpu.models import build_mil_model
+from hipt_abmil_atec23_tpu.slideio import native
+from hipt_abmil_atec23_tpu.slideio.synthetic import write_synthetic_slide
+from hipt_abmil_atec23_tpu.utils.config import (
+    EncoderConfig, ModelConfig, SegConfig, TileConfig)
+
+
+def _write_slide(path, seed):
+    write_synthetic_slide(path, 2048, 1536, n_levels=3,
+                          compression=native.COMPRESSION_DEFLATE, seed=seed)
+
+
+@pytest.fixture(scope="module")
+def serve_env(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve")
+    slide_dir = d / "slides"
+    slide_dir.mkdir()
+    _write_slide(str(slide_dir / "a.tif"), 1)
+    _write_slide(str(slide_dir / "b.tif"), 2)
+
+    # MIL checkpoint matching the resnet18 encoder's 512-d features
+    model = build_mil_model("clam_sb", size_arg="tinier_resnet18",
+                          n_classes=2)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((8, 512), jnp.float32), None)
+    ckpt = str(d / "mil.msgpack")
+    save_params(ckpt, params)
+
+    cfg = ServeConfig(
+        slide_dir=str(slide_dir), out_dir=str(d / "out"), ckpt_path=ckpt,
+        encoder=EncoderConfig(model_type="resnet18", batch_size=8,
+                              dtype="float32"),
+        model=ModelConfig(model_type="clam_sb",
+                          model_size="tinier_resnet18"),
+        tile=TileConfig(patch_size=256, step_size=256,
+                        seg=SegConfig(use_otsu=True, close=4, a_t=1)),
+        n_classes=2, top_k=3)
+    return d, slide_dir, cfg
+
+
+def test_serve_once_drains_and_journals(serve_env):
+    d, slide_dir, cfg = serve_env
+    state = ServeState()
+    recs = serve_once(cfg, state, verbose=False)
+    done = {r["slide_id"] for r in recs if r["status"] == "done"}
+    assert done == {"a", "b"}
+
+    # per-slide outputs: JSON + blockmap with the reference h5 schema
+    for sid in done:
+        rec = json.load(open(os.path.join(cfg.out_dir, "results",
+                                          f"{sid}.json")))
+        assert rec["status"] == "done"
+        assert len(rec["p"]) == 2 and abs(sum(rec["p"]) - 1) < 1e-4
+        assert rec["n_regions"] > 0
+        assert 1 <= len(rec["top_regions"]) <= cfg.top_k
+        # top regions sorted by attention, coords inside the slide
+        scores = [t[2] for t in rec["top_regions"]]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0 <= t[0] < 2048 and 0 <= t[1] < 1536
+                   for t in rec["top_regions"])
+        import h5py
+        with h5py.File(os.path.join(cfg.out_dir, "results",
+                                    f"{sid}_blockmap.h5")) as f:
+            assert f["attention_scores"].shape[0] == rec["n_regions"]
+
+    # appended JSONL stream
+    lines = open(os.path.join(cfg.out_dir, "predictions.jsonl")).readlines()
+    assert {json.loads(l)["slide_id"] for l in lines} >= done
+
+    # idempotence: nothing pending, second drain is a no-op
+    assert discover(cfg) == []
+    assert serve_once(cfg, state, verbose=False) == []
+
+
+def test_serve_picks_up_new_slides_only(serve_env):
+    d, slide_dir, cfg = serve_env
+    _write_slide(str(slide_dir / "c.tif"), 3)
+    assert discover(cfg) == ["c.tif"]
+    recs = serve_once(cfg, ServeState(), verbose=False)
+    assert [r["slide_id"] for r in recs] == ["c"]
+    assert load_journal(cfg)["c"] == "done"
+
+
+def test_serve_journals_unreadable_slide(serve_env):
+    d, slide_dir, cfg = serve_env
+    bad = slide_dir / "broken.tif"
+    bad.write_bytes(b"not a tiff")
+    recs = serve_once(cfg, ServeState(), verbose=False)
+    assert recs == []  # error slides produce no prediction record
+    assert load_journal(cfg)["broken"] == "error"
+    # an errored slide stays pending (retry on next drain), done ones don't
+    assert discover(cfg) == ["broken.tif"]
+    os.remove(bad)
+
+
+def test_serve_forever_bounded(serve_env, tmp_path):
+    d, slide_dir, cfg = serve_env
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, out_dir=str(tmp_path / "out2"),
+                               poll_s=0.01)
+    n = serve_forever(cfg2, verbose=False, max_drains=2)
+    assert n == 3  # a, b, c all pending against the fresh journal
+
+
+def test_serve_cli_once(serve_env, tmp_path):
+    from hipt_abmil_atec23_tpu.cli import main
+    d, slide_dir, cfg = serve_env
+    out = str(tmp_path / "cli_out")
+    rc = main(["serve", "--slide_dir", str(slide_dir), "--out_dir", out,
+               "--ckpt", cfg.ckpt_path, "--model_size", "tinier_resnet18",
+               "--encoder", "resnet18", "--patch_size", "256",
+               "--use_otsu", "--a_t", "1", "--float32", "--once",
+               "--save_features"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "serve_config.json"))
+    journal = {k: v for k, v in
+               load_journal(ServeConfig(slide_dir=str(slide_dir),
+                                        out_dir=out, ckpt_path="")).items()}
+    assert journal.get("a") == "done"
+    # --save_features persisted bags a later eval/heatmap stage can reuse
+    from hipt_abmil_atec23_tpu.data.bags import FeatureBagStore
+    store = FeatureBagStore(os.path.join(out, "features"))
+    feats, coords = store.load_with_coords("a")
+    assert feats.shape[1] == 512 and len(coords) == feats.shape[0]
