@@ -222,6 +222,27 @@ def bench_e2e():
     rates = np.array(n_regions) / intervals
     median_rate = float(np.median(rates))
 
+    # link/compute decomposition: lets a reader attribute a low headline
+    # to a tunnel droop window (wire MB/s) vs an actual pipeline problem.
+    # The yuv raw-plane path ships 1.5 bytes/px.
+    mb_per_region = 1.5 * REGION * REGION / 1e6
+    eff_wire_mbps = regions_done * mb_per_region / dt
+    # per-region device latency (dispatch + compute + result fetch) in the
+    # same degraded-dispatch mode the stream ran in: the serving-latency
+    # number, and the compute-bound ceiling when the wire is not limiting
+    y = np.random.default_rng(0).integers(0, 255,
+                                          (REGION_BATCH, REGION, REGION),
+                                          np.uint8)
+    c = np.zeros((REGION_BATCH, REGION // 2, REGION // 2), np.uint8)
+    dy = jax.device_put((y, c, c), jax.devices()[0])
+    jax.block_until_ready(dy)
+    fn = encoder.compile_ahead((y, c, c), yuv=True)
+    np.asarray(fn(*dy))  # warm
+    tcs = time.perf_counter()
+    for _ in range(3):
+        np.asarray(fn(*dy))
+    compute_ms_region = (time.perf_counter() - tcs) / 3 / REGION_BATCH * 1e3
+
     # ---- heatmap stage from CACHED features (VERDICT r2 #9): attention
     # inference + rasterization only — the fine pass never re-encodes
     # (explain/driver.py reuses the feature bag; reference
@@ -260,6 +281,10 @@ def bench_e2e():
         "raw_slides_per_hour_16region": round(raw_slides_per_hour, 1),
         "per_slide_s": [round(t, 1) for t in intervals],
         "total_regions_per_hour": round(regions_done / dt * 3600.0, 1),
+        "effective_H2D_MBps": round(eff_wire_mbps, 1),
+        "compute_ms_per_region_incl_dispatch": round(compute_ms_region, 1),
+        "compute_bound_ceiling_slides_per_hour": round(
+            3600e3 / compute_ms_region / REGIONS_PER_TCGA_SLIDE, 1),
         "heatmap_ms_per_slide_cached_features": round(t_heat * 1e3, 1),
         "note": "tunnel-H2D-bound (25-55MB/s honest wire rate; droop "
                 "windows sink to 2-8); the raw YCbCr 4:2:0 path ships "
