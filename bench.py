@@ -256,11 +256,12 @@ def bench_e2e():
     t0h = time.perf_counter()
     bag = np.zeros((N_PAD, 192), np.float32)
     mask = np.zeros((N_PAD,), bool)
-    bag[:len(feats)], mask[:len(feats)] = feats, True
+    k = min(len(feats), N_PAD)  # same clamp as mil_step above
+    bag[:k], mask[:k] = feats[:k], True
     _, a_raw = _mil_compiled(mil_params, jax.device_put(bag),
                              jax.device_put(mask))
-    scores = np.asarray(a_raw)[0, :len(feats)]
-    hm = draw_heatmap(slide, coords, scores, REGION,
+    scores = np.asarray(a_raw)[0, :k]
+    hm = draw_heatmap(slide, coords[:k], scores, REGION,
                       patch_level=0, cmap="coolwarm", alpha=0.4)
     t_heat = time.perf_counter() - t0h
     assert hm.size > 0

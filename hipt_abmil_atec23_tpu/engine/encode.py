@@ -291,8 +291,6 @@ def encode_slide(
     overlap_dispatch=False serializes transfer-dispatch-collect per batch
     (the conservative mode; identical features, used by parity tests).
     """
-    import queue
-    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     size = region_size or encoder.input_size
@@ -317,16 +315,11 @@ def encode_slide(
             batch = np.concatenate([batch, pad])
         return batch
 
-    chunks = list(_batches(coords, bs))
-    window = max(1, prefetch)
-    feats = np.empty((n, encoder.feat_dim), np.float32)
-    done = 0
-    try:  # put batches where the weights live
-        device = next(iter(jax.tree.leaves(encoder.variables)[0].devices()))
-    except Exception:
-        device = jax.devices()[0]
-
     if not overlap_dispatch:
+        chunks = list(_batches(coords, bs))
+        window = max(1, prefetch)
+        feats = np.empty((n, encoder.feat_dim), np.float32)
+        done = 0
         with ThreadPoolExecutor(max_workers=1) as ex:
             futures = [ex.submit(read_batch, c) for c in chunks[:window]]
             next_submit = window
@@ -466,6 +459,18 @@ def encode_stream(
 
     dev_q: "queue.Queue" = queue.Queue(maxsize=window)
     xfer_err = []
+    stop = threading.Event()  # set when the consumer abandons the stream
+
+    def _put(obj) -> bool:
+        # stop-aware put: never park forever on a full queue whose consumer
+        # (the abandoned generator) will not drain it
+        while not stop.is_set():
+            try:
+                dev_q.put(obj, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _transfer(futures_ref, ex):
         try:
@@ -476,23 +481,21 @@ def encode_stream(
                         ex.submit(read_batch, items[ci + window]))
                 d = jax.device_put(batch, device)  # batch may be a
                 jax.block_until_ready(d)           # (y, cb, cr) tuple
-                dev_q.put(d)  # one serialized H2D stream (see encode_slide)
+                if not _put(d):  # one serialized H2D stream (encode_slide)
+                    return
         except Exception as e:
             xfer_err.append(e)
-            dev_q.put(None)
+            _put(None)
 
     def _collect(pend):
         ji, k, out = pend
         feats[ji][offs[ji]:offs[ji] + k] = np.asarray(out)[:k]
         offs[ji] += k
         remaining[ji] -= 1
-        return ji if remaining[ji] == 0 else None
 
-    pending = None
-    empties = [ji for ji, (_, _, c) in enumerate(jobs) if len(c) == 0]
     next_yield = 0
 
-    def _drain_ready(done_ji):
+    def _drain_ready():
         # yield jobs in order once complete (empty jobs complete trivially)
         nonlocal next_yield
         ready = []
@@ -508,11 +511,12 @@ def encode_stream(
 
     # ONE decode worker (see encode_slide): read_regions parallelizes
     # internally; the window is prefetch depth, not decode concurrency.
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        futures = [ex.submit(read_batch, it) for it in items[:window]]
-        xt = threading.Thread(target=_transfer, args=(futures, ex),
-                              daemon=True)
-        xt.start()
+    pending = None
+    ex = ThreadPoolExecutor(max_workers=1)
+    futures = [ex.submit(read_batch, it) for it in items[:window]]
+    xt = threading.Thread(target=_transfer, args=(futures, ex), daemon=True)
+    xt.start()
+    try:
         for ci in range(len(items)):
             d = dev_q.get()
             if d is None:
@@ -520,18 +524,31 @@ def encode_stream(
             out = (encoder.apply_yuv(*d) if isinstance(d, tuple)
                    else encoder.apply(d))  # async dispatch
             if pending is not None:
-                done = _collect(pending)
-                for item in _drain_ready(done):
+                _collect(pending)
+                for item in _drain_ready():
                     yield item
             ji, _, chunk, _ = items[ci]
             pending = (ji, len(chunk), out)
         xt.join()
-    if xfer_err:
-        raise xfer_err[0]
-    if pending is not None:
-        done = _collect(pending)
-        for item in _drain_ready(done):
-            yield item
+        if xfer_err:
+            raise xfer_err[0]
+        if pending is not None:
+            _collect(pending)
+            for item in _drain_ready():
+                yield item
+    finally:
+        # runs on normal completion AND on generator abandonment
+        # (GeneratorExit / consumer exception): release the transfer
+        # thread parked on the bounded queue and the prefetched device
+        # batches it holds, then shut the decode worker down.
+        stop.set()
+        while xt.is_alive():
+            try:
+                dev_q.get_nowait()
+            except queue.Empty:
+                pass
+            xt.join(timeout=0.05)
+        ex.shutdown(wait=False, cancel_futures=True)
 
 
 def _encode_stream_staged(items, jobs, feats, remaining, offs, encoder,
@@ -706,10 +723,17 @@ def encode_many(
     if not todo:
         return []
 
-    def _open(job):
-        path, h5, sid = job
-        coords, attrs = load_coords_h5(h5)
-        return sid, open_slide(path), coords, attrs
+    def _open_group(chunk):
+        # per-slide error isolation: one unreadable slide/h5 must neither
+        # leak the group's already-open handles nor abort the whole stage
+        out = []
+        for path, h5, sid in chunk:
+            try:
+                coords, attrs = load_coords_h5(h5)
+                out.append((sid, open_slide(path), coords, attrs))
+            except Exception as e:
+                out.append((sid, None, None, e))
+        return out
 
     write_q: "queue.Queue" = queue.Queue(maxsize=4)
     write_err = []
@@ -735,18 +759,23 @@ def encode_many(
     # next group's slides open on a background thread while the current
     # group streams.
     GROUP = 8
+    failed = []
     chunks = [todo[i:i + GROUP] for i in range(0, len(todo), GROUP)]
     with ThreadPoolExecutor(max_workers=1) as openex:
-        nxt = openex.submit(lambda c=chunks[0]: [_open(j) for j in c])
+        nxt = openex.submit(_open_group, chunks[0])
         for gi in range(len(chunks)):
             opened = nxt.result()
             if gi + 1 < len(chunks):
-                nxt = openex.submit(
-                    lambda c=chunks[gi + 1]: [_open(j) for j in c])
+                nxt = openex.submit(_open_group, chunks[gi + 1])
             # consecutive same-geometry runs share one stream (patch size /
             # level are per-slide h5 attrs and fix the compiled batch shape)
             runs = []
             for sid, slide, coords, attrs in opened:
+                if slide is None:  # open/h5 failure — skip, keep encoding
+                    failed.append((sid, attrs))
+                    if verbose:
+                        print(f"[encode] {sid}: FAILED to open ({attrs!r})")
+                    continue
                 geo = (int(attrs.get("patch_level", 0)),
                        int(attrs.get("patch_size", encoder.input_size)))
                 if runs and runs[-1][0] == geo:

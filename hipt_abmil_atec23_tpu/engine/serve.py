@@ -52,6 +52,7 @@ class ServeConfig:
     poll_s: float = 5.0                 # daemon poll interval
     save_features: bool = False         # persist bags in FeatureBagStore
     top_k: int = 8                      # top-attention regions per slide
+    max_retries: int = 3                # 'error' attempts before parking
 
 
 @dataclass
@@ -77,6 +78,18 @@ def load_journal(cfg: ServeConfig) -> Dict[str, str]:
     return out
 
 
+def _error_counts(cfg: ServeConfig) -> Dict[str, int]:
+    """slide_id -> number of journaled 'error' attempts (bounded retry)."""
+    path = _journal_path(cfg)
+    out: Dict[str, int] = {}
+    if os.path.exists(path):
+        with open(path, newline="") as f:
+            for row in csv.DictReader(f):
+                if row["status"] == "error":
+                    out[row["slide_id"]] = out.get(row["slide_id"], 0) + 1
+    return out
+
+
 def _journal_append(cfg: ServeConfig, slide_id: str, status: str,
                     detail: str = "") -> None:
     path = _journal_path(cfg)
@@ -92,12 +105,18 @@ def discover(cfg: ServeConfig) -> List[str]:
     """Slide files in slide_dir not yet finished per the journal."""
     from hipt_abmil_atec23_tpu.slideio.pipeline import SLIDE_EXTS
     journal = load_journal(cfg)
+    errors = _error_counts(cfg)
     pending = []
     for fname in sorted(os.listdir(cfg.slide_dir)):
         if not fname.lower().endswith(SLIDE_EXTS):
             continue
         sid = os.path.splitext(fname)[0]
         if journal.get(sid) in _DONE_STATUSES:
+            continue
+        if errors.get(sid, 0) >= cfg.max_retries:
+            # parked: a slide that keeps erroring (e.g. a corrupt upload)
+            # must not crash-loop the daemon or starve later arrivals;
+            # replacing the file and clearing its journal rows un-parks it
             continue
         pending.append(fname)
     return pending
@@ -117,8 +136,12 @@ def _ensure_state(cfg: ServeConfig, state: ServeState) -> None:
         model = build_mil_model(cfg.model.model_type,
                                 size_arg=cfg.model.model_size,
                                 n_classes=cfg.n_classes)
-        template = model.init(jax.random.PRNGKey(0),
-                              jnp.zeros((8, feat_dim), jnp.float32), None)
+        # eager CPU init (CLAUDE.md rule): a cold daemon start must not
+        # dispatch dozens of tiny init ops through the TPU tunnel
+        with jax.default_device(jax.devices("cpu")[0]):
+            template = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((8, feat_dim), jnp.float32), None)
         if cfg.ckpt_path.endswith(".pt"):
             # torch checkpoints load through the key-cleanup converter
             # (reference: eval_utils.py:51-57 initiate_model)
@@ -165,11 +188,14 @@ def serve_once(cfg: ServeConfig, state: Optional[ServeState] = None,
     jobs, slides, coord_map, records = [], [], {}, []
     for fname in pending:
         sid = os.path.splitext(fname)[0]
+        slide = None
         try:
             slide = open_slide(os.path.join(cfg.slide_dir, fname))
             seg = segment_tissue(slide, cfg.tile.seg)
             coords = enumerate_coords(slide, seg, cfg.tile)
         except Exception as e:  # unreadable file: journal and keep serving
+            if slide is not None:  # seg/coords failed after a good open
+                slide.close()
             _journal_append(cfg, sid, "error", repr(e))
             if verbose:
                 print(f"[serve] {sid}: ERROR {e!r}")
@@ -191,6 +217,7 @@ def serve_once(cfg: ServeConfig, state: Optional[ServeState] = None,
         store = FeatureBagStore(os.path.join(cfg.out_dir, "features"))
 
     jsonl = open(os.path.join(cfg.out_dir, "predictions.jsonl"), "a")
+    finished = set()
     try:
         for sid, feats in encode_stream(
                 jobs, state.encoder, region_size=cfg.tile.patch_size,
@@ -221,10 +248,22 @@ def serve_once(cfg: ServeConfig, state: Optional[ServeState] = None,
             jsonl.write(json.dumps(rec) + "\n")
             jsonl.flush()
             _journal_append(cfg, sid, "done")
+            finished.add(sid)
             records.append(rec)
             if verbose:
                 print(f"[serve] {sid}: pred {rec['y_hat']} p={rec['p']} "
                       f"({rec['n_regions']} regions)")
+    except Exception as e:
+        # a mid-stream failure (decode error on a half-copied file, write
+        # error, ...) must not abort serving: journal an 'error' attempt
+        # for every unfinished slide of this drain — bounded retry in
+        # discover() re-queues good slides next drain and eventually parks
+        # the poisoning one — and keep the daemon alive.
+        for sid, _, _ in jobs:
+            if sid not in finished:
+                _journal_append(cfg, sid, "error", f"stream: {e!r}")
+        if verbose:
+            print(f"[serve] drain aborted mid-stream: {e!r}")
     finally:
         jsonl.close()
         for s in slides:
@@ -244,8 +283,15 @@ def serve_forever(cfg: ServeConfig, *, stop=None, verbose: bool = True,
     served = 0
     drains = 0
     while True:
-        recs = serve_once(cfg, state, verbose=verbose)
-        served += len(recs)
+        try:
+            recs = serve_once(cfg, state, verbose=verbose)
+            served += len(recs)
+        except Exception as e:
+            # last-resort isolation (journal/FS errors, transient device
+            # failures): a daemon must outlive any single drain. Per-slide
+            # faults are already journaled inside serve_once.
+            if verbose:
+                print(f"[serve] drain failed: {e!r}")
         drains += 1
         if max_drains is not None and drains >= max_drains:
             return served

@@ -32,6 +32,41 @@ import numpy as np
 from hipt_abmil_atec23_tpu.ops.interpolate import interpolate_pos_embed
 
 
+_FUSED_BLOCK_VMEM_BUDGET = 32 << 20
+
+
+def fused_block_group(batch: int, n_pad: int):
+    """Largest image group the fused whole-block kernel (ops/fused_block.py)
+    can run at this shape, or None when even ungrouped f32 score/exp blocks
+    (2 * group * n^2 * 4 bytes) would exceed the VMEM budget — the single
+    source of truth shared by the network walks (pad or not) and Block
+    (fused or exact), so the two can never disagree on the dispatch.
+    group=4 measured fastest at the production shape (85.5 TFLOP/s vs 81.6
+    at g2 / 79.3 at g8, batch 512 x 257 x 384 bf16)."""
+    return next((g for g in (4, 2, 1)
+                 if batch % g == 0
+                 and 2 * g * n_pad * n_pad * 4 <= _FUSED_BLOCK_VMEM_BUDGET),
+                None)
+
+
+def _pad_tokens(tok):
+    """Pad the token axis to a sublane multiple (8) for the fused whole-block
+    kernel; returns (padded tokens, original length). Every block walk under
+    ``use_fused_block`` must pad once and thread ``n_valid`` so the kernel
+    masks the padded keys — including the attention/intermediate extraction
+    paths, not just ``__call__``. When the kernel is infeasible at this
+    shape (fused_block_group is None: huge token counts), returns
+    (tok unchanged, None) and Block runs its exact path — ``tok[:, :None]``
+    is a full slice, so call sites need no branching."""
+    b, n = tok.shape[0], tok.shape[1]
+    n_pad = (n + 7) // 8 * 8
+    if fused_block_group(b, n_pad) is None:
+        return tok, None
+    if n_pad != n:
+        tok = jnp.pad(tok, ((0, 0), (0, n_pad - n), (0, 0)))
+    return tok, n
+
+
 @dataclasses.dataclass(frozen=True)
 class ViTConfig:
     embed_dim: int = 384
@@ -188,25 +223,42 @@ class Block(nn.Module):
                  n_valid: Optional[int] = None):
         c = x.shape[-1]
         if self.use_fused_block and not return_attn:
-            # the whole block as ONE Pallas kernel (ops/fused_block.py);
-            # the caller pads tokens to a sublane multiple once per network
-            # and threads n_valid down for key masking. Param tree is
-            # identical to the Dense/Attention path (shells below).
-            assert self.qkv_bias, "fused block assumes qkv_bias=True (DINO)"
-            from hipt_abmil_atec23_tpu.ops.fused_block import fused_vit_block
-            g1, be1 = _LNParams(c, name="norm1")()
-            wqkv, bqkv, wproj, bproj = _AttnParams(c, name="attn")()
-            g2, be2 = _LNParams(c, name="norm2")()
-            w1, b1, w2, b2 = _MlpParams(int(c * self.mlp_ratio), c,
-                                        name="mlp")()
-            b = x.shape[0]
-            # group=4 measured fastest at production shape (85.5 TFLOP/s vs
-            # 81.6 at g2 / 79.3 at g8, batch 512 x 257 x 384 bf16)
-            group = next(g for g in (4, 2, 1) if b % g == 0)
-            return fused_vit_block(
-                x.astype(self.dtype), g1, be1, wqkv, bqkv, wproj, bproj,
-                g2, be2, w1, b1, w2, b2, num_heads=self.num_heads,
-                n_valid=n_valid, eps=self.ln_eps, group=group), None
+            b, n_tok = x.shape[0], x.shape[1]
+            # VMEM-aware dispatch (see fused_block_group): scale the group
+            # down with token count; when even group=1 would overflow
+            # (n > ~2048 — no production encoder config comes close), run
+            # the exact XLA path below on the same param tree.
+            group = (fused_block_group(b, n_tok)
+                     if n_tok % 8 == 0 else None)
+            if group is not None:
+                # the whole block as ONE Pallas kernel (ops/fused_block.py);
+                # the caller pads tokens to a sublane multiple once per
+                # network and threads n_valid down for key masking. Param
+                # tree is identical to the Dense/Attention path (shells).
+                assert self.qkv_bias, \
+                    "fused block assumes qkv_bias=True (DINO)"
+                from hipt_abmil_atec23_tpu.ops.fused_block import (
+                    fused_vit_block)
+                g1, be1 = _LNParams(c, name="norm1")()
+                wqkv, bqkv, wproj, bproj = _AttnParams(c, name="attn")()
+                g2, be2 = _LNParams(c, name="norm2")()
+                w1, b1, w2, b2 = _MlpParams(int(c * self.mlp_ratio), c,
+                                            name="mlp")()
+                return fused_vit_block(
+                    x.astype(self.dtype), g1, be1, wqkv, bqkv, wproj,
+                    bproj, g2, be2, w1, b1, w2, b2,
+                    num_heads=self.num_heads, n_valid=n_valid,
+                    eps=self.ln_eps, group=group), None
+            # fall through to the exact Dense/Attention path (same param
+            # tree). The exact path has no key mask, so it must never see
+            # PADDED tokens — _pad_tokens consults the same
+            # fused_block_group predicate and skips padding at infeasible
+            # shapes, making this unreachable with n_valid < n_tok; the
+            # assert catches any out-of-tree caller that pads anyway.
+            assert n_valid is None or n_valid == n_tok, (
+                "token count exceeds the fused kernel's VMEM budget; run "
+                "the exact path on UNPADDED tokens (padded keys would be "
+                "unmasked here)")
         y, attn = Attention(self.num_heads, self.qkv_bias, self.dtype,
                             self.use_flash, name="attn")(
             nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x), return_attn)
@@ -288,10 +340,7 @@ class VisionTransformer(nn.Module):
         if getattr(self.config, "use_fused_block", False):
             # pad the token axis ONCE to a sublane multiple (not once per
             # block) and mask padded keys inside the fused block kernel
-            n = tok.shape[1]
-            n_pad = (n + 7) // 8 * 8
-            if n_pad != n:
-                tok = jnp.pad(tok, ((0, 0), (0, n_pad - n), (0, 0)))
+            tok, n = _pad_tokens(tok)
             for blk in self.blocks:
                 tok, _ = blk(tok, n_valid=n)
             tok = tok[:, :n]
@@ -305,18 +354,30 @@ class VisionTransformer(nn.Module):
         """Self-attention of the final block (reference:
         vision_transformer.py:255-262) — drives ViT-level heatmaps."""
         tok = self.prepare_tokens(x)
-        for blk in self.blocks[:-1]:
-            tok, _ = blk(tok)
+        if getattr(self.config, "use_fused_block", False):
+            tok, n = _pad_tokens(tok)
+            for blk in self.blocks[:-1]:
+                tok, _ = blk(tok, n_valid=n)
+            # the final block runs the exact Attention path (return_attn)
+            # over the unpadded tokens — fused blocks never see it
+            tok = tok[:, :n]
+        else:
+            for blk in self.blocks[:-1]:
+                tok, _ = blk(tok)
         _, attn = self.blocks[-1](tok, return_attn=True)
         return attn
 
     def get_intermediate_layers(self, x, n: int = 1):
         tok = self.prepare_tokens(x)
+        fused = getattr(self.config, "use_fused_block", False)
+        n_valid = None
+        if fused:
+            tok, n_valid = _pad_tokens(tok)
         outs = []
         for i, blk in enumerate(self.blocks):
-            tok, _ = blk(tok)
+            tok, _ = blk(tok, n_valid=n_valid)
             if len(self.blocks) - i <= n:
-                outs.append(self.norm(tok))
+                outs.append(self.norm(tok[:, :n_valid] if fused else tok))
         return outs
 
 
@@ -372,10 +433,7 @@ class VisionTransformer4K(nn.Module):
     def __call__(self, grid):
         tok = self.prepare_tokens(grid)
         if getattr(self.config, "use_fused_block", False):
-            n = tok.shape[1]
-            n_pad = (n + 7) // 8 * 8
-            if n_pad != n:
-                tok = jnp.pad(tok, ((0, 0), (0, n_pad - n), (0, 0)))
+            tok, n = _pad_tokens(tok)
             for blk in self.blocks:
                 tok, _ = blk(tok, n_valid=n)
             tok = tok[:, :n]
@@ -387,8 +445,14 @@ class VisionTransformer4K(nn.Module):
 
     def get_last_selfattention(self, grid):
         tok = self.prepare_tokens(grid)
-        for blk in self.blocks[:-1]:
-            tok, _ = blk(tok)
+        if getattr(self.config, "use_fused_block", False):
+            tok, n = _pad_tokens(tok)
+            for blk in self.blocks[:-1]:
+                tok, _ = blk(tok, n_valid=n)
+            tok = tok[:, :n]
+        else:
+            for blk in self.blocks[:-1]:
+                tok, _ = blk(tok)
         _, attn = self.blocks[-1](tok, return_attn=True)
         return attn
 

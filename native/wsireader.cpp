@@ -268,13 +268,17 @@ bool decode_tile_yuv420(TIFF* tif, const LevelInfo& L, uint32_t tx,
       const uint8_t* u = raw.data() + size_t(ur * units_per_row + uc) * 6;
       const int64_t ry = gy - y, rx = gx - x;  // region-relative (even)
       if (ry >= 0 && rx >= 0 && ry + 1 < h + 1 && rx + 1 < w + 1) {
+        // the unit's second row/column must stay within BOTH the region
+        // (w, h) and the slide edge (x1, y1): odd-dimension levels end
+        // mid-unit, and the codec's edge-replica bytes there must not
+        // overwrite the white background the RGB path leaves.
         uint8_t* d = yp + size_t(ry) * w + rx;
         d[0] = u[0];
-        if (rx + 1 < w) d[1] = u[1];
-        if (ry + 1 < h) {
+        if (rx + 1 < w && gx + 1 < x1) d[1] = u[1];
+        if (ry + 1 < h && gy + 1 < y1) {
           d += w;
           d[0] = u[2];
-          if (rx + 1 < w) d[1] = u[3];
+          if (rx + 1 < w && gx + 1 < x1) d[1] = u[3];
         }
         cbp[size_t(ry / 2) * (w / 2) + rx / 2] = u[4];
         crp[size_t(ry / 2) * (w / 2) + rx / 2] = u[5];

@@ -217,3 +217,21 @@ def test_encode_many_pipelined(tiled_slide, tmp_path):
     # second run skips everything
     done2 = encode_many(jobs, enc, store, verbose=False)
     assert done2 == []
+
+
+def test_encode_many_skips_unreadable_slide(tiled_slide, tmp_path):
+    """One unreadable slide in a group must neither abort the stage nor
+    leak the group's already-open handles (regression: a failing open in
+    the group comprehension killed the whole run)."""
+    from hipt_abmil_atec23_tpu.engine.encode import encode_many
+
+    path, h5, coords, slide = tiled_slide
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=8,
+                                      dtype="float32"))
+    missing = str(tmp_path / "nope.tif")
+    jobs = [(path, h5, "g1"), (missing, h5, "bad"), (path, h5, "g2")]
+    store = FeatureBagStore(str(tmp_path / "skip"))
+    done = encode_many(jobs, enc, store, verbose=False)
+    assert done == ["g1", "g2"]
+    assert store.exists("g1") and store.exists("g2")
+    assert not store.exists("bad")

@@ -85,6 +85,76 @@ def test_vit256_fused_block_forward_parity(rng):
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=3e-2)
 
 
+def test_vit256_fused_block_attention_paths(rng):
+    """get_last_selfattention / get_intermediate_layers must pad + thread
+    n_valid under use_fused_block (the production TPU encoder config) —
+    regression for the unpadded block walk that crashed the heatmap path
+    (explain/hierarchical.py region_attention_cls_maps)."""
+    base = dataclasses.replace(VIT_CONFIGS["vit_small"], depth=2,
+                               embed_dim=64, num_heads=2,
+                               dtype=jnp.bfloat16)
+    fused = dataclasses.replace(base, use_fused_block=True)
+    m0 = VisionTransformer(base)
+    m1 = VisionTransformer(fused)
+    x = jnp.asarray(rng.normal(size=(2, 256, 256, 3)).astype(np.float32))
+    v = m0.init(jax.random.PRNGKey(0), x)
+
+    want = np.asarray(m0.apply(v, x, method=m0.get_last_selfattention))
+    got = np.asarray(_interpret(m1.apply, v, x,
+                                method=m1.get_last_selfattention))
+    assert got.shape == want.shape  # [B, heads, N, N], N unpadded (257)
+    assert got.shape[-1] == 257
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=3e-2)
+
+    w_int = m0.apply(v, x, method=m0.get_intermediate_layers)
+    g_int = _interpret(m1.apply, v, x, method=m1.get_intermediate_layers)
+    assert len(g_int) == len(w_int)
+    for g, w in zip(g_int, w_int):
+        assert g.shape == w.shape  # padded tokens must be sliced away
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-2, atol=5e-2)
+
+
+def test_fused_block_vmem_fallback(rng):
+    """Shapes whose score blocks exceed the kernel's VMEM budget must run
+    the exact XLA path — unpadded, bitwise-equal to a plain Block — instead
+    of compiling an overflowing kernel (cf. ADVICE r2 on flash attention)."""
+    from hipt_abmil_atec23_tpu.models.vit import (
+        _pad_tokens, fused_block_group)
+
+    assert fused_block_group(512, 264) == 4       # production shape
+    assert fused_block_group(3, 264) == 1         # batch not divisible
+    assert fused_block_group(2, 4096) is None     # beyond VMEM budget
+
+    x = jnp.asarray(rng.normal(size=(1, 4096, 16)).astype(np.float32))
+    tok, n = _pad_tokens(x)
+    assert n is None and tok is x  # no padding at infeasible shapes
+
+    ref_blk = Block(num_heads=2, mlp_ratio=1.0, qkv_bias=True, ln_eps=1e-6)
+    fus_blk = Block(num_heads=2, mlp_ratio=1.0, qkv_bias=True, ln_eps=1e-6,
+                    use_fused_block=True)
+    params = ref_blk.init(jax.random.PRNGKey(0), x)
+    want, _ = ref_blk.apply(params, x)
+    # no interpret shim: this must never reach pallas_call
+    got, _ = fus_blk.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_vit4k_fused_block_attention_path(rng):
+    base = ViT4KConfig(input_embed_dim=32, output_embed_dim=32, depth=2,
+                       num_heads=2, dtype=jnp.bfloat16)
+    fused = dataclasses.replace(base, use_fused_block=True)
+    m0 = VisionTransformer4K(base)
+    m1 = VisionTransformer4K(fused)
+    g = jnp.asarray(rng.normal(size=(2, 4, 4, 32)).astype(np.float32))
+    v = m0.init(jax.random.PRNGKey(0), g)
+    want = np.asarray(m0.apply(v, g, method=m0.get_last_selfattention))
+    got = np.asarray(_interpret(m1.apply, v, g,
+                                method=m1.get_last_selfattention))
+    assert got.shape == want.shape and got.shape[-1] == 17
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=3e-2)
+
+
 def test_vit4k_fused_block_forward_parity(rng):
     base = ViT4KConfig(input_embed_dim=32, output_embed_dim=32, depth=2,
                        num_heads=2, dtype=jnp.bfloat16)

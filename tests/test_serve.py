@@ -110,6 +110,69 @@ def test_serve_journals_unreadable_slide(serve_env):
     os.remove(bad)
 
 
+def test_serve_stream_failure_isolated_and_parked(serve_env, tmp_path,
+                                                  monkeypatch):
+    """A mid-stream failure must not kill the daemon: finished slides stay
+    done, unfinished ones get a journaled 'error' attempt and re-queue,
+    and a slide that keeps failing is parked after max_retries."""
+    import dataclasses
+
+    import hipt_abmil_atec23_tpu.engine.encode as enc
+    d, slide_dir, cfg = serve_env
+    cfg2 = dataclasses.replace(cfg, out_dir=str(tmp_path / "out3"),
+                               poll_s=0.01, max_retries=3)
+
+    real = enc.encode_stream
+
+    def first_then_boom(jobs, *a, **k):
+        it = real(jobs, *a, **k)
+        yield next(it)
+        it.close()
+        raise RuntimeError("wire died")
+
+    monkeypatch.setattr(enc, "encode_stream", first_then_boom)
+    recs = serve_once(cfg2, ServeState(), verbose=False)
+    assert len(recs) == 1 and recs[0]["status"] == "done"
+    j = load_journal(cfg2)
+    assert sorted(j.values()).count("done") == 1
+    # the 2 unfinished slides are journaled 'error' and re-queued
+    assert list(j.values()).count("error") == 2
+    assert len(discover(cfg2)) == 2
+
+    # repeated failing drains park the poisoning slides after max_retries
+    def always_boom(jobs, *a, **k):
+        raise RuntimeError("still dead")
+        yield  # pragma: no cover — make it a generator
+
+    monkeypatch.setattr(enc, "encode_stream", always_boom)
+    served = serve_forever(cfg2, verbose=False, max_drains=4)
+    assert served == 0
+    assert discover(cfg2) == []  # parked: no crash-loop, no starvation
+    errs = [s for s, st in load_journal(cfg2).items() if st == "error"]
+    assert len(errs) == 2
+
+
+def test_serve_forever_survives_drain_exception(serve_env, tmp_path,
+                                                monkeypatch):
+    """Even a failure outside the stream (journal/FS) must not end the
+    daemon loop."""
+    import dataclasses
+
+    from hipt_abmil_atec23_tpu.engine import serve as srv
+    d, slide_dir, cfg = serve_env
+    cfg2 = dataclasses.replace(cfg, out_dir=str(tmp_path / "out4"),
+                               poll_s=0.01)
+    calls = []
+
+    def boom(cfg, state, verbose=True):
+        calls.append(1)
+        raise OSError("disk full")
+
+    monkeypatch.setattr(srv, "serve_once", boom)
+    n = srv.serve_forever(cfg2, verbose=False, max_drains=3)
+    assert n == 0 and len(calls) == 3
+
+
 def test_serve_forever_bounded(serve_env, tmp_path):
     d, slide_dir, cfg = serve_env
     import dataclasses

@@ -65,6 +65,66 @@ def test_yuv_region_boundary_padding(ycbcr_slide):
     assert diff.mean() < 1.0, diff.mean()
 
 
+def test_yuv_odd_level_edge_matches_rgb_white_fill(tmp_path):
+    """Odd-dimension levels end mid-2x2-unit: the codec's edge-replica
+    bytes must NOT overwrite the off-slide white strip the RGB path leaves
+    (regression: decode_tile_yuv420 bounded only by region w/h, not x1/y1).
+    """
+    import jax
+    from hipt_abmil_atec23_tpu.ops.yuv import yuv420_to_rgb
+
+    p = str(tmp_path / "odd.tif")
+    write_synthetic_slide(p, 1021, 1021, n_levels=1, seed=7, ycbcr420=True)
+    slide = TiffSlide(p)
+    try:
+        assert slide.supports_yuv420(0)
+        coords = np.array([[960, 960]])  # 64x64 region straddling both edges
+        ref = slide.read_regions(coords, 0, (64, 64))
+        yp, cb, cr = slide.read_regions_yuv420(coords, 0, (64, 64))
+        # rows/cols past the 1021-px edge (region index >= 61) stay white
+        assert np.all(ref[0, 61:] == 255) and np.all(ref[0, :, 61:] == 255)
+        assert np.all(yp[0, 61:] == 255), "Y edge strip not white"
+        assert np.all(yp[0, :, 61:] == 255), "Y edge column not white"
+        got = np.asarray(jax.jit(yuv420_to_rgb)(yp, cb, cr))
+        diff = np.abs(got - ref.astype(np.float32))
+        assert diff.mean() < 2.0, diff.mean()
+    finally:
+        slide.close()
+
+
+def test_encode_stream_abandoned_consumer_cleans_up(ycbcr_slide):
+    """Breaking out of an encode_stream iteration must not leave the H2D
+    transfer thread parked on the bounded queue holding device batches
+    (regression: generator abandonment leaked the thread + HBM refs)."""
+    import threading
+
+    from hipt_abmil_atec23_tpu.engine.encode import (
+        build_encoder, encode_stream)
+    from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+
+    import time
+
+    slide, _ = ycbcr_slide
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=1,
+                                      dtype="float32"))
+    coords = np.array([[0, 0], [256, 0], [0, 256], [256, 256],
+                       [512, 0], [0, 512], [512, 512], [256, 768]])
+    # warm-up full drain (compiles; any persistent pool threads spin up)
+    list(encode_stream([("w", slide, coords[:2])], enc))
+    before = threading.active_count()
+
+    gen = encode_stream([("a", slide, coords), ("b", slide, coords)], enc)
+    sid, feats = next(gen)  # slide a completes; slide b is mid-pipeline
+    assert sid == "a" and feats.shape == (len(coords), enc.feat_dim)
+    gen.close()  # what GC does when a consumer raises/breaks mid-iteration
+
+    # the finally-cleanup must stop the transfer + decode threads
+    deadline = time.monotonic() + 10.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before, "leaked pipeline threads"
+
+
 def test_encode_stream_uses_yuv_and_matches_rgb(ycbcr_slide, tmp_path):
     """The stream pipeline auto-detects the 4:2:0 slide, ships planes, and
     produces features matching the RGB transfer path."""
