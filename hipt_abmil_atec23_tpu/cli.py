@@ -140,13 +140,24 @@ def _cmd_encode(a):
     t0 = time.perf_counter()
     # slide-level pipeline: next slide opens + artifact writes happen on
     # background threads while the current slide streams through the device
-    done = encode_many(jobs, encoder, store, skip_existing=not a.no_skip,
-                       transform=transform,
-                       target_patch_size=a.target_patch_size,
-                       stage=a.stage_h2d)
+    done, failed = encode_many(jobs, encoder, store,
+                               skip_existing=not a.no_skip,
+                               transform=transform,
+                               target_patch_size=a.target_patch_size,
+                               stage=a.stage_h2d)
     dt = time.perf_counter() - t0
     print(f"[encode] {len(done)} slides in {dt:.1f}s "
           f"({len(done) / max(dt, 1e-9) * 3600:.1f} slides/hour)")
+    if failed:
+        # machine-readable failure record (mirrors the tile stage's
+        # process-list statuses): downstream training must be able to
+        # tell an incomplete feature store from a complete one
+        fcsv = os.path.join(a.feat_dir, "encode_failures.csv")
+        with open(fcsv, "a") as f:
+            for sid, err in failed:
+                f.write(f"{sid},{str(err).replace(',', ';')}\n")
+        print(f"[encode] {len(failed)} slides FAILED "
+              f"({', '.join(s for s, _ in failed)}) -> {fcsv}")
 
 
 def _add_train(sub):

@@ -247,6 +247,47 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
 # Double-buffered slide encoding
 # --------------------------------------------------------------------------
 
+def _pad_to(batch: np.ndarray, k: int, bs: int) -> np.ndarray:
+    """Pad a decoded tail batch of k items up to the compiled batch shape."""
+    if k < bs:
+        pad = np.zeros((bs - k,) + batch.shape[1:], batch.dtype)
+        batch = np.concatenate([batch, pad])
+    return batch
+
+
+def _decode_batch(slide, chunk, *, patch_level, size, bs, transform,
+                  target_patch_size, n_io_threads, use_yuv=False):
+    """ONE decode-batch implementation for every encode path (per-slide
+    and stream): native threaded region read, optional resize
+    (reference: --target_patch_size, dataset_h5.py:147-152), optional
+    host transform, tail-pad to the compiled batch shape. With
+    ``use_yuv`` the raw YCbCr 4:2:0 planes ship instead of RGB (half the
+    H2D bytes; ops/yuv.py reconstructs on device), falling back to RGB
+    when the codec/coords don't allow it."""
+    k = len(chunk)
+    if use_yuv and transform is None and not target_patch_size:
+        # host transforms/resizes need RGB — callers gate use_yuv on this
+        # already (encode_stream), the guard keeps the helper misuse-proof
+        try:
+            yp, cb, cr = slide.read_regions_yuv420(
+                chunk, patch_level, (size, size),
+                n_threads=n_io_threads or k)
+            return (_pad_to(yp, k, bs), _pad_to(cb, k, bs),
+                    _pad_to(cr, k, bs))
+        except IOError:
+            pass  # odd-aligned coords etc. — fall back to RGB
+    batch = slide.read_regions(chunk, patch_level, (size, size),
+                               n_threads=n_io_threads or k)
+    if target_patch_size and target_patch_size != size:
+        import cv2
+        batch = np.stack([
+            cv2.resize(p, (target_patch_size, target_patch_size),
+                       interpolation=cv2.INTER_AREA) for p in batch])
+    if transform is not None:
+        batch = transform(batch)
+    return _pad_to(batch, k, bs)
+
+
 def _batches(coords: np.ndarray, batch: int) -> Iterable[np.ndarray]:
     for i in range(0, len(coords), batch):
         yield coords[i:i + batch]
@@ -300,20 +341,10 @@ def encode_slide(
         return np.zeros((0, encoder.feat_dim), np.float32)
 
     def read_batch(chunk):
-        batch = slide.read_regions(chunk, patch_level, (size, size),
-                                   n_threads=n_io_threads or len(chunk))
-        if target_patch_size and target_patch_size != size:
-            import cv2
-            batch = np.stack([
-                cv2.resize(p, (target_patch_size, target_patch_size),
-                           interpolation=cv2.INTER_AREA) for p in batch])
-        if transform is not None:
-            batch = transform(batch)
-        k = len(chunk)
-        if k < bs:  # pad tail batch to the compiled shape
-            pad = np.zeros((bs - k,) + batch.shape[1:], batch.dtype)
-            batch = np.concatenate([batch, pad])
-        return batch
+        return _decode_batch(slide, chunk, patch_level=patch_level,
+                             size=size, bs=bs, transform=transform,
+                             target_patch_size=target_patch_size,
+                             n_io_threads=n_io_threads)
 
     if not overlap_dispatch:
         chunks = list(_batches(coords, bs))
@@ -416,33 +447,12 @@ def encode_stream(
             yield sid, np.zeros((0, encoder.feat_dim), np.float32)
         return
 
-    def _pad(batch, k):
-        if k < bs:
-            pad = np.zeros((bs - k,) + batch.shape[1:], batch.dtype)
-            batch = np.concatenate([batch, pad])
-        return batch
-
     def read_batch(item):
         ji, slide, chunk, use_yuv = item
-        k = len(chunk)
-        if use_yuv:
-            try:
-                yp, cb, cr = slide.read_regions_yuv420(
-                    chunk, patch_level, (size, size),
-                    n_threads=n_io_threads or k)
-                return (_pad(yp, k), _pad(cb, k), _pad(cr, k))
-            except IOError:
-                pass  # odd-aligned coords etc. — fall back to RGB
-        batch = slide.read_regions(chunk, patch_level, (size, size),
-                                   n_threads=n_io_threads or len(chunk))
-        if target_patch_size and target_patch_size != size:
-            import cv2
-            batch = np.stack([
-                cv2.resize(p, (target_patch_size, target_patch_size),
-                           interpolation=cv2.INTER_AREA) for p in batch])
-        if transform is not None:
-            batch = transform(batch)
-        return _pad(batch, k)
+        return _decode_batch(slide, chunk, patch_level=patch_level,
+                             size=size, bs=bs, transform=transform,
+                             target_patch_size=target_patch_size,
+                             n_io_threads=n_io_threads, use_yuv=use_yuv)
 
     try:
         device = next(iter(jax.tree.leaves(encoder.variables)[0].devices()))
@@ -548,7 +558,11 @@ def encode_stream(
             except queue.Empty:
                 pass
             xt.join(timeout=0.05)
-        ex.shutdown(wait=False, cancel_futures=True)
+        # wait=True: an in-flight native read_regions still holds the
+        # slide handles the caller will close() the moment we return —
+        # returning early is a native use-after-free. The running batch
+        # finishes in well under a second; cancel_futures drops the rest.
+        ex.shutdown(wait=True, cancel_futures=True)
 
 
 def _encode_stream_staged(items, jobs, feats, remaining, offs, encoder,
@@ -704,7 +718,11 @@ def encode_many(
     slide i+1 and loads its coords, and a writer thread persists slide
     i-1's bag (h5+pt) — the device never idles on artifact IO between
     slides (the reference serializes open -> encode -> save per slide,
-    extract_features_fp.py:223-255). Returns the list of encoded slide_ids.
+    extract_features_fp.py:223-255). Returns ``(done, failed)``: the list
+    of encoded slide_ids and a list of ``(slide_id, exception)`` for
+    slides whose open/coords load failed (isolated per slide — a corrupt
+    file never aborts the stage, but the caller gets a machine-readable
+    record instead of a silently short ``done``).
     """
     import queue
     import threading
@@ -721,7 +739,7 @@ def encode_many(
             continue
         todo.append((path, h5, sid))
     if not todo:
-        return []
+        return [], []
 
     def _open_group(chunk):
         # per-slide error isolation: one unreadable slide/h5 must neither
@@ -803,4 +821,4 @@ def encode_many(
     if write_err:
         sid, e = write_err[0]
         raise IOError(f"failed writing features for {sid}: {e}")
-    return done
+    return done, failed

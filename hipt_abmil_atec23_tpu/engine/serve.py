@@ -61,33 +61,38 @@ class ServeState:
     encoder: object = None
     model: object = None
     params: object = None
+    mil_fn: object = None               # jitted bucketed MIL forward
 
 
 def _journal_path(cfg: ServeConfig) -> str:
     return os.path.join(cfg.out_dir, "serve_journal.csv")
 
 
-def load_journal(cfg: ServeConfig) -> Dict[str, str]:
-    """slide_id -> last status."""
+def _journal_scan(cfg: ServeConfig):
+    """ONE pass over the journal: (slide_id -> last status,
+    slide_id -> 'error' attempt count). The journal grows forever on a
+    long-lived daemon, so every poll must read it once, not per-view."""
     path = _journal_path(cfg)
-    out: Dict[str, str] = {}
+    status: Dict[str, str] = {}
+    errors: Dict[str, int] = {}
     if os.path.exists(path):
         with open(path, newline="") as f:
             for row in csv.DictReader(f):
-                out[row["slide_id"]] = row["status"]
-    return out
+                status[row["slide_id"]] = row["status"]
+                if row["status"] == "error":
+                    errors[row["slide_id"]] = \
+                        errors.get(row["slide_id"], 0) + 1
+    return status, errors
+
+
+def load_journal(cfg: ServeConfig) -> Dict[str, str]:
+    """slide_id -> last status."""
+    return _journal_scan(cfg)[0]
 
 
 def _error_counts(cfg: ServeConfig) -> Dict[str, int]:
     """slide_id -> number of journaled 'error' attempts (bounded retry)."""
-    path = _journal_path(cfg)
-    out: Dict[str, int] = {}
-    if os.path.exists(path):
-        with open(path, newline="") as f:
-            for row in csv.DictReader(f):
-                if row["status"] == "error":
-                    out[row["slide_id"]] = out.get(row["slide_id"], 0) + 1
-    return out
+    return _journal_scan(cfg)[1]
 
 
 def _journal_append(cfg: ServeConfig, slide_id: str, status: str,
@@ -104,8 +109,7 @@ def _journal_append(cfg: ServeConfig, slide_id: str, status: str,
 def discover(cfg: ServeConfig) -> List[str]:
     """Slide files in slide_dir not yet finished per the journal."""
     from hipt_abmil_atec23_tpu.slideio.pipeline import SLIDE_EXTS
-    journal = load_journal(cfg)
-    errors = _error_counts(cfg)
+    journal, errors = _journal_scan(cfg)
     pending = []
     for fname in sorted(os.listdir(cfg.slide_dir)):
         if not fname.lower().endswith(SLIDE_EXTS):
@@ -156,7 +160,28 @@ def _ensure_state(cfg: ServeConfig, state: ServeState) -> None:
             state.params = {"params": merged}
         else:
             state.params = load_params(cfg.ckpt_path, template)
+        # pin the weights to the device once (CLAUDE.md: never let jit
+        # re-ship or embed them) and jit the full-bag forward. Bags pad
+        # to power-of-2 buckets, so each bucket compiles exactly once
+        # per daemon lifetime instead of paying per-op dispatch latency
+        # through the tunnel on every slide (the eager path costs
+        # ~27-250 ms PER OP per slide on this link).
+        state.params = jax.device_put(state.params)
+        from hipt_abmil_atec23_tpu.ops.gated_attention_pool import (
+            apply_pooled)
+        state.mil_fn = jax.jit(
+            lambda p, bag, mask: apply_pooled(model, p, bag, mask))
         state.model = model
+
+
+def _mil_bucketed(state: ServeState, feats: np.ndarray):
+    """Jitted MIL forward on a power-of-2-padded bag (static shapes;
+    one compile per bucket)."""
+    import jax.numpy as jnp
+    from hipt_abmil_atec23_tpu.ops.masking import pad_bag
+    n_pad = max(512, 1 << (max(len(feats), 1) - 1).bit_length())
+    bag, mask = pad_bag(feats, n_pad)
+    return state.mil_fn(state.params, jnp.asarray(bag), jnp.asarray(mask))
 
 
 def serve_once(cfg: ServeConfig, state: Optional[ServeState] = None,
@@ -165,11 +190,8 @@ def serve_once(cfg: ServeConfig, state: Optional[ServeState] = None,
 
     Returns the per-slide prediction records written this drain.
     """
-    import jax.numpy as jnp
-
     from hipt_abmil_atec23_tpu.engine.encode import encode_stream
     from hipt_abmil_atec23_tpu.explain.heatmaps import save_blockmap
-    from hipt_abmil_atec23_tpu.ops.gated_attention_pool import apply_pooled
     from hipt_abmil_atec23_tpu.slideio.patching import enumerate_coords
     from hipt_abmil_atec23_tpu.slideio.reader import open_slide
     from hipt_abmil_atec23_tpu.slideio.seg import segment_tissue
@@ -188,6 +210,17 @@ def serve_once(cfg: ServeConfig, state: Optional[ServeState] = None,
     jobs, slides, coord_map, records = [], [], {}, []
     for fname in pending:
         sid = os.path.splitext(fname)[0]
+        if sid in coord_map:
+            # slide identity is the file STEM (journal/artifact key):
+            # two files sharing one stem (a.svs + a.tif) would pair one
+            # slide's features with the other's coords via coord_map —
+            # serve the first, skip the rest loudly. The journal can't
+            # distinguish them either, so this is a config error to fix
+            # upstream, not a retry case.
+            if verbose:
+                print(f"[serve] {fname}: SKIPPED — duplicate slide_id "
+                      f"'{sid}' in this drain")
+            continue
         slide = None
         try:
             slide = open_slide(os.path.join(cfg.slide_dir, fname))
@@ -224,7 +257,7 @@ def serve_once(cfg: ServeConfig, state: Optional[ServeState] = None,
                 patch_level=cfg.tile.patch_level):
             t_done = time.time()
             coords = coord_map[sid]
-            out = apply_pooled(state.model, state.params, jnp.asarray(feats))
+            out = _mil_bucketed(state, feats)
             y_prob = np.asarray(out.y_prob)[0]
             scores = np.asarray(out.a_raw)[0][:len(coords)]
             order = np.argsort(scores)[::-1][:cfg.top_k]

@@ -11,6 +11,28 @@ import numpy as np
 from hipt_abmil_atec23_tpu.slideio.reader import BaseSlide
 
 
+def _thumbnail(slide: BaseSlide, thumbnail_size: int):
+    """(thumb, dx, dy): best-level read + host downscale to the requested
+    size. get_best_level_for_downsample only PICKS a level — on a
+    shallow-pyramid slide the best level can still be tens of thousands
+    of pixels wide, so the read must be followed by a resize cap or a
+    'thumbnail' materializes gigabytes on the 1-CPU host. dx/dy are the
+    EFFECTIVE level-0 -> thumb downsamples after the resize."""
+    w0, h0 = slide.dimensions
+    scale = thumbnail_size / max(w0, h0)
+    lvl = slide.get_best_level_for_downsample(1.0 / scale)
+    thumb = slide.read_level(lvl)
+    dx, dy = slide.level_downsamples[lvl]
+    h, w = thumb.shape[:2]
+    if max(w, h) > thumbnail_size:
+        import cv2
+        s = thumbnail_size / max(w, h)
+        tw, th = max(1, int(w * s)), max(1, int(h * s))
+        thumb = cv2.resize(thumb, (tw, th), interpolation=cv2.INTER_AREA)
+        dx, dy = dx * (w / tw), dy * (h / th)
+    return thumb, dx, dy
+
+
 def plot_sampling(slide: BaseSlide, sample_coords: np.ndarray, out_path: str,
                   thumbnail_size: int = 1000, correct: bool = True) -> None:
     """Sampled coords scattered on a thumbnail; green if the prediction was
@@ -18,11 +40,7 @@ def plot_sampling(slide: BaseSlide, sample_coords: np.ndarray, out_path: str,
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    w0, h0 = slide.dimensions
-    scale = thumbnail_size / max(w0, h0)
-    lvl = slide.get_best_level_for_downsample(1.0 / scale)
-    thumb = slide.read_level(lvl)
-    dx, dy = slide.level_downsamples[lvl]
+    thumb, dx, dy = _thumbnail(slide, thumbnail_size)
     fig, ax = plt.subplots(figsize=(8, 8))
     ax.imshow(thumb)
     ax.scatter(sample_coords[:, 0] / dx, sample_coords[:, 1] / dy, s=6,
@@ -50,11 +68,7 @@ def plot_weight_map(coords: np.ndarray, weights: np.ndarray, out_path: str,
     import matplotlib.pyplot as plt
     fig, ax = plt.subplots(figsize=(8, 8))
     if slide is not None:
-        w0, h0 = slide.dimensions
-        scale = thumbnail_size / max(w0, h0)
-        lvl = slide.get_best_level_for_downsample(1.0 / scale)
-        thumb = slide.read_level(lvl)
-        dx, dy = slide.level_downsamples[lvl]
+        thumb, dx, dy = _thumbnail(slide, thumbnail_size)
         ax.imshow(thumb)
         half = patch_size / 2  # reference plots patch centers (+128)
         xs, ys = (coords[:, 0] + half) / dx, (coords[:, 1] + half) / dy

@@ -203,8 +203,8 @@ def test_encode_many_pipelined(tiled_slide, tmp_path):
                                       dtype="float32"))
     jobs = [(path, h5, "sA"), (path, h5, "sB"), (path, h5, "sC")]
     store = FeatureBagStore(str(tmp_path / "many"))
-    done = encode_many(jobs, enc, store, verbose=False)
-    assert done == ["sA", "sB", "sC"]
+    done, failed = encode_many(jobs, enc, store, verbose=False)
+    assert done == ["sA", "sB", "sC"] and failed == []
     ref_store = FeatureBagStore(str(tmp_path / "one"))
     from hipt_abmil_atec23_tpu.engine.encode import encode_and_store
     encode_and_store(path, h5, enc, ref_store, "sA")
@@ -215,8 +215,8 @@ def test_encode_many_pipelined(tiled_slide, tmp_path):
     with h5py.File(store.h5_path("sB")) as f:
         assert f["coords"].shape == (len(coords), 2)
     # second run skips everything
-    done2 = encode_many(jobs, enc, store, verbose=False)
-    assert done2 == []
+    done2, failed2 = encode_many(jobs, enc, store, verbose=False)
+    assert done2 == [] and failed2 == []
 
 
 def test_encode_many_skips_unreadable_slide(tiled_slide, tmp_path):
@@ -231,7 +231,8 @@ def test_encode_many_skips_unreadable_slide(tiled_slide, tmp_path):
     missing = str(tmp_path / "nope.tif")
     jobs = [(path, h5, "g1"), (missing, h5, "bad"), (path, h5, "g2")]
     store = FeatureBagStore(str(tmp_path / "skip"))
-    done = encode_many(jobs, enc, store, verbose=False)
+    done, failed = encode_many(jobs, enc, store, verbose=False)
     assert done == ["g1", "g2"]
+    assert [s for s, _ in failed] == ["bad"]  # machine-readable record
     assert store.exists("g1") and store.exists("g2")
     assert not store.exists("bad")

@@ -202,3 +202,33 @@ def test_serve_cli_once(serve_env, tmp_path):
     store = FeatureBagStore(os.path.join(out, "features"))
     feats, coords = store.load_with_coords("a")
     assert feats.shape[1] == 512 and len(coords) == feats.shape[0]
+
+
+def test_serve_duplicate_stem_not_cross_paired(serve_env, tmp_path,
+                                               monkeypatch):
+    """Two slide files sharing one stem (x.tif + x.svs) must not pair one
+    slide's features with the other's coords: the first is served, the
+    duplicate is skipped within the drain (slide identity IS the stem —
+    journal and artifacts key on it)."""
+    import dataclasses
+
+    d, slide_dir, cfg = serve_env
+    dup_dir = tmp_path / "dup_slides"
+    dup_dir.mkdir()
+    # same stem, different extensions AND different content/grid
+    _write_slide(str(dup_dir / "x.tif"), 7)
+    write_synthetic_slide(str(dup_dir / "x.svs"), 1024, 1024, n_levels=2,
+                          compression=native.COMPRESSION_DEFLATE, seed=8)
+    cfg2 = dataclasses.replace(cfg, slide_dir=str(dup_dir),
+                               out_dir=str(tmp_path / "dup_out"))
+    recs = serve_once(cfg2, ServeState(), verbose=False)
+    done = [r for r in recs if r["status"] == "done"]
+    assert len(done) == 1 and done[0]["slide_id"] == "x"
+    # the served record's coords are consistent with ONE slide (no
+    # cross-pairing): every top region lies inside that slide's bounds
+    rec = done[0]
+    w = 2048 if rec["n_regions"] > 16 else 1024
+    assert all(0 <= t[0] < w and 0 <= t[1] < w + 512
+               for t in rec["top_regions"])
+    assert load_journal(cfg2)["x"] == "done"
+    assert discover(cfg2) == []  # the stem is done; no crash-loop retries
