@@ -152,10 +152,12 @@ def _cmd_encode(a):
         # machine-readable failure record (mirrors the tile stage's
         # process-list statuses): downstream training must be able to
         # tell an incomplete feature store from a complete one
+        import csv as _csv
         fcsv = os.path.join(a.feat_dir, "encode_failures.csv")
-        with open(fcsv, "a") as f:
+        with open(fcsv, "a", newline="") as f:
+            w = _csv.writer(f)  # quotes commas/newlines in exception text
             for sid, err in failed:
-                f.write(f"{sid},{str(err).replace(',', ';')}\n")
+                w.writerow([sid, repr(err)])
         print(f"[encode] {len(failed)} slides FAILED "
               f"({', '.join(s for s, _ in failed)}) -> {fcsv}")
 
@@ -1192,6 +1194,9 @@ def _add_serve(sub):
                         "so heatmap/eval stages can reuse them")
     p.add_argument("--top_k", type=int, default=8)
     p.add_argument("--float32", action="store_true")
+    p.add_argument("--min_stable_s", type=float, default=10.0,
+                   help="mtime age a slide file must reach before it is "
+                        "served (guards against scoring mid-upload files)")
 
 
 def _cmd_serve(a):
@@ -1211,11 +1216,14 @@ def _cmd_serve(a):
                         patch_level=a.patch_level,
                         seg=SegConfig(use_otsu=a.use_otsu, a_t=a.a_t)),
         n_classes=a.n_classes, poll_s=a.poll_s,
-        save_features=a.save_features, top_k=a.top_k)
+        save_features=a.save_features, top_k=a.top_k,
+        min_stable_s=a.min_stable_s)
     write_config(cfg)
     if a.once:
         recs = serve_once(cfg)
-        print(f"[serve] drained {len(recs)} slides")
+        n_done = sum(1 for r in recs if r.get("status") == "done")
+        print(f"[serve] drained {len(recs)} slides "
+              f"({n_done} scored, {len(recs) - n_done} failed_seg)")
     else:
         n = serve_forever(cfg, max_drains=a.max_drains)
         print(f"[serve] served {n} slides")

@@ -779,12 +779,24 @@ def encode_many(
     GROUP = 8
     failed = []
     chunks = [todo[i:i + GROUP] for i in range(0, len(todo), GROUP)]
-    with ThreadPoolExecutor(max_workers=1) as openex:
-        nxt = openex.submit(_open_group, chunks[0])
+    open_handles = []   # every open slide not yet closed (leak guard)
+
+    def _close(slide):
+        try:
+            slide.close()
+        except Exception:
+            pass
+        if slide in open_handles:
+            open_handles.remove(slide)
+
+    openex = ThreadPoolExecutor(max_workers=1)
+    nxt = openex.submit(_open_group, chunks[0])
+    try:
         for gi in range(len(chunks)):
             opened = nxt.result()
-            if gi + 1 < len(chunks):
-                nxt = openex.submit(_open_group, chunks[gi + 1])
+            open_handles.extend(s for _, s, _, _ in opened if s is not None)
+            nxt = openex.submit(_open_group, chunks[gi + 1]) \
+                if gi + 1 < len(chunks) else None
             # consecutive same-geometry runs share one stream (patch size /
             # level are per-slide h5 attrs and fix the compiled batch shape)
             runs = []
@@ -815,9 +827,23 @@ def encode_many(
                                   f"({len(coords_by_sid[sid])} patches)")
                 finally:
                     for _, slide, _ in sjobs:
-                        slide.close()
-    write_q.put(None)
-    wt.join()
+                        _close(slide)
+    finally:
+        # an exception mid-group must not leak native handles (later runs
+        # of this group + the prefetched next group) nor strand queued
+        # feature writes: flush+join the writer REGARDLESS, so every slide
+        # already reported '[encode] sid: done' is actually persisted.
+        if nxt is not None:
+            try:
+                open_handles.extend(
+                    s for _, s, _, _ in nxt.result() if s is not None)
+            except Exception:
+                pass
+        openex.shutdown(wait=True)
+        for slide in list(open_handles):
+            _close(slide)
+        write_q.put(None)
+        wt.join()
     if write_err:
         sid, e = write_err[0]
         raise IOError(f"failed writing features for {sid}: {e}")

@@ -53,6 +53,7 @@ class ServeConfig:
     save_features: bool = False         # persist bags in FeatureBagStore
     top_k: int = 8                      # top-attention regions per slide
     max_retries: int = 3                # 'error' attempts before parking
+    min_stable_s: float = 10.0          # mtime age before a file is eligible
 
 
 @dataclass
@@ -70,19 +71,28 @@ def _journal_path(cfg: ServeConfig) -> str:
 
 def _journal_scan(cfg: ServeConfig):
     """ONE pass over the journal: (slide_id -> last status,
-    slide_id -> 'error' attempt count). The journal grows forever on a
-    long-lived daemon, so every poll must read it once, not per-view."""
+    slide_id -> ['error' row times], slide_id -> last row time). The
+    journal grows forever on a long-lived daemon, so every poll must read
+    it once, not per-view. Row TIMES matter: discover() compares them to
+    the slide file's mtime so a re-uploaded (replaced) file invalidates
+    its own old journal rows."""
     path = _journal_path(cfg)
     status: Dict[str, str] = {}
-    errors: Dict[str, int] = {}
+    errors: Dict[str, list] = {}
+    last_time: Dict[str, float] = {}
     if os.path.exists(path):
         with open(path, newline="") as f:
             for row in csv.DictReader(f):
-                status[row["slide_id"]] = row["status"]
+                sid = row["slide_id"]
+                try:
+                    t = float(row.get("time") or 0.0)
+                except ValueError:
+                    t = 0.0
+                status[sid] = row["status"]
+                last_time[sid] = t
                 if row["status"] == "error":
-                    errors[row["slide_id"]] = \
-                        errors.get(row["slide_id"], 0) + 1
-    return status, errors
+                    errors.setdefault(sid, []).append(t)
+    return status, errors, last_time
 
 
 def load_journal(cfg: ServeConfig) -> Dict[str, str]:
@@ -92,12 +102,13 @@ def load_journal(cfg: ServeConfig) -> Dict[str, str]:
 
 def _error_counts(cfg: ServeConfig) -> Dict[str, int]:
     """slide_id -> number of journaled 'error' attempts (bounded retry)."""
-    return _journal_scan(cfg)[1]
+    return {sid: len(ts) for sid, ts in _journal_scan(cfg)[1].items()}
 
 
 def _journal_append(cfg: ServeConfig, slide_id: str, status: str,
                     detail: str = "") -> None:
     path = _journal_path(cfg)
+    os.makedirs(cfg.out_dir, exist_ok=True)
     new = not os.path.exists(path)
     with open(path, "a", newline="") as f:
         w = csv.writer(f)
@@ -107,20 +118,41 @@ def _journal_append(cfg: ServeConfig, slide_id: str, status: str,
 
 
 def discover(cfg: ServeConfig) -> List[str]:
-    """Slide files in slide_dir not yet finished per the journal."""
+    """Slide files in slide_dir not yet finished per the journal.
+
+    Two upload-safety rules:
+    - STABILITY: a file whose mtime is younger than ``min_stable_s`` is
+      still being copied in (non-atomic uploads write for minutes) — it is
+      not eligible yet, so a truncated half-copy is never opened, scored,
+      or journaled 'error'/'failed_seg'.
+    - REPLACEMENT: journal rows older than the file's mtime belong to a
+      previous version of the file. A re-uploaded slide therefore resets
+      its own retry budget and clears a stale 'done'/'failed_seg' — no
+      manual journal surgery needed to un-park a fixed upload.
+    """
     from hipt_abmil_atec23_tpu.slideio.pipeline import SLIDE_EXTS
-    journal, errors = _journal_scan(cfg)
+    journal, errors, last_time = _journal_scan(cfg)
+    now = time.time()
     pending = []
     for fname in sorted(os.listdir(cfg.slide_dir)):
         if not fname.lower().endswith(SLIDE_EXTS):
             continue
+        path = os.path.join(cfg.slide_dir, fname)
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            continue  # vanished between listdir and stat
+        if now - mtime < cfg.min_stable_s:
+            continue  # possibly mid-upload; next poll will see it stable
         sid = os.path.splitext(fname)[0]
-        if journal.get(sid) in _DONE_STATUSES:
+        replaced = mtime > last_time.get(sid, float("-inf"))
+        if journal.get(sid) in _DONE_STATUSES and not replaced:
             continue
-        if errors.get(sid, 0) >= cfg.max_retries:
+        n_err = sum(1 for t in errors.get(sid, ()) if t >= mtime)
+        if n_err >= cfg.max_retries:
             # parked: a slide that keeps erroring (e.g. a corrupt upload)
             # must not crash-loop the daemon or starve later arrivals;
-            # replacing the file and clearing its journal rows un-parks it
+            # replacing the file (fresh mtime) un-parks it automatically
             continue
         pending.append(fname)
     return pending
@@ -251,52 +283,74 @@ def serve_once(cfg: ServeConfig, state: Optional[ServeState] = None,
 
     jsonl = open(os.path.join(cfg.out_dir, "predictions.jsonl"), "a")
     finished = set()
-    try:
-        for sid, feats in encode_stream(
-                jobs, state.encoder, region_size=cfg.tile.patch_size,
-                patch_level=cfg.tile.patch_level):
-            t_done = time.time()
-            coords = coord_map[sid]
-            out = _mil_bucketed(state, feats)
-            y_prob = np.asarray(out.y_prob)[0]
-            scores = np.asarray(out.a_raw)[0][:len(coords)]
-            order = np.argsort(scores)[::-1][:cfg.top_k]
-            rec = {
-                "slide_id": sid,
-                "status": "done",
-                "y_hat": int(np.asarray(out.y_hat)[0]),
-                "p": [float(v) for v in y_prob],
-                "n_regions": int(len(coords)),
-                "top_regions": [
-                    [int(coords[i][0]), int(coords[i][1]), float(scores[i])]
-                    for i in order],
-                "time": t_done,
-            }
-            save_blockmap(os.path.join(results_dir, f"{sid}_blockmap.h5"),
-                          coords, scores)
-            if store is not None:
-                store.save(sid, feats, coords=coords)
-            with open(os.path.join(results_dir, f"{sid}.json"), "w") as f:
-                json.dump(rec, f, indent=2)
-            jsonl.write(json.dumps(rec) + "\n")
-            jsonl.flush()
-            _journal_append(cfg, sid, "done")
-            finished.add(sid)
-            records.append(rec)
-            if verbose:
-                print(f"[serve] {sid}: pred {rec['y_hat']} p={rec['p']} "
-                      f"({rec['n_regions']} regions)")
-    except Exception as e:
-        # a mid-stream failure (decode error on a half-copied file, write
-        # error, ...) must not abort serving: journal an 'error' attempt
-        # for every unfinished slide of this drain — bounded retry in
-        # discover() re-queues good slides next drain and eventually parks
-        # the poisoning one — and keep the daemon alive.
-        for sid, _, _ in jobs:
-            if sid not in finished:
-                _journal_append(cfg, sid, "error", f"stream: {e!r}")
+
+    def _finish(sid, feats):
+        """Score + persist one encoded slide (shared by the grouped stream
+        and the per-slide isolation fallback)."""
+        t_done = time.time()
+        coords = coord_map[sid]
+        out = _mil_bucketed(state, feats)
+        y_prob = np.asarray(out.y_prob)[0]
+        scores = np.asarray(out.a_raw)[0][:len(coords)]
+        order = np.argsort(scores)[::-1][:cfg.top_k]
+        rec = {
+            "slide_id": sid,
+            "status": "done",
+            "y_hat": int(np.asarray(out.y_hat)[0]),
+            "p": [float(v) for v in y_prob],
+            "n_regions": int(len(coords)),
+            "top_regions": [
+                [int(coords[i][0]), int(coords[i][1]), float(scores[i])]
+                for i in order],
+            "time": t_done,
+        }
+        save_blockmap(os.path.join(results_dir, f"{sid}_blockmap.h5"),
+                      coords, scores)
+        if store is not None:
+            store.save(sid, feats, coords=coords)
+        with open(os.path.join(results_dir, f"{sid}.json"), "w") as f:
+            json.dump(rec, f, indent=2)
+        jsonl.write(json.dumps(rec) + "\n")
+        jsonl.flush()
+        _journal_append(cfg, sid, "done")
+        finished.add(sid)
+        records.append(rec)
         if verbose:
-            print(f"[serve] drain aborted mid-stream: {e!r}")
+            print(f"[serve] {sid}: pred {rec['y_hat']} p={rec['p']} "
+                  f"({rec['n_regions']} regions)")
+
+    try:
+        try:
+            for sid, feats in encode_stream(
+                    jobs, state.encoder, region_size=cfg.tile.patch_size,
+                    patch_level=cfg.tile.patch_level):
+                _finish(sid, feats)
+        except Exception as e:
+            # A mid-stream failure (decode error on a corrupt file, write
+            # error, ...) must not abort serving — and must not tar every
+            # queued slide with the poison one's brush: fall back to
+            # serving each unfinished slide through its OWN stream, so
+            # only the slide that actually fails collects an 'error'
+            # attempt (bounded retry in discover() eventually parks it).
+            if verbose:
+                print(f"[serve] grouped stream failed ({e!r}); "
+                      f"isolating per slide")
+            for job in jobs:
+                sid = job[0]
+                if sid in finished:
+                    continue
+                try:
+                    for s2, feats in encode_stream(
+                            [job], state.encoder,
+                            region_size=cfg.tile.patch_size,
+                            patch_level=cfg.tile.patch_level):
+                        _finish(s2, feats)
+                except Exception as e2:
+                    if sid in finished:
+                        continue  # failed after its own yield — it's done
+                    _journal_append(cfg, sid, "error", f"stream: {e2!r}")
+                    if verbose:
+                        print(f"[serve] {sid}: ERROR {e2!r}")
     finally:
         jsonl.close()
         for s in slides:
@@ -318,7 +372,9 @@ def serve_forever(cfg: ServeConfig, *, stop=None, verbose: bool = True,
     while True:
         try:
             recs = serve_once(cfg, state, verbose=verbose)
-            served += len(recs)
+            # count slides actually SCORED — failed_seg records are
+            # journaled outcomes, not predictions
+            served += sum(1 for r in recs if r.get("status") == "done")
         except Exception as e:
             # last-resort isolation (journal/FS errors, transient device
             # failures): a daemon must outlive any single drain. Per-slide

@@ -28,16 +28,31 @@ def load_torch_state_dict(path: str, checkpoint_key: str = "teacher"
     models/resnet_custom.py:112-135)."""
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=False)
+    histo_layout = False
     if checkpoint_key and checkpoint_key in sd:
         sd = sd[checkpoint_key]
     elif isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]  # lightning-style wrapper (Histo ResNet ckpt)
+        histo_layout = True
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
+    # PREFIX strips only (an interior '.model.'/'.backbone.' must survive:
+    # a substring replace would silently rename/collide unrelated keys).
+    # 'module.'/'backbone.' are the DINO wrappers and may stack; the
+    # 'model.'/'resnet.' strips belong to the Histo {'state_dict': ...}
+    # layout exclusively (resnet_custom.py:112-135).
+    prefixes = ["module.", "backbone."]
+    if histo_layout:
+        prefixes += ["model.", "resnet."]
     out = {}
     for k, v in sd.items():
-        k = k.replace("module.", "").replace("backbone.", "")
-        k = k.replace("model.", "").replace("resnet.", "")
+        changed = True
+        while changed:
+            changed = False
+            for p in prefixes:
+                if k.startswith(p):
+                    k = k[len(p):]
+                    changed = True
         out[k] = _np(v)
     return out
 

@@ -219,6 +219,45 @@ def test_encode_many_pipelined(tiled_slide, tmp_path):
     assert done2 == [] and failed2 == []
 
 
+def test_encode_many_stream_failure_flushes_writes(tiled_slide, tmp_path,
+                                                   monkeypatch):
+    """A mid-stream failure must not drop already-queued feature writes
+    (slides reported 'done' MUST be on disk), must close every slide
+    handle, and must leave the stage resumable (regression: the error
+    path skipped the writer sentinel/join and leaked open handles)."""
+    import pytest
+
+    import hipt_abmil_atec23_tpu.engine.encode as enc_mod
+    from hipt_abmil_atec23_tpu.engine.encode import encode_many
+
+    path, h5, coords, slide = tiled_slide
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=8,
+                                      dtype="float32"))
+    store = FeatureBagStore(str(tmp_path / "flush"))
+    real = enc_mod.encode_stream
+
+    def first_then_boom(jobs, *a, **k):
+        it = real(jobs, *a, **k)
+        try:
+            yield next(it)
+        finally:
+            it.close()  # release the inner pipeline before raising
+        raise RuntimeError("device fell over")
+
+    monkeypatch.setattr(enc_mod, "encode_stream", first_then_boom)
+    jobs = [(path, h5, "fA"), (path, h5, "fB")]
+    with pytest.raises(RuntimeError):
+        encode_many(jobs, enc, store, verbose=False)
+    assert store.exists("fA")      # queued write flushed, not dropped
+    assert not store.exists("fB")
+
+    # handles were closed and the writer joined: the stage resumes clean
+    monkeypatch.setattr(enc_mod, "encode_stream", real)
+    done, failed = encode_many(jobs, enc, store, verbose=False)
+    assert done == ["fB"] and failed == []
+    assert store.exists("fB")
+
+
 def test_encode_many_skips_unreadable_slide(tiled_slide, tmp_path):
     """One unreadable slide in a group must neither abort the stage nor
     leak the group's already-open handles (regression: a failing open in

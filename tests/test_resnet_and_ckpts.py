@@ -133,6 +133,37 @@ def test_imagenet_normalize():
 DEMO_CKPT = f"{REFERENCE_DIR}/heatmaps/demo/ckpts/s_0_checkpoint.pt"
 
 
+def test_load_torch_state_dict_prefix_only_strips(tmp_path):
+    """Wrapper prefixes strip as PREFIXES, never as substrings: interior
+    '.model.'/'.backbone.' occurrences must survive (a substring replace
+    silently renamed and collided keys), and the Histo 'model.'/'resnet.'
+    strips apply only to the {'state_dict': ...} layout
+    (reference: models/resnet_custom.py:112-135)."""
+    import torch
+
+    # DINO-style flat dict: stacked 'module.backbone.' strips; keys with
+    # interior 'model.'/'ema_model.' stay distinct (no silent collision)
+    sd = {"module.backbone.blocks.0.attn.qkv.weight": torch.zeros(2),
+          "ema_model.head.weight": torch.ones(3),
+          "ema_head.weight": torch.full((3,), 2.0)}
+    p = str(tmp_path / "w.pth")
+    torch.save(sd, p)
+    out = load_torch_state_dict(p, checkpoint_key=None)
+    assert set(out) == {"blocks.0.attn.qkv.weight", "ema_model.head.weight",
+                        "ema_head.weight"}
+    assert out["ema_model.head.weight"][0] == 1.0
+    assert out["ema_head.weight"][0] == 2.0
+
+    # Histo layout: 'model.'/'resnet.' strip (as prefixes, possibly
+    # stacked) inside the state_dict wrapper
+    sd2 = {"state_dict": {"model.resnet.conv1.weight": torch.zeros(1),
+                          "model.fc.weight": torch.ones(1)}}
+    p2 = str(tmp_path / "h.ckpt")
+    torch.save(sd2, p2)
+    out2 = load_torch_state_dict(p2, checkpoint_key=None)
+    assert set(out2) == {"conv1.weight", "fc.weight"}
+
+
 @pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
 def test_demo_checkpoint_golden(rng):
     import os

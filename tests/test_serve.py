@@ -51,7 +51,10 @@ def serve_env(tmp_path_factory):
                           model_size="tinier_resnet18"),
         tile=TileConfig(patch_size=256, step_size=256,
                         seg=SegConfig(use_otsu=True, close=4, a_t=1)),
-        n_classes=2, top_k=3)
+        n_classes=2, top_k=3,
+        # tests write slides and drain immediately; the mid-upload
+        # stability window is covered by its own discover()-level test
+        min_stable_s=0.0)
     return d, slide_dir, cfg
 
 
@@ -112,9 +115,10 @@ def test_serve_journals_unreadable_slide(serve_env):
 
 def test_serve_stream_failure_isolated_and_parked(serve_env, tmp_path,
                                                   monkeypatch):
-    """A mid-stream failure must not kill the daemon: finished slides stay
-    done, unfinished ones get a journaled 'error' attempt and re-queue,
-    and a slide that keeps failing is parked after max_retries."""
+    """A mid-stream failure must not kill the daemon AND must not park the
+    healthy slides queued with the poison one: the drain falls back to
+    per-slide streams, so only the slide that actually fails collects an
+    'error' attempt and is eventually parked; its victims are served."""
     import dataclasses
 
     import hipt_abmil_atec23_tpu.engine.encode as enc
@@ -124,32 +128,29 @@ def test_serve_stream_failure_isolated_and_parked(serve_env, tmp_path,
 
     real = enc.encode_stream
 
-    def first_then_boom(jobs, *a, **k):
-        it = real(jobs, *a, **k)
-        yield next(it)
-        it.close()
-        raise RuntimeError("wire died")
+    def poison_b(jobs, *a, **k):
+        # any stream containing slide 'b' dies before its first yield —
+        # a deterministic poison slide among healthy ones
+        if any(sid == "b" for sid, _, _ in jobs):
+            raise RuntimeError("decode died on b")
+        yield from real(jobs, *a, **k)
 
-    monkeypatch.setattr(enc, "encode_stream", first_then_boom)
+    monkeypatch.setattr(enc, "encode_stream", poison_b)
     recs = serve_once(cfg2, ServeState(), verbose=False)
-    assert len(recs) == 1 and recs[0]["status"] == "done"
+    # the grouped stream failed, but the per-slide fallback served the
+    # healthy slides — only 'b' is journaled 'error'
+    done = sorted(r["slide_id"] for r in recs if r["status"] == "done")
+    assert done == ["a", "c"]
     j = load_journal(cfg2)
-    assert sorted(j.values()).count("done") == 1
-    # the 2 unfinished slides are journaled 'error' and re-queued
-    assert list(j.values()).count("error") == 2
-    assert len(discover(cfg2)) == 2
+    assert j["a"] == "done" and j["c"] == "done" and j["b"] == "error"
+    assert discover(cfg2) == ["b.tif"]  # re-queued, not yet parked
 
-    # repeated failing drains park the poisoning slides after max_retries
-    def always_boom(jobs, *a, **k):
-        raise RuntimeError("still dead")
-        yield  # pragma: no cover — make it a generator
-
-    monkeypatch.setattr(enc, "encode_stream", always_boom)
-    served = serve_forever(cfg2, verbose=False, max_drains=4)
+    # repeated failing drains park ONLY the poison slide after max_retries
+    served = serve_forever(cfg2, verbose=False, max_drains=3)
     assert served == 0
     assert discover(cfg2) == []  # parked: no crash-loop, no starvation
-    errs = [s for s, st in load_journal(cfg2).items() if st == "error"]
-    assert len(errs) == 2
+    j = load_journal(cfg2)
+    assert j["b"] == "error" and j["a"] == "done" and j["c"] == "done"
 
 
 def test_serve_forever_survives_drain_exception(serve_env, tmp_path,
@@ -190,7 +191,7 @@ def test_serve_cli_once(serve_env, tmp_path):
                "--ckpt", cfg.ckpt_path, "--model_size", "tinier_resnet18",
                "--encoder", "resnet18", "--patch_size", "256",
                "--use_otsu", "--a_t", "1", "--float32", "--once",
-               "--save_features"])
+               "--save_features", "--min_stable_s", "0"])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "serve_config.json"))
     journal = {k: v for k, v in
@@ -202,6 +203,50 @@ def test_serve_cli_once(serve_env, tmp_path):
     store = FeatureBagStore(os.path.join(out, "features"))
     feats, coords = store.load_with_coords("a")
     assert feats.shape[1] == 512 and len(coords) == feats.shape[0]
+
+
+def test_discover_stability_window_and_replacement(serve_env, tmp_path):
+    """Upload-safety rules of discover(): a file younger than min_stable_s
+    is not eligible (mid-upload guard), and replacing a file (fresh mtime)
+    invalidates its old journal rows — un-parking an errored slide and
+    re-queuing a stale 'done'."""
+    import dataclasses
+    import time
+
+    from hipt_abmil_atec23_tpu.engine.serve import _journal_append
+
+    d, slide_dir, cfg = serve_env
+    sdir = tmp_path / "stab"
+    sdir.mkdir()
+    path = str(sdir / "s.tif")
+    _write_slide(path, 9)
+    cfg2 = dataclasses.replace(cfg, slide_dir=str(sdir),
+                               out_dir=str(tmp_path / "out_stab"),
+                               min_stable_s=3600.0, max_retries=3)
+    # fresh mtime: still being copied in, not eligible
+    assert discover(cfg2) == []
+    old = time.time() - 7200
+    os.utime(path, (old, old))
+    assert discover(cfg2) == ["s.tif"]  # stable now
+
+    # park it: max_retries journaled errors (all newer than the old mtime)
+    cfg3 = dataclasses.replace(cfg2, min_stable_s=0.0)
+    for _ in range(cfg3.max_retries):
+        _journal_append(cfg3, "s", "error", "corrupt upload")
+    assert discover(cfg3) == []
+    # replacing the file (mtime newer than the error rows) un-parks it
+    time.sleep(0.01)
+    new = time.time()
+    os.utime(path, (new, new))
+    assert discover(cfg3) == ["s.tif"]
+
+    # same rule re-queues a replaced 'done' slide: new content, new score
+    _journal_append(cfg3, "s", "done")
+    assert discover(cfg3) == []
+    time.sleep(0.01)
+    new = time.time()
+    os.utime(path, (new, new))
+    assert discover(cfg3) == ["s.tif"]
 
 
 def test_serve_duplicate_stem_not_cross_paired(serve_env, tmp_path,
