@@ -461,11 +461,47 @@ def bench_flash():
     })
 
 
+def _wait_for_backend(max_wait_s=1800, probe_timeout_s=300):
+    """Block until the accelerator backend initializes, re-execing on
+    transient failures. The dev tunnel's TPU goes UNAVAILABLE for stretches
+    (measured: >1h outages); a bench run launched inside such a window
+    would otherwise die on backend init instead of measuring anything.
+    Each probe runs in a SUBPROCESS because a failed/hung in-process init
+    poisons jax's backend cache for the life of the process."""
+    import subprocess
+    import sys
+    t0 = time.time()
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); print(d[0].platform)"],
+                capture_output=True, text=True, timeout=probe_timeout_s)
+            if r.returncode == 0:
+                return
+            err = (r.stderr or "").strip().splitlines()
+            msg = err[-1] if err else "unknown"
+        except subprocess.TimeoutExpired:
+            msg = f"backend init hung > {probe_timeout_s}s"
+        waited = time.time() - t0
+        if waited > max_wait_s:
+            raise RuntimeError(
+                f"accelerator backend unavailable after {waited:.0f}s: {msg}")
+        print(f"[bench] backend unavailable ({msg}); retrying "
+              f"({waited:.0f}/{max_wait_s}s)", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernel", choices=["vit256", "abmil_pool", "flash"],
                     default=None)
+    ap.add_argument("--backend_wait_s", type=float, default=1800,
+                    help="max seconds to wait for the TPU backend before "
+                         "failing (tunnel outages; 0 disables the probe)")
     args = ap.parse_args()
+    if args.backend_wait_s > 0:
+        _wait_for_backend(max_wait_s=args.backend_wait_s)
     if args.kernel == "vit256":
         bench_vit256()
     elif args.kernel == "abmil_pool":
