@@ -717,8 +717,16 @@ def _eval_with_sampling(a, cfg, manifest, store):
     rows = []
     os.makedirs(a.save_dir, exist_ok=True)
     folds = a.folds if a.folds else list(range(cfg.train.k))
-    fold_te = {fold: make_fold_datasets(manifest, store, cfg, fold)[2]
-               for fold in folds}
+    # honor --splits like the plain eval path (reference eval.py evaluates
+    # the chosen split in its sampling mode too)
+    fold_te = {}
+    for fold in folds:
+        if a.splits == "all":
+            fold_te[fold] = BagDataset(manifest.slide_ids, manifest.labels,
+                                       store, cfg.bags)
+        else:
+            tr, va, te = make_fold_datasets(manifest, store, cfg, fold)
+            fold_te[fold] = {"train": tr, "val": va, "test": te}[a.splits]
 
     feature_lookup = None
     coords_lookup = {}

@@ -35,7 +35,10 @@ def generate_kfold_splits(
         test_ids = test_sets[i]
         val_ids = test_sets[(i + 1) % n_splits]
         excluded = set(test_ids) | set(val_ids)
-        train_ids = np.array([x for x in indices if x not in excluded])
+        # dtype=int64 matters for the EMPTY case (k=2 leaves no train):
+        # a default empty array is float64 and breaks downstream indexing
+        train_ids = np.array([x for x in indices if x not in excluded],
+                             dtype=np.int64)
         splits.append((train_ids, val_ids, test_ids))
     return splits
 
@@ -71,6 +74,9 @@ def save_split_descriptor(
     train, val, test = split
     rows = {}
     for name, ids in zip(["train", "val", "test"], [train, val, test]):
+        # an EMPTY split (e.g. k=2: val=the other fold leaves no train)
+        # arrives as a default-float empty array — coerce so indexing works
+        ids = np.asarray(ids, dtype=np.int64)
         rows[name] = np.bincount(labels[ids], minlength=n_classes)
     pd.DataFrame(rows, index=[f"class_{c}" for c in range(n_classes)]).to_csv(path)
 
