@@ -184,6 +184,72 @@ def test_knn_agg_flags(trained_ws, capsys):
     assert "auc" in out.lower()
 
 
+def test_encode_flag_cluster(trained_ws, tmp_path):
+    """encode --use_transforms + --slide_ext + --no_skip plumbing."""
+    root, csv, feats, splits = trained_ws
+    slides = str(root / "slides")
+    tiles = str(root / "tiles")
+    feats2 = str(tmp_path / "feats_tr")
+    args = ["encode", "--data_h5_dir", tiles, "--data_slide_dir", slides,
+            "--feat_dir", feats2, "--model_type", "resnet18",
+            "--batch_size", "8", "--float32",
+            "--use_transforms", "spatial", "--slide_ext", ".tif"]
+    cli(args)
+    pt_dir = os.path.join(feats2, "pt_files")
+    assert len(os.listdir(pt_dir)) == 6
+    # default rerun skips everything (mtimes unchanged)...
+    mtimes = {f: os.path.getmtime(os.path.join(pt_dir, f))
+              for f in os.listdir(pt_dir)}
+    cli(args)
+    assert all(os.path.getmtime(os.path.join(pt_dir, f)) == t
+               for f, t in mtimes.items())
+    # ...and --no_skip re-encodes (fresh artifacts)
+    cli(args + ["--no_skip"])
+    assert any(os.path.getmtime(os.path.join(pt_dir, f)) != t
+               for f, t in mtimes.items())
+
+
+def test_train_sampling_and_augment_flag_cluster(trained_ws, tmp_path):
+    """Train-time DRAS via the CLI (--sampling --device_sampling
+    --no_sampling_epochs + weight flags) and the bag-augmentation flags
+    (--perturb_variance, --number_of_augs with {slide}augN.pt variants)."""
+    import shutil
+
+    root, csv, feats, splits = trained_ws
+    results = str(tmp_path / "res_sampling")
+    cli(["train", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--results_dir", results,
+         "--split_dir", splits, "--model_size", "tinier_resnet18",
+         "--k", "3", "--k_end", "1", "--max_epochs", "2",
+         "--min_epochs", "1", "--no_early_stopping",
+         "--max_patches_per_slide", "8",
+         "--sampling", "--device_sampling", "--no_sampling_epochs", "1",
+         "--sampling_average", "--weight_smoothing", "0.1",
+         "--samples_per_iteration", "4", "--resampling_iterations", "2",
+         "--sampling_neighbors", "2", "--sampling_random", "0.3",
+         "--sampling_random_delta", "0.05"])
+    s = pd.read_csv(os.path.join(results, "summary_partial_0_1.csv"))
+    assert np.isfinite(s["test_auc"]).all()
+
+    # fabricate one pre-extracted augmentation variant per slide
+    # (reference: {slide}augN.pt, dataset_generic.py:497-503)
+    pt_dir = os.path.join(feats, "pt_files")
+    for f in list(os.listdir(pt_dir)):
+        if f.endswith(".pt") and "aug" not in f:
+            shutil.copy(os.path.join(pt_dir, f),
+                        os.path.join(pt_dir, f[:-3] + "aug1.pt"))
+    results2 = str(tmp_path / "res_aug")
+    cli(["train", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--results_dir", results2,
+         "--split_dir", splits, "--model_size", "tinier_resnet18",
+         "--k", "3", "--k_end", "1", "--max_epochs", "2",
+         "--min_epochs", "1", "--no_early_stopping",
+         "--max_patches_per_slide", "8",
+         "--perturb_variance", "0.1", "--number_of_augs", "1"])
+    s2 = pd.read_csv(os.path.join(results2, "summary_partial_0_1.csv"))
+    assert np.isfinite(s2["test_auc"]).all()
+
+
 def test_heatmap_cmap_alpha(trained_ws):
     """heatmap --cmap/--alpha plumbing (non-default rendering params)."""
     root, csv, feats, splits = trained_ws
