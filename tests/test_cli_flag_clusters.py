@@ -250,6 +250,46 @@ def test_train_sampling_and_augment_flag_cluster(trained_ws, tmp_path):
     assert np.isfinite(s2["test_auc"]).all()
 
 
+def test_tuning_flag_cluster(trained_ws, tmp_path):
+    """--tuning with --tuning_output_file/--checkpoint_trials, a
+    --resume_tuning rerun (skips finished trials), and the vmapped
+    --trial_parallel search, all via the CLI."""
+    root, csv, feats, splits = trained_ws
+    results = str(tmp_path / "res_tune")
+    out_csv = str(tmp_path / "tuning.csv")
+    base = ["train", "--task", "treatment", "--csv_path", csv,
+            "--feat_dir", feats, "--results_dir", results,
+            "--split_dir", splits, "--model_size", "tinier_resnet18",
+            "--k", "3", "--max_epochs", "2", "--min_epochs", "1",
+            "--no_early_stopping", "--max_patches_per_slide", "8",
+            "--tuning", "--num_tuning_samples", "2",
+            "--tuning_output_file", out_csv]
+    cli(base + ["--checkpoint_trials"])
+    df = pd.read_csv(out_csv)
+    assert len(df) == 2 and np.isfinite(df["last10_val_loss"]).all()
+    # --checkpoint_trials persisted per-trial orbax state
+    assert any("trial" in d for d in os.listdir(results)), \
+        os.listdir(results)
+
+    # resume: finished trials are skipped, CSV not duplicated
+    cli(base + ["--resume_tuning"])
+    df2 = pd.read_csv(out_csv)
+    assert len(df2) == 2
+
+    # vmapped trial-parallel search writes the same-schema CSV
+    out_par = str(tmp_path / "tuning_par.csv")
+    cli(["train", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--results_dir", str(tmp_path / "res_tp"),
+         "--split_dir", splits, "--model_size", "tinier_resnet18",
+         "--k", "3", "--max_epochs", "2", "--min_epochs", "1",
+         "--no_early_stopping", "--max_patches_per_slide", "8",
+         "--tuning", "--num_tuning_samples", "2",
+         "--tuning_output_file", out_par, "--trial_parallel"])
+    dfp = pd.read_csv(out_par)
+    assert len(dfp) == 2
+    assert np.isfinite(dfp["last10_val_loss"]).all()
+
+
 def test_heatmap_cmap_alpha(trained_ws):
     """heatmap --cmap/--alpha plumbing (non-default rendering params)."""
     root, csv, feats, splits = trained_ws
