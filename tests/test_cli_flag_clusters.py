@@ -290,6 +290,58 @@ def test_tuning_flag_cluster(trained_ws, tmp_path):
     assert np.isfinite(dfp["last10_val_loss"]).all()
 
 
+def test_misc_flag_cluster(trained_ws, tmp_path):
+    """Remaining CLI plumbing: bootstrap --plot_roc/--roc_plot_path, train
+    --profile/--trace/--grid_sample, serve daemon --poll_s/--max_drains,
+    and the top-level --cpu backend switch."""
+    root, csv, feats, splits = trained_ws
+    results = str(tmp_path / "res_base")
+    cli(["train", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--results_dir", results,
+         "--split_dir", splits, "--model_size", "tinier_resnet18",
+         "--k", "3", "--k_end", "1", "--max_epochs", "1",
+         "--min_epochs", "1", "--no_early_stopping",
+         "--max_patches_per_slide", "8"])
+
+    # eval fold 0 (plain) to get a fold CSV for bootstrap
+    evals = str(tmp_path / "ev_misc")
+    cli(["eval", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--models_dir", results, "--save_dir", evals,
+         "--split_dir", splits, "--model_size", "tinier_resnet18",
+         "--k", "3", "--folds", "0", "--max_patches_per_slide", "8"])
+    roc = str(tmp_path / "roc.png")
+    cli(["--cpu", "bootstrap", "--dirs", evals, "--folds", "0",
+         "--bootstraps", "500", "--out", str(tmp_path / "b.json"),
+         "--plot_roc", "--roc_plot_path", roc])
+    assert os.path.exists(roc) and os.path.getsize(roc) > 0
+
+    # --profile (cProfile table) + --trace (JAX profiler dir) +
+    # --grid_sample (grid-stratified DRAS init) in one sampling run
+    trace_dir = str(tmp_path / "trace")
+    cli(["train", "--task", "treatment", "--csv_path", csv,
+         "--feat_dir", feats, "--results_dir", str(tmp_path / "res_misc"),
+         "--split_dir", splits, "--model_size", "tinier_resnet18",
+         "--k", "3", "--k_end", "1", "--max_epochs", "2",
+         "--min_epochs", "1", "--no_early_stopping",
+         "--max_patches_per_slide", "8",
+         "--sampling", "--grid_sample", "--no_sampling_epochs", "1",
+         "--samples_per_iteration", "4", "--resampling_iterations", "2",
+         "--sampling_neighbors", "2",
+         "--profile", "--trace", trace_dir])
+    assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
+
+    # serve daemon mode through the CLI: one bounded drain then exit
+    out = str(tmp_path / "serve_daemon")
+    slides = str(root / "slides")
+    cli(["serve", "--slide_dir", slides, "--out_dir", out,
+         "--ckpt", os.path.join(results, "s_0_checkpoint.msgpack"),
+         "--model_size", "tinier_resnet18", "--encoder", "resnet18",
+         "--patch_size", "256", "--use_otsu", "--a_t", "1", "--float32",
+         "--poll_s", "0.01", "--max_drains", "1", "--min_stable_s", "0"])
+    assert os.path.exists(os.path.join(out, "serve_journal.csv"))
+    assert os.path.exists(os.path.join(out, "predictions.jsonl"))
+
+
 def test_heatmap_cmap_alpha(trained_ws):
     """heatmap --cmap/--alpha plumbing (non-default rendering params)."""
     root, csv, feats, splits = trained_ws
