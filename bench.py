@@ -382,11 +382,14 @@ def bench_abmil_pool():
                                    rtol=5e-2, atol=5e-3)
         t_f = _chained_time(lambda _, b: gap.gated_attention_pool(
             b, p, mask=mask), None, bag)
+        t_d = _chained_time(lambda _, b: gap.gated_attention_pool(
+            b, p, mask=mask, impl="dma"), None, bag)
         t_j = _chained_time(lambda _, b: gap.gated_attention_pool_reference(
             b, mask, p), None, bag)
         t_prod = _chained_time(lambda _, b: gap.apply_pooled(
             model, params, b, mask).logits, None, bag)
         extras[f"fused_ms_{n//1000}k"] = round(t_f * 1e3, 3)
+        extras[f"fused_dma_ms_{n//1000}k"] = round(t_d * 1e3, 3)
         extras[f"jnp_ms_{n//1000}k"] = round(t_j * 1e3, 3)
         extras[f"dispatched_ms_{n//1000}k"] = round(t_prod * 1e3, 3)
         # dispatch quality: production path vs best-of-both (>= ~1.0 means
@@ -402,6 +405,92 @@ def bench_abmil_pool():
                 "auto-dispatch, hipt_smaller)",
         "vs_baseline": round(worst, 2),
         **extras,
+    })
+
+
+def bench_train():
+    """MIL training throughput at the winning ATEC23 config (CLAM_SB
+    hipt_smaller, 75-instance bags, B=1 reference-faithful): one scan-fused
+    epoch per dispatch (engine/train.py train_epoch) and E epochs per
+    dispatch (train_epochs_chunk), vs the reference's execution model of
+    ONE dispatch + loss fetch PER BAG (core_utils.py:300-442 calls
+    loss.item() every batch), emulated here with the same jitted step at
+    S=1. The gap is dispatch latency, which the tunnel makes explicit."""
+    import jax
+    import jax.numpy as jnp
+    _setup_cache(jax)
+    from hipt_abmil_atec23_tpu.engine.train import build_step_fns
+    from hipt_abmil_atec23_tpu.utils.config import (
+        ExperimentConfig, BagConfig, ModelConfig, TaskConfig, TrainConfig)
+
+    S, V, E, n_pad, d = 160, 16, 4, 80, 192  # ~one ATEC23 CV-fold epoch
+    cfg = ExperimentConfig(
+        task=TaskConfig(n_classes=2, label_dict={"0": 0, "1": 1}),
+        bags=BagConfig(max_patches_per_slide=75, batch_size=1),
+        model=ModelConfig(model_type="clam_sb", model_size="hipt_smaller"),
+        train=TrainConfig(lr=1e-3, reg=1e-4, bag_loss="ce"))
+    fns = build_step_fns(cfg, np.array([80, 80]), n_pad, d)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):  # eager init off-chip (CLAUDE.md rule)
+        params = fns.init_params(jax.random.PRNGKey(0))
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    opt_state = fns.tx.init(params)
+
+    rng = np.random.default_rng(0)
+    feats = jax.device_put(rng.normal(size=(S, 1, n_pad, d))
+                           .astype(np.float32), dev)
+    mask = jax.device_put(np.ones((S, 1, n_pad), bool), dev)
+    labels = jax.device_put(rng.integers(0, 2, size=(S, 1))
+                            .astype(np.int32), dev)
+    key = jax.random.PRNGKey(1)
+
+    # one fused epoch per dispatch
+    out = fns.train_epoch(params, opt_state, feats, mask, labels, key)
+    jax.block_until_ready(out)  # warm/compile
+    t_epoch = _timed_device(fns.train_epoch, params, opt_state, feats,
+                            mask, labels, key)
+
+    # reference execution model: one dispatch + host loss fetch per bag
+    f1, m1, l1 = feats[:1], mask[:1], labels[:1]
+    jax.block_until_ready(fns.train_epoch(params, opt_state, f1, m1, l1,
+                                          key))  # S=1 compile
+    p, o = params, opt_state
+    t0 = time.perf_counter()
+    for i in range(S):
+        p, o, bl, _, _ = fns.train_epoch(p, o, f1, m1, l1, key)
+        float(np.asarray(bl))  # the reference fetches loss.item() per bag
+    t_perstep = time.perf_counter() - t0
+
+    # E epochs per dispatch (with in-graph per-epoch validation)
+    ef = jnp.broadcast_to(feats, (E,) + feats.shape)
+    em = jnp.broadcast_to(mask, (E,) + mask.shape)
+    el = jnp.broadcast_to(labels, (E,) + labels.shape)
+    vf = jax.device_put(rng.normal(size=(E, V, n_pad, d))
+                        .astype(np.float32), dev)
+    vm = jax.device_put(np.ones((E, V, n_pad), bool), dev)
+    vl = jax.device_put(rng.integers(0, 2, size=(E, V)).astype(np.int32),
+                        dev)
+    vv = jax.device_put(np.ones((E, V), np.float32), dev)
+    outc = fns.train_epochs_chunk(params, opt_state, ef, em, el,
+                                  vf, vm, vl, vv, key)
+    jax.block_until_ready(outc)
+    t_chunk = _timed_device(fns.train_epochs_chunk, params, opt_state,
+                            ef, em, el, vf, vm, vl, vv, key) / E
+
+    _emit({
+        "metric": "mil_train_bags_per_sec_fused_epoch",
+        "value": round(S / t_epoch, 1),
+        "unit": f"optimizer steps/sec (CLAM_SB hipt_smaller, {S} bags of "
+                f"{n_pad}x{d} per epoch, B=1, one lax.scan dispatch)",
+        "vs_baseline": round(t_perstep / t_epoch, 2),
+        "per_bag_dispatch_bags_per_sec": round(S / t_perstep, 1),
+        "epoch_ms_fused": round(t_epoch * 1e3, 1),
+        "epoch_ms_per_bag_dispatch": round(t_perstep * 1e3, 1),
+        "epoch_ms_chunked_incl_val": round(t_chunk * 1e3, 1),
+        "note": "vs_baseline = speedup over the reference's one-dispatch-"
+                "per-bag execution model (loss.item() each batch) run with "
+                "the SAME jitted step on the same chip",
     })
 
 
@@ -494,7 +583,8 @@ def _wait_for_backend(max_wait_s=1800, probe_timeout_s=300):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--kernel", choices=["vit256", "abmil_pool", "flash"],
+    ap.add_argument("--kernel",
+                    choices=["vit256", "abmil_pool", "flash", "train"],
                     default=None)
     ap.add_argument("--backend_wait_s", type=float, default=1800,
                     help="max seconds to wait for the TPU backend before "
@@ -508,6 +598,8 @@ def main():
         bench_abmil_pool()
     elif args.kernel == "flash":
         bench_flash()
+    elif args.kernel == "train":
+        bench_train()
     else:
         bench_e2e()
 
