@@ -150,6 +150,170 @@ def _kernel(bag_ref, mask_ref, nv_ref, wf_ref, bf_ref, wa_ref, ba_ref,
             out2_ref[:] = jnp.zeros_like(out2_ref)
 
 
+def _kernel_dma(nv_ref, mask_ref, bag_hbm, wf_ref, bf_ref, wa_ref, ba_ref,
+                wb_ref, bb_ref, wc_ref, bc_ref, wcls_ref, bcls_ref,
+                out0_ref, scores_ref, out2_ref,
+                xbuf, acc_ref, sem, *, partial_out: bool, has_mask: bool,
+                tile: int, nbuf: int, n: int):
+    """Manually pipelined variant: ONE grid step, bag stays in HBM and is
+    streamed through an nbuf-deep ring of explicit async DMAs. Exists
+    because Pallas's automatic block pipeline tops out ~106 GB/s on this
+    chip while XLA streams ~160 (docs/PERFORMANCE.md §2) — the automatic
+    pipeline's fixed double-buffer depth can't hide this link's DMA
+    latency, so we keep `nbuf` copies in flight ourselves. Also avoids the
+    grid kernel's whole-bag pad copy: the tail chunk is DMA'd at its exact
+    (static) size and tail rows are masked in-register."""
+    num_chunks = -(-n // tile)
+    tail = n - (num_chunks - 1) * tile  # rows in the last chunk (1..tile)
+
+    def get_dma(slot, i):
+        # last chunk copies only the rows that exist in HBM. Returns
+        # (full, part, traced_i): with a STATIC index the right-sized copy
+        # is picked here (an out-of-bounds descriptor may not even be
+        # constructed); with a traced index both descriptors exist and
+        # start/wait gate on pl.when.
+        def mk(rows):
+            return pltpu.make_async_copy(
+                bag_hbm.at[pl.ds(i * tile, rows)],
+                xbuf.at[slot, pl.ds(0, rows)], sem.at[slot])
+        if tail == tile:
+            return mk(tile), None, None
+        if num_chunks == 1:  # only the tail chunk exists; a full-size
+            return None, mk(tail), None  # descriptor wouldn't even trace
+        if isinstance(i, int):
+            return ((mk(tile), None, None) if i < num_chunks - 1
+                    else (None, mk(tail), None))
+        return mk(tile), mk(tail), i
+
+    def _issue(dma, op):
+        full, part, i = dma
+        if i is None:
+            getattr(full if part is None else part, op)()
+            return
+
+        @pl.when(i < num_chunks - 1)
+        def _():
+            getattr(full, op)()
+
+        @pl.when(i == num_chunks - 1)
+        def _():
+            getattr(part, op)()
+
+    start = lambda dma: _issue(dma, "start")
+    wait = lambda dma: _issue(dma, "wait")
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    # keep nbuf-1 copies in flight: slot j%nbuf is only ever (re)written at
+    # the iteration AFTER it was consumed, so a prefetch can never clobber
+    # a chunk the compute hasn't read yet
+    for s in range(min(nbuf - 1, num_chunks)):
+        start(get_dma(s, s))
+
+    def body(i, carry):
+        m_prev, l_prev = carry
+        nxt = i + nbuf - 1
+
+        @pl.when(nxt < num_chunks)
+        def _():
+            start(get_dma(jax.lax.rem(nxt, nbuf), nxt))
+
+        slot = jax.lax.rem(i, nbuf)
+        wait(get_dma(slot, i))
+        x = xbuf[slot].astype(jnp.float32)                  # [T, D_in]
+        h = jax.nn.relu(
+            jnp.dot(x, wf_ref[:], preferred_element_type=jnp.float32)
+            + bf_ref[:])                                    # [T, L]
+        # tail-chunk rows past n hold stale buffer bits (NaN in interpret
+        # mode) — zero them so 0-weighted rows can't poison e @ h below
+        row = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) + i * tile
+        h = jnp.where(row < n, h, 0.0)
+        a = jnp.tanh(jnp.dot(h, wa_ref[:],
+                             preferred_element_type=jnp.float32) + ba_ref[:])
+        g = jax.nn.sigmoid(
+            jnp.dot(h, wb_ref[:],
+                    preferred_element_type=jnp.float32) + bb_ref[:])
+        s = jax.lax.dot_general(
+            wc_ref[:], a * g, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + bc_ref[:]  # [1, T]
+        # rows past n (stale buffer contents in the tail chunk) and invalid
+        # instances both drop to NEG_INF
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * tile
+        if has_mask:
+            mvals = jax.lax.dynamic_slice(mask_ref[:], (0, i * tile),
+                                          (1, tile))
+            s = jnp.where((mvals > 0) & (col < n), s, NEG_INF)
+        else:
+            s = jnp.where(col < nv_ref[0], s, NEG_INF)
+        scores_ref[0, pl.ds(i * tile, tile)] = s[0]
+
+        m_new = jnp.maximum(m_prev, jnp.max(s))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.where(s > 0.5 * NEG_INF, jnp.exp(s - m_new), 0.0)  # [1, T]
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            e, h, preferred_element_type=jnp.float32)      # [1, L]
+        return m_new, l_prev * alpha + jnp.sum(e)
+
+    m_fin, l_fin = jax.lax.fori_loop(0, num_chunks, body,
+                                     (jnp.float32(NEG_INF), jnp.float32(0.0)))
+    if partial_out:
+        out0_ref[:] = acc_ref[:]
+        out2_ref[0, 0] = m_fin
+        out2_ref[0, 1] = l_fin
+    else:
+        mpool = acc_ref[:] / jnp.maximum(l_fin, 1e-30)      # [1, L]
+        out0_ref[:] = (jnp.dot(mpool, wcls_ref[:],
+                               preferred_element_type=jnp.float32)
+                       + bcls_ref[:])
+        out2_ref[:] = jnp.zeros_like(out2_ref)
+
+
+def _pallas_pool_dma(bag, mask, n_valid, p: GatedPoolParams, tile: int,
+                     nbuf: int, partial_out: bool):
+    """DMA-pipelined pooling over the UNPADDED bag. `mask` is a [N] bool
+    array or None; `n_valid` a prefix length (int or traced scalar)."""
+    n, d_in = bag.shape
+    tile = min(tile, _pick_tile_dma(p, d_in, nbuf),
+               max(128, -(-n // 128) * 128))
+    n_lanes = -(-n // tile) * tile
+    has_mask = mask is not None
+    if has_mask:
+        mask = jnp.pad(mask.astype(jnp.float32), (0, n_lanes - n))[None]
+    else:
+        mask = jnp.zeros((1, 1), jnp.float32)  # unused dummy
+    nv = jnp.asarray([n_valid if n_valid is not None else n], jnp.int32)
+    l_dim = p.w_f.shape[1]
+    c_dim = p.w_cls.shape[1]
+    out0_dim = l_dim if partial_out else c_dim
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out0, scores, out2 = pl.pallas_call(
+        functools.partial(_kernel_dma, partial_out=partial_out,
+                          has_mask=has_mask, tile=tile, nbuf=nbuf, n=n),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vmem(),
+                  pl.BlockSpec(memory_space=pltpu.ANY)] + [vmem()] * 10,
+        out_specs=(vmem(), vmem(), vmem()),
+        out_shape=(jax.ShapeDtypeStruct((1, out0_dim), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_lanes), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 2), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, tile, d_in), bag.dtype),
+            pltpu.VMEM((1, l_dim), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+    )(nv, mask, bag, p.w_f, p.b_f, p.w_a, p.b_a, p.w_b, p.b_b,
+      p.w_c, p.b_c, p.w_cls, p.b_cls)
+    return out0, scores[0, :n], out2
+
+
+def _pick_tile_dma(p: GatedPoolParams, d_in: int, nbuf: int) -> int:
+    """Largest chunk whose nbuf-deep ring + weights fit well under the
+    scoped-VMEM limit (bigger chunks amortize per-DMA overhead)."""
+    weight_bytes = 4 * sum(int(np.prod(w.shape)) for w in p)
+    budget = 10 * 1024 * 1024 - weight_bytes
+    per_row = 4 * (d_in + 4 * max(128, p.w_f.shape[1]))  # x slot + h/a/g live
+    return max(512, (budget // (nbuf * per_row)) // 128 * 128)
+
+
 def _pick_tile(p: GatedPoolParams, d_in: int, n: int, tile: int) -> int:
     # VMEM budget: the tile's live set is roughly x[T,d_in] + h/a/g (each
     # lane-padded to >=128) in fp32, double-buffered, plus the weights.
@@ -225,15 +389,22 @@ def _prep(bag, mask, p: GatedPoolParams, tile: int):
 
 def gated_attention_pool(bag: jax.Array, p: GatedPoolParams,
                          n_valid=None, mask: Optional[jax.Array] = None,
-                         tile: int = 2048) -> Tuple[jax.Array, jax.Array]:
+                         tile: int = 2048, impl: str = "grid",
+                         nbuf: int = 4) -> Tuple[jax.Array, jax.Array]:
     """Fused pooled forward. bag: [N, D_in]; returns (logits [1, C],
     raw scores [N]). Validity via `mask` [N] bool or prefix length `n_valid`
     (Python int OR traced scalar — both are data operands, not shapes).
-    N pads internally to a tile multiple."""
+    impl="grid" streams via Pallas's automatic block pipeline (N pads
+    internally to a tile multiple); impl="dma" streams the unpadded bag
+    through an nbuf-deep ring of explicit async DMAs (see _kernel_dma)."""
     n = bag.shape[0]
-    bag, mask_rows, tile = _prep(bag, mask, p, tile)
     if mask is None and n_valid is None:
         n_valid = n
+    if impl == "dma":
+        logits, scores, _ = _pallas_pool_dma(bag, mask, n_valid, p, tile,
+                                             nbuf, partial_out=False)
+        return logits, scores
+    bag, mask_rows, tile = _prep(bag, mask, p, tile)
     logits, scores, _ = _pallas_pool(bag, mask_rows, n_valid, p, tile,
                                      partial_out=False)
     return logits, scores[:n]

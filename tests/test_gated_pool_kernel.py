@@ -184,3 +184,75 @@ def test_kernel_all_masked_bag_neutral(rng):
                             tile=128)
     np.testing.assert_allclose(np.asarray(logits2)[0], np.asarray(ref_logits),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# impl="dma": manually pipelined ring variant (_kernel_dma)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,tile,nbuf", [
+    (1000, 256, 4),    # 4 chunks + ragged tail, no slot reuse
+    (5000, 512, 4),    # 10 chunks: ring slots reused (prefetch-clobber reg.)
+    (4096, 512, 2),    # minimal double-buffer depth, 8 chunks
+    (300, 512, 4),     # single chunk == ragged tail only
+    (256, 128, 4),     # exact multiple, fewer chunks than buffers
+])
+def test_dma_kernel_matches_oracle(n, tile, nbuf, rng):
+    """The DMA-ring variant streams the UNPADDED bag and must match the
+    oracle for every chunk-count/tail/ring-depth combination. The 10-chunk
+    case pins the prefetch ordering: a chunk may only be DMA'd into a slot
+    AFTER the iteration that consumed it (a clobbering prefetch poisons
+    scores by whole tiles, caught in interpret mode)."""
+    p = _random_params(rng)
+    bag = jnp.asarray(rng.normal(size=(n, 192)).astype(np.float32))
+    ref_logits, ref_scores = gap.gated_attention_pool_reference(
+        bag, jnp.ones(n, bool), p)
+    logits, scores = _interpret(gap.gated_attention_pool, bag, p,
+                                tile=tile, impl="dma", nbuf=nbuf)
+    np.testing.assert_allclose(np.asarray(logits)[0], np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref_scores),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dma_kernel_mask_and_traced_n_valid(rng):
+    """Mask rows and traced n_valid prefixes behave identically to the grid
+    kernel; tail rows past n never contribute (stale-buffer guard)."""
+    p = _random_params(rng)
+    n = 777
+    bag = jnp.asarray(rng.normal(size=(n, 192)).astype(np.float32))
+    mask = jnp.asarray(rng.random(n) > 0.3)
+    ref_logits, ref_scores = gap.gated_attention_pool_reference(bag, mask, p)
+    logits, scores = _interpret(gap.gated_attention_pool, bag, p, mask=mask,
+                                tile=256, impl="dma")
+    np.testing.assert_allclose(np.asarray(logits)[0], np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(np.asarray(scores)[valid],
+                               np.asarray(ref_scores)[valid],
+                               rtol=1e-4, atol=1e-5)
+
+    for nv in (64, 700):
+        logits, scores = _interpret(gap.gated_attention_pool, bag, p,
+                                    n_valid=jnp.asarray(nv), tile=256,
+                                    impl="dma")
+        ref_logits, ref_scores = gap.gated_attention_pool_reference(
+            bag, jnp.arange(n) < nv, p)
+        np.testing.assert_allclose(np.asarray(logits)[0],
+                                   np.asarray(ref_logits),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(scores)[:nv],
+                                   np.asarray(ref_scores)[:nv],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_dma_kernel_all_masked_neutral(rng):
+    """Empty-bag guard holds on the DMA path too (classifier bias out)."""
+    p = _random_params(rng)
+    bag = jnp.asarray(rng.normal(size=(200, 192)).astype(np.float32))
+    mask = jnp.zeros((200,), bool)
+    logits, scores = _interpret(gap.gated_attention_pool, bag, p, mask=mask,
+                                tile=128, impl="dma")
+    np.testing.assert_allclose(np.asarray(logits)[0], np.asarray(p.b_cls),
+                               rtol=1e-6, atol=1e-6)
+    assert np.all(np.asarray(scores) <= 0.5 * gap.NEG_INF)
