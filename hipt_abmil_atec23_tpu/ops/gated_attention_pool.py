@@ -236,15 +236,16 @@ def _kernel_dma(nv_ref, mask_ref, bag_hbm, wf_ref, bf_ref, wa_ref, ba_ref,
             wc_ref[:], a * g, (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) + bc_ref[:]  # [1, T]
         # rows past n (stale buffer contents in the tail chunk) and invalid
-        # instances both drop to NEG_INF
+        # instances both drop to NEG_INF. mask/scores are laid out
+        # [num_chunks, tile] so the per-chunk access is a dynamic SUBLANE
+        # index (well-supported) rather than a dynamic lane offset.
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * tile
         if has_mask:
-            mvals = jax.lax.dynamic_slice(mask_ref[:], (0, i * tile),
-                                          (1, tile))
+            mvals = mask_ref[pl.ds(i, 1), :]
             s = jnp.where((mvals > 0) & (col < n), s, NEG_INF)
         else:
             s = jnp.where(col < nv_ref[0], s, NEG_INF)
-        scores_ref[0, pl.ds(i * tile, tile)] = s[0]
+        scores_ref[pl.ds(i, 1), :] = s
 
         m_new = jnp.maximum(m_prev, jnp.max(s))
         alpha = jnp.exp(m_prev - m_new)
@@ -274,10 +275,11 @@ def _pallas_pool_dma(bag, mask, n_valid, p: GatedPoolParams, tile: int,
     n, d_in = bag.shape
     tile = min(tile, _pick_tile_dma(p, d_in, nbuf),
                max(128, -(-n // 128) * 128))
-    n_lanes = -(-n // tile) * tile
+    num_chunks = -(-n // tile)
     has_mask = mask is not None
     if has_mask:
-        mask = jnp.pad(mask.astype(jnp.float32), (0, n_lanes - n))[None]
+        mask = jnp.pad(mask.astype(jnp.float32),
+                       (0, num_chunks * tile - n)).reshape(num_chunks, tile)
     else:
         mask = jnp.zeros((1, 1), jnp.float32)  # unused dummy
     nv = jnp.asarray([n_valid if n_valid is not None else n], jnp.int32)
@@ -293,7 +295,7 @@ def _pallas_pool_dma(bag, mask, n_valid, p: GatedPoolParams, tile: int,
                   pl.BlockSpec(memory_space=pltpu.ANY)] + [vmem()] * 10,
         out_specs=(vmem(), vmem(), vmem()),
         out_shape=(jax.ShapeDtypeStruct((1, out0_dim), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_lanes), jnp.float32),
+                   jax.ShapeDtypeStruct((num_chunks, tile), jnp.float32),
                    jax.ShapeDtypeStruct((1, 2), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((nbuf, tile, d_in), bag.dtype),
@@ -302,7 +304,7 @@ def _pallas_pool_dma(bag, mask, n_valid, p: GatedPoolParams, tile: int,
         ],
     )(nv, mask, bag, p.w_f, p.b_f, p.w_a, p.b_a, p.w_b, p.b_b,
       p.w_c, p.b_c, p.w_cls, p.b_cls)
-    return out0, scores[0, :n], out2
+    return out0, scores.reshape(num_chunks * tile)[:n], out2
 
 
 def _pick_tile_dma(p: GatedPoolParams, d_in: int, nbuf: int) -> int:
