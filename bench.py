@@ -243,6 +243,18 @@ def bench_e2e():
         np.asarray(fn(*dy))
     compute_ms_region = (time.perf_counter() - tcs) / 3 / REGION_BATCH * 1e3
 
+    # analytic encoder FLOPs per 4096px region -> the TFLOP/s implied by
+    # the measured latency (256 ViT-256 images + one ViT-4K pass; same
+    # FLOP model as bench_vit256). Puts the fused-kernel encode rate in
+    # the driver-captured default output without a second kernel bench.
+    def _tx_flops(l, d, depth, mlp=4):
+        return depth * (2 * l * d * 3 * d + 2 * 2 * l * l * d
+                        + 2 * l * d * d + 2 * 2 * l * d * mlp * d)
+    flops_region = (256 * (_tx_flops(257, 384, 12)
+                           + 2 * 256 * (16 * 16 * 3) * 384)
+                    + _tx_flops(257, 192, 6) + 2 * 256 * 384 * 192)
+    encode_tflops = flops_region / (compute_ms_region / 1e3) / 1e12
+
     # ---- heatmap stage from CACHED features (VERDICT r2 #9): attention
     # inference + rasterization only — the fine pass never re-encodes
     # (explain/driver.py reuses the feature bag; reference
@@ -284,6 +296,7 @@ def bench_e2e():
         "total_regions_per_hour": round(regions_done / dt * 3600.0, 1),
         "effective_H2D_MBps": round(eff_wire_mbps, 1),
         "compute_ms_per_region_incl_dispatch": round(compute_ms_region, 1),
+        "encode_tflops_implied_bf16": round(encode_tflops, 1),
         "compute_bound_ceiling_slides_per_hour": round(
             3600e3 / compute_ms_region / REGIONS_PER_TCGA_SLIDE, 1),
         "heatmap_ms_per_slide_cached_features": round(t_heat * 1e3, 1),
