@@ -415,6 +415,7 @@ def gated_attention_pool(bag: jax.Array, p: GatedPoolParams,
 def gated_attention_pool_partial(
     bag: jax.Array, p: GatedPoolParams,
     mask: Optional[jax.Array] = None, tile: int = 2048,
+    impl: str = "grid", nbuf: int = 4,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Shard-local fused pooling partials for sequence-parallel MIL
     (parallel/sharded_bag.py): returns (acc [1, L] un-normalized weighted-sum
@@ -425,6 +426,11 @@ def gated_attention_pool_partial(
         l_g = psum(l * exp(m - gmax)); M = acc_g / l_g.
     """
     n = bag.shape[0]
+    if impl == "dma":
+        acc, scores, stats = _pallas_pool_dma(
+            bag, mask, n if mask is None else None, p, tile, nbuf,
+            partial_out=True)
+        return acc, stats[0, 0], stats[0, 1], scores
     bag, mask_rows, tile = _prep(bag, mask, p, tile)
     acc, scores, stats = _pallas_pool(bag, mask_rows, n if mask is None
                                       else None, p, tile, partial_out=True)

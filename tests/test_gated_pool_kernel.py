@@ -256,3 +256,26 @@ def test_dma_kernel_all_masked_neutral(rng):
     np.testing.assert_allclose(np.asarray(logits)[0], np.asarray(p.b_cls),
                                rtol=1e-6, atol=1e-6)
     assert np.all(np.asarray(scores) <= 0.5 * gap.NEG_INF)
+
+
+def test_dma_partial_mode_combines(rng):
+    """DMA-variant shard-local partials combine across halves exactly like
+    the grid kernel's (sequence-parallel local-op drop-in)."""
+    p = _random_params(rng)
+    n = 700
+    bag = rng.normal(size=(n, 192)).astype(np.float32)
+    mask = np.ones((n,), bool)
+    mask[650:] = False
+    ref_logits, _ = gap.gated_attention_pool_reference(
+        jnp.asarray(bag), jnp.asarray(mask), p)
+
+    halves = [(bag[:350], mask[:350]), (bag[350:], mask[350:])]
+    parts = [_interpret(gap.gated_attention_pool_partial, jnp.asarray(b), p,
+                        mask=jnp.asarray(m), tile=128, impl="dma")
+             for b, m in halves]
+    gmax = max(float(pt[1]) for pt in parts)
+    acc = sum(np.asarray(pt[0]) * np.exp(float(pt[1]) - gmax) for pt in parts)
+    l = sum(float(pt[2]) * np.exp(float(pt[1]) - gmax) for pt in parts)
+    logits = (acc / l) @ np.asarray(p.w_cls) + np.asarray(p.b_cls)
+    np.testing.assert_allclose(logits[0], np.asarray(ref_logits),
+                               rtol=1e-5, atol=1e-5)
