@@ -23,7 +23,8 @@ from hipt_abmil_atec23_tpu.ops.masking import NEG_INF
 
 def sharded_clam_forward(params: Any, bag: jax.Array, mask: jax.Array,
                          mesh: Mesh, *, axis: str = "inst",
-                         use_fused: bool = False) -> Tuple[jax.Array, jax.Array]:
+                         use_fused: bool = False,
+                         fused_impl: str = "grid") -> Tuple[jax.Array, jax.Array]:
     """CLAM_SB deterministic forward with the instance axis sharded.
 
     params: unbatched CLAM_SB parameter tree ({'params': {...}}).
@@ -44,7 +45,7 @@ def sharded_clam_forward(params: Any, bag: jax.Array, mask: jax.Array,
 
         def local_fused(bag_l, mask_l):
             acc, m, l, scores = gated_attention_pool_partial(
-                bag_l, gp, mask=mask_l)
+                bag_l, gp, mask=mask_l, impl=fused_impl)
             gmax = jax.lax.pmax(m, axis)
             scale = jnp.exp(m - gmax)
             l_g = jax.lax.psum(l * scale, axis)
