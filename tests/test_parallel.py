@@ -63,9 +63,11 @@ def test_sharded_bag_matches_single_device(rng):
                                rtol=2e-4, atol=1e-5)
 
 
-def test_sharded_bag_fused_local_op(rng):
-    """use_fused=True: the Pallas partial kernel as the sequence-parallel
-    local op (interpret mode on CPU) == unsharded CLAM forward."""
+@pytest.mark.parametrize("fused_impl", ["grid", "dma"])
+def test_sharded_bag_fused_local_op(rng, fused_impl):
+    """use_fused=True: the Pallas partial kernel (both the grid-pipelined
+    and DMA-ring variants) as the sequence-parallel local op (interpret
+    mode on CPU) == unsharded CLAM forward."""
     import functools
     import unittest.mock as mock
     from jax.experimental import pallas as pl
@@ -84,7 +86,8 @@ def test_sharded_bag_fused_local_op(rng):
     with mock.patch.object(gap.pl, "pallas_call",
                            functools.partial(orig, interpret=True)):
         logits, a_raw = sharded_clam_forward(
-            params, jnp.asarray(bag), jnp.asarray(mask), mesh, use_fused=True)
+            params, jnp.asarray(bag), jnp.asarray(mask), mesh,
+            use_fused=True, fused_impl=fused_impl)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref.logits),
                                rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(a_raw)[0, :1000],
