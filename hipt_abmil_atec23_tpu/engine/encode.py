@@ -376,6 +376,25 @@ def encode_slide(
     return out["_solo"]
 
 
+def _drain_in_order(jobs, feats, remaining, next_yield, feat_dim):
+    """In-order completion drain shared by the overlapped and staged stream
+    bodies: collect (slide_id, feats) for every job complete at the head of
+    the job order — empty jobs complete trivially with a zero-row bag.
+    Returns (ready, advanced cursor); ONE definition so the two paths can
+    never disagree on the yield rule."""
+    ready = []
+    while next_yield < len(jobs):
+        sid, _, coords = jobs[next_yield]
+        if len(coords) == 0:
+            ready.append((sid, np.zeros((0, feat_dim), np.float32)))
+        elif remaining[next_yield] == 0:
+            ready.append((sid, feats[next_yield]))
+        else:
+            break
+        next_yield += 1
+    return ready, next_yield
+
+
 def encode_stream(
     jobs,
     encoder: Encoder,
@@ -506,17 +525,9 @@ def encode_stream(
     next_yield = 0
 
     def _drain_ready():
-        # yield jobs in order once complete (empty jobs complete trivially)
         nonlocal next_yield
-        ready = []
-        while next_yield < len(jobs):
-            if len(jobs[next_yield][2]) == 0 or remaining[next_yield] == 0:
-                ready.append((jobs[next_yield][0], feats[next_yield]
-                              if len(jobs[next_yield][2]) else
-                              np.zeros((0, encoder.feat_dim), np.float32)))
-                next_yield += 1
-            else:
-                break
+        ready, next_yield = _drain_in_order(jobs, feats, remaining,
+                                            next_yield, encoder.feat_dim)
         return ready
 
     # ONE decode worker (see encode_slide): read_regions parallelizes
@@ -577,17 +588,8 @@ def _encode_stream_staged(items, jobs, feats, remaining, offs, encoder,
 
     def drain():
         nonlocal next_yield
-        out = []
-        while next_yield < len(jobs):
-            if len(jobs[next_yield][2]) == 0:
-                out.append((jobs[next_yield][0],
-                            np.zeros((0, encoder.feat_dim), np.float32)))
-                next_yield += 1
-            elif remaining[next_yield] == 0:
-                out.append((jobs[next_yield][0], feats[next_yield]))
-                next_yield += 1
-            else:
-                break
+        out, next_yield = _drain_in_order(jobs, feats, remaining,
+                                          next_yield, encoder.feat_dim)
         return out
 
     compiled = {}  # 'yuv'|'rgb' -> AOT callable or None (jit fallback)

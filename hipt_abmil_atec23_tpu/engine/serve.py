@@ -310,10 +310,15 @@ def serve_once(cfg: ServeConfig, state: Optional[ServeState] = None,
             store.save(sid, feats, coords=coords)
         with open(os.path.join(results_dir, f"{sid}.json"), "w") as f:
             json.dump(rec, f, indent=2)
-        jsonl.write(json.dumps(rec) + "\n")
-        jsonl.flush()
+        # journal 'done' + mark finished BEFORE the jsonl append: if the
+        # stream append fails here, the per-slide fallback (and the next
+        # drain, via the journal) must NOT re-score the slide — a missing
+        # jsonl line (the per-slide .json above still exists) is recoverable;
+        # a duplicate record double-counts the slide downstream.
         _journal_append(cfg, sid, "done")
         finished.add(sid)
+        jsonl.write(json.dumps(rec) + "\n")
+        jsonl.flush()
         records.append(rec)
         if verbose:
             print(f"[serve] {sid}: pred {rec['y_hat']} p={rec['p']} "
