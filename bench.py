@@ -95,7 +95,43 @@ def _chained_time(fn, params, x, chain=32, iters=5):
     return _timed_device(run, params, x, iters=iters) / chain
 
 
-def bench_e2e():
+def _probe_wire_mbps(jax, nbytes=25_000_000):
+    """Honest instantaneous H2D wire rate (MB/s) via one synchronous
+    device_put. Only meaningful AFTER the first jit execution: before it the
+    runtime buffers puts and block_until_ready returns at an apparent
+    ~1.4 GB/s while the wire drains asynchronously (link model in
+    docs/PERFORMANCE.md §3)."""
+    buf = np.zeros(nbytes, np.uint8)
+    t0 = time.perf_counter()
+    d = jax.device_put(buf, jax.devices()[0])
+    jax.block_until_ready(d)
+    dt = time.perf_counter() - t0
+    del d
+    return nbytes / 1e6 / max(dt, 1e-9)
+
+
+def _wait_for_link(jax, min_mbps, max_wait_s, probe_every_s=90.0):
+    """Bounded gate on tunnel-link weather, symmetric with
+    _wait_for_backend: the dev tunnel's H2D rate droops to 2-8 MB/s for
+    ~hour-long windows (measured), and the pipeline is wire-bound by ~16x —
+    a capture inside such a window measures link luck, not the pipeline.
+    Waits (bounded) for the wire to clear `min_mbps`, then proceeds
+    regardless; the timed stream still reports whatever rate it really got
+    (the effective_H2D_MBps extra attributes the result either way).
+    Returns (last_probed_mbps, waited_s)."""
+    import sys
+    t0 = time.time()
+    mbps = _probe_wire_mbps(jax)
+    while mbps < min_mbps and time.time() - t0 < max_wait_s:
+        print(f"[bench] tunnel droop: wire {mbps:.1f} MB/s < {min_mbps:.0f}; "
+              f"waiting ({time.time() - t0:.0f}/{max_wait_s:.0f}s)",
+              file=sys.stderr)
+        time.sleep(probe_every_s)
+        mbps = _probe_wire_mbps(jax)
+    return mbps, time.time() - t0
+
+
+def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
     import jax
     import jax.numpy as jnp
     _setup_cache(jax)
@@ -212,6 +248,12 @@ def bench_e2e():
     # execution flips the tunnel out of buffered-put mode, so the timed
     # stream below measures the honest synchronous wire rate throughout
 
+    # bounded link-weather gate (post-warm, so probes are synchronous)
+    probed_mbps, link_waited = (_wait_for_link(jax, link_min_mbps,
+                                               link_wait_s)
+                                if link_wait_s > 0 else
+                                (_probe_wire_mbps(jax), 0.0))
+
     # ---- timed: the slide-stream production path. The dev tunnel's H2D
     # rate drifts ~2x within minutes, so the headline uses the MEDIAN
     # per-slide completion interval — robust to a single link stall.
@@ -295,6 +337,8 @@ def bench_e2e():
         "per_slide_s": [round(t, 1) for t in intervals],
         "total_regions_per_hour": round(regions_done / dt * 3600.0, 1),
         "effective_H2D_MBps": round(eff_wire_mbps, 1),
+        "link_gate_probe_MBps": round(probed_mbps, 1),
+        "link_gate_waited_s": round(link_waited, 1),
         "compute_ms_per_region_incl_dispatch": round(compute_ms_region, 1),
         "encode_tflops_implied_bf16": round(encode_tflops, 1),
         "compute_bound_ceiling_slides_per_hour": round(
@@ -619,6 +663,16 @@ def main():
                          "tunnel's outage windows run multiple hours, and a "
                          "bench that errors out records NOTHING for the "
                          "round — waiting is strictly better.")
+    ap.add_argument("--link_wait_s", type=float, default=2700,
+                    help="e2e only: max seconds to wait for the tunnel's "
+                         "H2D wire rate to clear --link_min_mbps before the "
+                         "timed stream (0 disables). The pipeline is "
+                         "wire-bound ~16x, so a capture inside a droop "
+                         "window (2-8 MB/s, ~hour-long) measures link "
+                         "weather, not the pipeline; the gate is bounded "
+                         "and the extras report the probe + wait either "
+                         "way.")
+    ap.add_argument("--link_min_mbps", type=float, default=15.0)
     args = ap.parse_args()
     if args.backend_wait_s > 0:
         _wait_for_backend(max_wait_s=args.backend_wait_s)
@@ -631,7 +685,8 @@ def main():
     elif args.kernel == "train":
         bench_train()
     else:
-        bench_e2e()
+        bench_e2e(link_wait_s=args.link_wait_s,
+                  link_min_mbps=args.link_min_mbps)
 
 
 if __name__ == "__main__":
