@@ -110,6 +110,39 @@ def _probe_wire_mbps(jax, nbytes=25_000_000):
     return nbytes / 1e6 / max(dt, 1e-9)
 
 
+def _probe_wire_mbps_subproc(nbytes=25_000_000, timeout_s=300):
+    """Wire probe in a SUBPROCESS with a hard timeout: a tunnel outage
+    mid-gate would hang an in-process device_put forever (droop windows
+    correlate with outages), and a bench that dies or hangs records
+    NOTHING for the round. The child runs one tiny jit execution first so
+    its put is synchronous (the buffered-put rule, docs/PERFORMANCE.md
+    §3); the tunneled backend accepts a second client while the parent
+    holds the chip (verified: child init ~16s alongside a live parent).
+    Returns 0.0 on failure/timeout — treated as 'link down, keep
+    waiting'."""
+    import subprocess
+    import sys
+    code = (
+        "import time, numpy as np, jax\n"
+        "x = jax.jit(lambda a: a + 1)(np.ones((8, 8), np.float32))\n"
+        "np.asarray(x)\n"
+        f"b = np.zeros({nbytes}, np.uint8)\n"
+        "t0 = time.perf_counter()\n"
+        "d = jax.device_put(b, jax.devices()[0])\n"
+        "jax.block_until_ready(d)\n"
+        f"print({nbytes} / 1e6 / max(time.perf_counter() - t0, 1e-9))\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        if r.returncode == 0:
+            return float(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        pass
+    return 0.0
+
+
 def _wait_for_link(jax, min_mbps, max_wait_s, probe_every_s=90.0):
     """Bounded gate on tunnel-link weather, symmetric with
     _wait_for_backend: the dev tunnel's H2D rate droops to 2-8 MB/s for
@@ -118,16 +151,23 @@ def _wait_for_link(jax, min_mbps, max_wait_s, probe_every_s=90.0):
     Waits (bounded) for the wire to clear `min_mbps`, then proceeds
     regardless; the timed stream still reports whatever rate it really got
     (the effective_H2D_MBps extra attributes the result either way).
-    Returns (last_probed_mbps, waited_s)."""
+
+    The first probe is in-process (the warm stream just proved the backend
+    alive); every probe taken while WAITING is subprocess-isolated with a
+    timeout so a backend outage during the wait can't hang or kill the
+    bench. Returns (last_probed_mbps, waited_s)."""
     import sys
     t0 = time.time()
-    mbps = _probe_wire_mbps(jax)
+    try:
+        mbps = _probe_wire_mbps(jax)
+    except Exception:
+        mbps = 0.0
     while mbps < min_mbps and time.time() - t0 < max_wait_s:
         print(f"[bench] tunnel droop: wire {mbps:.1f} MB/s < {min_mbps:.0f}; "
               f"waiting ({time.time() - t0:.0f}/{max_wait_s:.0f}s)",
               file=sys.stderr)
         time.sleep(probe_every_s)
-        mbps = _probe_wire_mbps(jax)
+        mbps = _probe_wire_mbps_subproc()
     return mbps, time.time() - t0
 
 
@@ -219,7 +259,8 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
         bag[:k], mask[:k] = feats[:k], True
         logits, _ = _mil_compiled(mil_params, jax.device_put(bag),
                                   jax.device_put(mask))
-        jax.block_until_ready(logits)
+        np.asarray(logits)  # host fetch: block_until_ready returns early
+        # through the tunnel (CLAUDE.md) and would under-stamp done_t
 
     def run_stream(n_slides):
         """tile -> HIPT encode -> ABMIL for `n_slides` slides through ONE
@@ -249,10 +290,15 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
     # stream below measures the honest synchronous wire rate throughout
 
     # bounded link-weather gate (post-warm, so probes are synchronous)
-    probed_mbps, link_waited = (_wait_for_link(jax, link_min_mbps,
-                                               link_wait_s)
-                                if link_wait_s > 0 else
-                                (_probe_wire_mbps(jax), 0.0))
+    if link_wait_s > 0:
+        probed_mbps, link_waited = _wait_for_link(jax, link_min_mbps,
+                                                  link_wait_s)
+    else:
+        try:
+            probed_mbps = _probe_wire_mbps(jax)
+        except Exception:
+            probed_mbps = 0.0
+        link_waited = 0.0
 
     # ---- timed: the slide-stream production path. The dev tunnel's H2D
     # rate drifts ~2x within minutes, so the headline uses the MEDIAN

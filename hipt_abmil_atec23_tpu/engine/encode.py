@@ -439,6 +439,10 @@ def encode_stream(
     from concurrent.futures import ThreadPoolExecutor
 
     size = region_size or encoder.input_size
+    if target_patch_size == size:
+        # no-op resize: normalize so it can't disable the raw-plane fast
+        # path below (_decode_batch already skips the cv2 call for it)
+        target_patch_size = 0
     bs = encoder.batch_size
     jobs = list(jobs)
 

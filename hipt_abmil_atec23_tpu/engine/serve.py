@@ -100,11 +100,6 @@ def load_journal(cfg: ServeConfig) -> Dict[str, str]:
     return _journal_scan(cfg)[0]
 
 
-def _error_counts(cfg: ServeConfig) -> Dict[str, int]:
-    """slide_id -> number of journaled 'error' attempts (bounded retry)."""
-    return {sid: len(ts) for sid, ts in _journal_scan(cfg)[1].items()}
-
-
 def _journal_append(cfg: ServeConfig, slide_id: str, status: str,
                     detail: str = "") -> None:
     path = _journal_path(cfg)
@@ -114,7 +109,10 @@ def _journal_append(cfg: ServeConfig, slide_id: str, status: str,
         w = csv.writer(f)
         if new:
             w.writerow(["slide_id", "status", "time", "detail"])
-        w.writerow([slide_id, status, f"{time.time():.3f}", detail])
+        # microsecond precision: discover() compares row times to file
+        # mtimes, and a .3f-rounded time written <0.5ms after the mtime
+        # can round BELOW it, making a fresh row look pre-replacement
+        w.writerow([slide_id, status, f"{time.time():.6f}", detail])
 
 
 def discover(cfg: ServeConfig) -> List[str]:

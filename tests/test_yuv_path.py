@@ -147,6 +147,38 @@ def test_encode_stream_uses_yuv_and_matches_rgb(ycbcr_slide, tmp_path):
     assert np.abs(outs["a"]).max() > 0.01
 
 
+def test_encode_stream_noop_target_patch_size_keeps_yuv(ycbcr_slide):
+    """target_patch_size equal to the region size is a no-op resize and
+    must NOT disable the raw-plane fast path (the pipeline is wire-bound;
+    falling back to RGB would double H2D bytes for identical output)."""
+    from hipt_abmil_atec23_tpu.engine.encode import (
+        build_encoder, encode_stream)
+    from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+
+    class CountingSlide:
+        def __init__(self, s):
+            self._s = s
+            self.yuv_calls = 0
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def read_regions_yuv420(self, *a, **kw):
+            self.yuv_calls += 1
+            return self._s.read_regions_yuv420(*a, **kw)
+
+    slide, _ = ycbcr_slide
+    proxy = CountingSlide(slide)
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=2,
+                                      dtype="float32"))
+    coords = np.array([[0, 0], [256, 0], [0, 256]])
+    outs = dict(encode_stream([("a", proxy, coords)], enc, region_size=256,
+                              target_patch_size=256))
+    assert proxy.yuv_calls > 0  # raw planes shipped despite the no-op flag
+    want = dict(encode_stream([("a", slide, coords)], enc, region_size=256))
+    np.testing.assert_allclose(outs["a"], want["a"], rtol=1e-5, atol=1e-5)
+
+
 def test_encode_stream_staged_yuv(ycbcr_slide, tmp_path):
     """stage=True over a mixed yuv+rgb stream: the staged phase transfers
     raw planes, AOT-compiles BOTH entry kinds, and matches the overlapped
