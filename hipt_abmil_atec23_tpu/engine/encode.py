@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +28,26 @@ from hipt_abmil_atec23_tpu.models.resnet import (
     resnet50_trunc, resnet18, imagenet_normalize)
 from hipt_abmil_atec23_tpu.slideio.reader import BaseSlide
 from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+
+
+class DctBatch(NamedTuple):
+    """One compute batch shipped as sparse quantized-DCT packs instead of
+    pixels (~0.5-0.9 bytes/px vs 1.5 raw-YCbCr / 3 RGB — the wire is the
+    e2e bottleneck). Field order matches ops/jpegdct.dct_regions_to_rgb;
+    the device does dequant -> IDCT -> upsample -> color -> normalize in
+    one fused graph. NOTE: this is a tuple subtype — dispatchers must test
+    DctBatch BEFORE the plain-tuple (YUV planes) case."""
+    y_dc: np.ndarray
+    y_bm: np.ndarray
+    y_val: np.ndarray
+    cb_dc: np.ndarray
+    cb_bm: np.ndarray
+    cb_val: np.ndarray
+    cr_dc: np.ndarray
+    cr_bm: np.ndarray
+    cr_val: np.ndarray
+    qt: np.ndarray      # [3, 64] uint16 quant tables (per slide)
+    valid: np.ndarray   # [n, 2] int32 in-slide extents (white past them)
 
 
 @dataclass
@@ -44,14 +64,20 @@ class Encoder:
     # 1.5 bytes/px instead of 3. Set for encoders whose forward starts
     # with a pure normalize (HIPT/ViT/ResNet); None otherwise.
     apply_yuv: Optional[Callable] = None
+    # sparse-DCT entry (DctBatch payload): the device decodes from
+    # quantized coefficients (ops/jpegdct.py) — below the pixel floor on
+    # the wire. Set alongside apply_yuv for pure-normalize encoders.
+    apply_dct: Optional[Callable] = None
     # raw jit functions taking (variables, ...) — kept for AOT compilation
     # (compile without executing; used by encode_stream's staged mode and
     # by benches that want every compile paid before the timed section)
     jit_fwd: Optional[Callable] = None
     jit_fwd_yuv: Optional[Callable] = None
+    jit_fwd_dct: Optional[Callable] = None
     aot_cache: Dict = field(default_factory=dict)
 
-    def compile_ahead(self, sample, yuv: bool) -> Optional[Callable]:
+    def compile_ahead(self, sample, yuv: bool = False,
+                      dct: bool = False) -> Optional[Callable]:
         """AOT-compile the forward for `sample`'s shapes; returns a callable
         over device buffers, or None when no matching jit entry exists.
         Compilation does not execute anything on the device, so it is safe
@@ -59,19 +85,20 @@ class Encoder:
         executables are cached per (entry, shapes) — benches/CLIs can call
         this in untimed setup and the staged stream reuses them."""
         import jax as _jax
-        fn = self.jit_fwd_yuv if yuv else self.jit_fwd
+        fn = (self.jit_fwd_dct if dct
+              else self.jit_fwd_yuv if yuv else self.jit_fwd)
         if fn is None:
             return None
         spec = _jax.tree.map(
             lambda a: _jax.ShapeDtypeStruct(a.shape, a.dtype), sample)
-        key = (yuv,) + tuple((s.shape, str(s.dtype))
-                             for s in _jax.tree.leaves(spec))
+        key = (yuv, dct) + tuple((s.shape, str(s.dtype))
+                                 for s in _jax.tree.leaves(spec))
         if key not in self.aot_cache:
             v = self.variables
-            if yuv:
+            if yuv or dct:  # tuple payloads splat into the entry
                 compiled = fn.lower(v, *spec).compile()
                 self.aot_cache[key] = \
-                    lambda y, cb, cr: compiled(v, y, cb, cr)
+                    lambda *bufs: compiled(v, *bufs)
             else:
                 compiled = fn.lower(v, spec).compile()
                 self.aot_cache[key] = lambda b: compiled(v, b)
@@ -101,6 +128,7 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
     # backend — CPU tests run the jnp attention path
     use_flash = jax.default_backend() == "tpu"
     _fwd_yuv = None
+    _fwd_dct = None
 
     if cfg.model_type in ("HIPT_4K", "hipt_4k"):
         model = make_hipt_encoder(dtype=dtype, use_fused_block=use_flash)
@@ -142,6 +170,11 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
             x = yuv420_to_rgb(yp, cb, cr) / 127.5 - 1.0  # fused normalize
             return _run_hipt(v, x)
 
+        @jax.jit
+        def _fwd_dct(v, *pack):
+            from hipt_abmil_atec23_tpu.ops.jpegdct import dct_regions_to_rgb
+            return _run_hipt(v, dct_regions_to_rgb(*pack) / 127.5 - 1.0)
+
     elif cfg.model_type == "vit256":
         import dataclasses as _dc
         from hipt_abmil_atec23_tpu.models.vit import (
@@ -171,6 +204,11 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
             x = yuv420_to_rgb(yp, cb, cr) / 127.5 - 1.0
             return model.apply(v, x)
 
+        @jax.jit
+        def _fwd_dct(v, *pack):
+            from hipt_abmil_atec23_tpu.ops.jpegdct import dct_regions_to_rgb
+            return model.apply(v, dct_regions_to_rgb(*pack) / 127.5 - 1.0)
+
     elif cfg.model_type in ("resnet50", "resnet18"):
         model = resnet50_trunc(dtype=dtype) if cfg.model_type == "resnet50" \
             else resnet18(dtype=dtype)
@@ -196,6 +234,12 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
             from hipt_abmil_atec23_tpu.ops.yuv import yuv420_to_rgb
             return model.apply(v, imagenet_normalize(
                 yuv420_to_rgb(yp, cb, cr)))
+
+        @jax.jit
+        def _fwd_dct(v, *pack):
+            from hipt_abmil_atec23_tpu.ops.jpegdct import dct_regions_to_rgb
+            return model.apply(v, imagenet_normalize(
+                dct_regions_to_rgb(*pack)))
 
     elif cfg.model_type in ("levit_128s", "levit_256"):
         from hipt_abmil_atec23_tpu.models.levit import levit_texture_encoder
@@ -240,7 +284,10 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
                    feat_dim=feat_dim, variables=variables,
                    apply_yuv=None if _fwd_yuv is None
                    else partial(_fwd_yuv, variables),
-                   jit_fwd=_fwd, jit_fwd_yuv=_fwd_yuv)
+                   apply_dct=None if _fwd_dct is None
+                   else partial(_fwd_dct, variables),
+                   jit_fwd=_fwd, jit_fwd_yuv=_fwd_yuv,
+                   jit_fwd_dct=_fwd_dct)
 
 
 # --------------------------------------------------------------------------
@@ -256,15 +303,36 @@ def _pad_to(batch: np.ndarray, k: int, bs: int) -> np.ndarray:
 
 
 def _decode_batch(slide, chunk, *, patch_level, size, bs, transform,
-                  target_patch_size, n_io_threads, use_yuv=False):
+                  target_patch_size, n_io_threads, use_yuv=False,
+                  dct_ctx=None):
     """ONE decode-batch implementation for every encode path (per-slide
     and stream): native threaded region read, optional resize
     (reference: --target_patch_size, dataset_h5.py:147-152), optional
     host transform, tail-pad to the compiled batch shape. With
     ``use_yuv`` the raw YCbCr 4:2:0 planes ship instead of RGB (half the
     H2D bytes; ops/yuv.py reconstructs on device), falling back to RGB
-    when the codec/coords don't allow it."""
+    when the codec/coords don't allow it. ``dct_ctx`` = (qt, cap_y_pb,
+    cap_c_pb) tries the sparse-coefficient pack first (~0.5-0.9 bytes/px,
+    ops/jpegdct.py decodes on device); any flagged region drops the whole
+    chunk to the pixel paths below — never a mixed/truncated payload."""
     k = len(chunk)
+    if dct_ctx is not None and transform is None and not target_patch_size:
+        qt, cap_y_pb, cap_c_pb = dct_ctx
+        try:
+            r = slide.read_regions_dct(chunk, patch_level, (size, size),
+                                       cap_y_pb=cap_y_pb,
+                                       cap_c_pb=cap_c_pb,
+                                       n_threads=n_io_threads or k)
+            if not r.status.any():
+                return DctBatch(
+                    _pad_to(r.y_dc, k, bs), _pad_to(r.y_bm, k, bs),
+                    _pad_to(r.y_val, k, bs), _pad_to(r.cb_dc, k, bs),
+                    _pad_to(r.cb_bm, k, bs), _pad_to(r.cb_val, k, bs),
+                    _pad_to(r.cr_dc, k, bs), _pad_to(r.cr_bm, k, bs),
+                    _pad_to(r.cr_val, k, bs), qt,
+                    _pad_to(r.valid, k, bs))
+        except (IOError, AttributeError):
+            pass  # unreadable through the coefficient path — pixels below
     if use_yuv and transform is None and not target_patch_size:
         # host transforms/resizes need RGB — callers gate use_yuv on this
         # already (encode_stream), the guard keeps the helper misuse-proof
@@ -446,20 +514,70 @@ def encode_stream(
     bs = encoder.batch_size
     jobs = list(jobs)
 
-    # flat work list across slides: (job_idx, slide, chunk, use_yuv).
-    # Slides storing JPEG YCbCr 4:2:0 (TCGA .svs convention) ship RAW
-    # chroma-subsampled planes — 1.5 bytes/px over the host link instead
-    # of 3 — and the device reconstructs RGB inside the encoder forward
-    # (ops/yuv.py). Host-side transforms/resizes need RGB, so they
-    # disable the fast path.
+    # flat work list across slides: (job_idx, slide, chunk, use_yuv,
+    # dct_ctx). Transfer-format ladder, cheapest wire bytes first:
+    #   1. sparse quantized-DCT packs (~0.5-0.9 bytes/px): JPEG YCbCr
+    #      4:2:0 slides with a 16-aligned region grid ship coefficients;
+    #      the device dequantizes + IDCTs (ops/jpegdct.py);
+    #   2. raw YCbCr 4:2:0 planes (1.5 bytes/px, ops/yuv.py);
+    #   3. RGB pixels (3 bytes/px) — required by host transforms/resizes.
+    # Value capacities are probed ONCE per stream (first eligible slide,
+    # one region) so every DCT batch shares one compiled entry; a chunk
+    # that overflows the caps falls back to planes for that chunk only.
+    dct_caps = None
+
+    def _probe_caps(slide, coords):
+        nonlocal dct_caps
+        if dct_caps is None:
+            # sample regions SPREAD across the slide: the first region is
+            # often background (near-zero density) and would size the caps
+            # so low that every tissue chunk overflows into the fallback
+            sample = np.asarray(coords)[
+                np.unique(np.linspace(0, len(coords) - 1, 3, dtype=int))]
+            try:
+                r = slide.read_regions_dct(sample, patch_level,
+                                           (size, size), cap_y_pb=63,
+                                           cap_c_pb=63,
+                                           n_threads=len(sample))
+            except (IOError, AttributeError):
+                dct_caps = False
+                return
+            if r.status.any():
+                dct_caps = False
+                return
+            ybl, cbl = r.y_dc[0].size, r.cb_dc[0].size
+            need_y = r.y_nnz.max() / ybl * 1.3 + 1.0  # 30% headroom
+            need_c = (max(r.cb_nnz.max(), r.cr_nnz.max()) / cbl * 1.3
+                      + 1.0)
+            y_pb = next((b for b in (4, 8, 16, 24, 32, 48) if b >= need_y),
+                        63)
+            c_pb = next((b for b in (2, 4, 8, 12, 16, 24) if b >= need_c),
+                        63)
+            dct_caps = (y_pb, c_pb)
+
     items = []
     for ji, (sid, slide, coords) in enumerate(jobs):
         use_yuv = (encoder.apply_yuv is not None and transform is None
                    and not target_patch_size and size % 2 == 0
                    and getattr(slide, "supports_yuv420",
                                lambda lvl: False)(patch_level))
+        dct_ctx = None
+        if (encoder.apply_dct is not None and transform is None
+                and not target_patch_size and size % 16 == 0
+                and len(coords) > 0):
+            ds = slide.level_downsamples[patch_level]
+            lvl = np.stack([(np.asarray(coords)[:, 0] / ds[0]),
+                            (np.asarray(coords)[:, 1] / ds[1])],
+                           axis=1).astype(np.int64)
+            if not (lvl % 16).any():  # 4:2:0 MCU grid alignment
+                qt = getattr(slide, "dct_probe",
+                             lambda lvl: None)(patch_level)
+                if qt is not None:
+                    _probe_caps(slide, coords)
+                    if dct_caps:
+                        dct_ctx = (qt, dct_caps[0], dct_caps[1])
         for chunk in _batches(coords, bs):
-            items.append((ji, slide, chunk, use_yuv))
+            items.append((ji, slide, chunk, use_yuv, dct_ctx))
     feats = [np.empty((len(c), encoder.feat_dim), np.float32)
              for _, _, c in jobs]
     remaining = [max(1, -(-len(c) // bs)) for _, _, c in jobs]
@@ -471,11 +589,12 @@ def encode_stream(
         return
 
     def read_batch(item):
-        ji, slide, chunk, use_yuv = item
+        ji, slide, chunk, use_yuv, dct_ctx = item
         return _decode_batch(slide, chunk, patch_level=patch_level,
                              size=size, bs=bs, transform=transform,
                              target_patch_size=target_patch_size,
-                             n_io_threads=n_io_threads, use_yuv=use_yuv)
+                             n_io_threads=n_io_threads, use_yuv=use_yuv,
+                             dct_ctx=dct_ctx)
 
     try:
         device = next(iter(jax.tree.leaves(encoder.variables)[0].devices()))
@@ -546,13 +665,14 @@ def encode_stream(
             d = dev_q.get()
             if d is None:
                 break
-            out = (encoder.apply_yuv(*d) if isinstance(d, tuple)
+            out = (encoder.apply_dct(*d) if isinstance(d, DctBatch)
+                   else encoder.apply_yuv(*d) if isinstance(d, tuple)
                    else encoder.apply(d))  # async dispatch
             if pending is not None:
                 _collect(pending)
                 for item in _drain_ready():
                     yield item
-            ji, _, chunk, _ = items[ci]
+            ji, _, chunk = items[ci][:3]
             pending = (ji, len(chunk), out)
         xt.join()
         if xfer_err:
@@ -596,25 +716,31 @@ def _encode_stream_staged(items, jobs, feats, remaining, offs, encoder,
                                           next_yield, encoder.feat_dim)
         return out
 
-    compiled = {}  # 'yuv'|'rgb' -> AOT callable or None (jit fallback)
+    compiled = {}  # 'dct'|'yuv'|'rgb' -> AOT callable or None (jit fallback)
     lock = threading.Lock()
+
+    def _kind(buf):
+        return ("dct" if isinstance(buf, DctBatch)
+                else "yuv" if isinstance(buf, tuple) else "rgb")
 
     def get_compiled(kind, sample):
         with lock:
             if kind not in compiled:
                 try:
                     compiled[kind] = encoder.compile_ahead(
-                        sample, yuv=kind == "yuv")
+                        sample, yuv=kind == "yuv", dct=kind == "dct")
                 except Exception:
                     compiled[kind] = None
             return compiled[kind]
 
     def compute(buf):
-        is_yuv = isinstance(buf, tuple)
-        fn = compiled.get("yuv" if is_yuv else "rgb")
+        kind = _kind(buf)
+        fn = compiled.get(kind)
         if fn is None:  # AOT unavailable: ordinary jit entries
-            return encoder.apply_yuv(*buf) if is_yuv else encoder.apply(buf)
-        return fn(*buf) if is_yuv else fn(buf)
+            return (encoder.apply_dct(*buf) if kind == "dct"
+                    else encoder.apply_yuv(*buf) if kind == "yuv"
+                    else encoder.apply(buf))
+        return fn(*buf) if kind != "rgb" else fn(buf)
 
     staged = []  # [ji, k, device buffers] (buffers dropped as collected)
     state = {"bytes": 0}
@@ -652,12 +778,12 @@ def _encode_stream_staged(items, jobs, feats, remaining, offs, encoder,
             batch = futures[ci].result()
             if ci + window < len(items):
                 futures.append(ex.submit(read_batch, items[ci + window]))
-            kind = "yuv" if isinstance(batch, tuple) else "rgb"
+            kind = _kind(batch)
             if kind not in compile_futs:
                 compile_futs[kind] = cex.submit(get_compiled, kind, batch)
             d = jax.device_put(batch, device)
             jax.block_until_ready(d)
-            ji, _, chunk, _ = items[ci]
+            ji, _, chunk = items[ci][:3]
             staged.append([ji, len(chunk), d])
             bufs = batch if isinstance(batch, tuple) else (batch,)
             state["bytes"] += sum(a.nbytes for a in bufs)

@@ -70,6 +70,15 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int32]
         lib.ws_read_regions_yuv420.restype = ctypes.c_int32
+        lib.ws_dct_probe.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
+        lib.ws_dct_probe.restype = ctypes.c_int32
+        lib.ws_read_regions_dct.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+             ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+             ctypes.c_int32, ctypes.c_int32] +
+            [ctypes.c_void_p] * 14 + [ctypes.c_int32])
+        lib.ws_read_regions_dct.restype = ctypes.c_int32
         _lib = lib
         return lib
 

@@ -19,11 +19,31 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
 from hipt_abmil_atec23_tpu.slideio import native
+
+
+class DctRegions(NamedTuple):
+    """One batch of sparse quantized-DCT region packs (read_regions_dct).
+    Block-grid arrays carry the geometry; `status[i] != 0` means region i
+    must be re-read through a pixel path (see wsireader.cpp)."""
+    y_dc: np.ndarray    # [n, h/8, w/8] int16
+    y_bm: np.ndarray    # [n, h/8, w/8, 8] uint8 (LSB-first AC bitmap)
+    y_val: np.ndarray   # [n, cap_y] int8 (AC values, bitmap order)
+    y_nnz: np.ndarray   # [n] int32
+    cb_dc: np.ndarray   # [n, h/16, w/16] int16
+    cb_bm: np.ndarray
+    cb_val: np.ndarray
+    cb_nnz: np.ndarray
+    cr_dc: np.ndarray
+    cr_bm: np.ndarray
+    cr_val: np.ndarray
+    cr_nnz: np.ndarray
+    valid: np.ndarray   # [n, 2] int32 in-slide (w, h) extents
+    status: np.ndarray  # [n] int8: 0 ok, 1 pixel-fallback, 2 error
 
 
 class BaseSlide:
@@ -151,6 +171,62 @@ class TiffSlide(BaseSlide):
         if r != 0:
             raise IOError(f"read_regions_yuv420 failed ({r})")
         return yp, cb, cr
+
+    def dct_probe(self, level: int = 0):
+        """Quantization tables [3, 64] uint16 (natural order) when this
+        level can serve sparse DCT-coefficient reads (JPEG YCbCr 4:2:0,
+        16-aligned tiles); None otherwise. The coefficient path ships
+        ~0.5-0.9 bytes/px to the device instead of 1.5 (raw planes) —
+        ops/jpegdct.py reconstructs on device."""
+        qt = np.zeros((3, 64), np.uint16)
+        if self._lib.ws_dct_probe(self._h, level,
+                                  qt.ctypes.data_as(ctypes.c_void_p)):
+            return qt
+        return None
+
+    def read_regions_dct(self, locations, level, size, cap_y_pb: int = 32,
+                         cap_c_pb: int = 12, n_threads: int = 0):
+        """Batched sparse quantized-DCT reads (host does the Huffman decode
+        ONLY; dequant/IDCT/upsample/color run on device). Returns a
+        DctRegions namedtuple of block-grid arrays; regions whose
+        status != 0 must be re-read via a pixel path (16-misaligned
+        coords, value-cap overflow, |AC| > 127). cap_*_pb: value capacity
+        per 8x8 block (the padded int8 stream shipped per region)."""
+        locations = np.asarray(locations, np.int64)
+        dx, dy = self.level_downsamples[level]
+        lvl_coords = np.ascontiguousarray(
+            np.stack([(locations[:, 0] / dx).astype(np.int64),
+                      (locations[:, 1] / dy).astype(np.int64)], axis=1))
+        w, h = size
+        n = len(locations)
+        ybh, ybw = h // 8, w // 8
+        cbh, cbw = h // 16, w // 16
+        ybl, cbl = ybh * ybw, cbh * cbw
+        cap_y, cap_c = ybl * cap_y_pb, cbl * cap_c_pb
+        y_dc = np.empty((n, ybh, ybw), np.int16)
+        y_bm = np.empty((n, ybh, ybw, 8), np.uint8)
+        y_val = np.empty((n, cap_y), np.int8)
+        cb_dc = np.empty((n, cbh, cbw), np.int16)
+        cb_bm = np.empty((n, cbh, cbw, 8), np.uint8)
+        cb_val = np.empty((n, cap_c), np.int8)
+        cr_dc = np.empty((n, cbh, cbw), np.int16)
+        cr_bm = np.empty((n, cbh, cbw, 8), np.uint8)
+        cr_val = np.empty((n, cap_c), np.int8)
+        nnz = [np.zeros(n, np.int32) for _ in range(3)]
+        valid = np.zeros((n, 2), np.int32)
+        status = np.full(n, 2, np.int8)
+        p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        r = self._lib.ws_read_regions_dct(
+            self._h, level, p(lvl_coords), n, w, h, cap_y, cap_c,
+            p(y_dc), p(y_bm), p(y_val), p(nnz[0]),
+            p(cb_dc), p(cb_bm), p(cb_val), p(nnz[1]),
+            p(cr_dc), p(cr_bm), p(cr_val), p(nnz[2]),
+            p(valid), p(status), n_threads)
+        if r < 0:
+            raise IOError(f"read_regions_dct failed ({r})")
+        return DctRegions(y_dc, y_bm, y_val, nnz[0], cb_dc, cb_bm, cb_val,
+                          nnz[1], cr_dc, cr_bm, cr_val, nnz[2], valid,
+                          status)
 
     def close(self):
         if self._h:

@@ -23,6 +23,7 @@ uint32_t TIFFComputeTile(TIFF* tif, uint32_t x, uint32_t y, uint32_t z,
                          uint16_t s);
 tmsize_t TIFFReadEncodedTile(TIFF* tif, uint32_t tile, void* buf,
                              tmsize_t size);
+tmsize_t TIFFReadRawTile(TIFF* tif, uint32_t tile, void* buf, tmsize_t size);
 tmsize_t TIFFWriteEncodedTile(TIFF* tif, uint32_t tile, void* data,
                               tmsize_t cc);
 int TIFFReadRGBATile(TIFF* tif, uint32_t x, uint32_t y, uint32_t* raster);
@@ -43,6 +44,7 @@ enum : uint32_t {
   TAG_TILEWIDTH = 322,
   TAG_TILELENGTH = 323,
   TAG_SAMPLEFORMAT = 339,
+  TAG_JPEGTABLES = 347,
   TAG_YCBCRSUBSAMPLING = 530,
   TAG_JPEGQUALITY = 65537,   // pseudo-tag
   TAG_JPEGCOLORMODE = 65538,  // pseudo-tag

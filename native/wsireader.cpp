@@ -19,13 +19,19 @@
 
 #include <algorithm>
 #include <atomic>
+#include <csetjmp>
 #include <cstdarg>
+#include <cstdio>
 #include <cstring>
 #include <memory>
 #include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
+
+// libjpeg: raw quantized-coefficient access for the sparse DCT transfer
+// path (ws_read_regions_dct below); the header needs <cstdio> for FILE.
+#include <jpeglib.h>
 
 namespace {
 
@@ -377,6 +383,288 @@ int32_t ws_read_regions_yuv420(void* handle, int32_t level,
   for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return failed.load() ? -int32_t(failed.load()) : 0;
+}
+
+// ---------------------------------------------------------------------------
+// Sparse DCT-coefficient region reads: ship what the codec stores.
+//
+// The e2e pipeline is bound by the host->device wire; the YUV420 path
+// (above) already halves RGB's bytes. This path goes below the pixel floor:
+// the host does ONLY the entropy (Huffman) decode — the irreducibly serial
+// part of JPEG — and ships the quantized DCT coefficients in a sparse pack
+// (~0.5-0.9 bytes/px measured at quality 80 vs 1.5 for raw planes). The
+// device dequantizes, runs the 8x8 IDCT as batched matmuls, upsamples and
+// color-converts (ops/jpegdct.py + ops/yuv.py) — work the MXU/VPU does in
+// noise time, removed from both the wire AND the 1-CPU host (no IDCT, no
+// upsample, no color conversion here anymore).
+//
+// Pack format per region and component (block order = region row-major,
+// coefficient order = natural row-major):
+//   dc   int16[nblocks]     dense DC coefficients;
+//   bm   uint8[nblocks*8]   AC bitmap, LSB-first bit j of byte i = coeff
+//                           i*8+j nonzero (bit 0 = DC, always clear);
+//   val  int8[cap]          AC values in bitmap order; |v|>127 or cap
+//                           overflow flags the region for pixel fallback.
+// Regions must be 16-aligned (the 4:2:0 MCU); the slide must store
+// single-strip-of-tiles YCbCr 4:2:0 JPEG (TCGA .svs layout). Anything else
+// gets status=1 and the caller re-reads those regions via the YUV/RGB path.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct DctErr {
+  jpeg_error_mgr pub;
+  jmp_buf env;
+};
+
+void dct_error_exit(j_common_ptr c) {
+  longjmp(reinterpret_cast<DctErr*>(c->err)->env, 1);
+}
+
+// Decode every tile overlapping the region into dense per-component
+// coefficient planes (region block grid), then sparse-pack. Returns 0 ok,
+// 1 = fall back to a pixel path (unaligned / unsupported / cap overflow),
+// -1 = hard read error.
+int extract_region_dct(Slide* s, TIFF* tif, int level, int64_t x, int64_t y,
+                       int64_t w, int64_t h, const uint8_t* jt,
+                       uint32_t jtlen, int32_t cap_y, int32_t cap_c,
+                       int16_t* dc_out[3], uint8_t* bm_out[3],
+                       int8_t* val_out[3], int32_t nnz_out[3],
+                       int32_t* valid2, std::vector<int16_t> dense[3],
+                       std::vector<uint8_t>& rawbuf) {
+  const LevelInfo& L = s->levels[level];
+  if (!TIFFSetDirectory(tif, L.dir)) return -1;
+  if ((x | y | w | h) & 15 || x < 0 || y < 0) return 1;
+  if (L.tile_w % 16 || L.tile_h % 16) return 1;
+
+  const int64_t ybw = w / 8, ybh = h / 8, ybl = ybw * ybh;
+  const int64_t cbw = w / 16, cbh = h / 16, cbl = cbw * cbh;
+  const int64_t bl[3] = {ybl, cbl, cbl};
+  const int64_t bwid[3] = {ybw, cbw, cbw}, bhei[3] = {ybh, cbh, cbh};
+  for (int c = 0; c < 3; ++c) {
+    dense[c].assign(size_t(bl[c]) * 64, 0);
+    std::memset(dc_out[c], 0, size_t(bl[c]) * 2);
+    std::memset(bm_out[c], 0, size_t(bl[c]) * 8);
+  }
+  valid2[0] = int32_t(std::max<int64_t>(
+      0, std::min<int64_t>(int64_t(L.width) - x, w)));
+  valid2[1] = int32_t(std::max<int64_t>(
+      0, std::min<int64_t>(int64_t(L.height) - y, h)));
+
+  const int64_t tx0 = x / L.tile_w, ty0 = y / L.tile_h;
+  const int64_t tx1 = std::min<int64_t>((x + w - 1) / L.tile_w,
+                                        (int64_t(L.width) - 1) / L.tile_w);
+  const int64_t ty1 = std::min<int64_t>((y + h - 1) / L.tile_h,
+                                        (int64_t(L.height) - 1) / L.tile_h);
+  for (int64_t ty = ty0; ty <= ty1; ++ty) {
+    for (int64_t tx = tx0; tx <= tx1; ++tx) {
+      uint32_t tile = TIFFComputeTile(tif, uint32_t(tx * L.tile_w),
+                                      uint32_t(ty * L.tile_h), 0, 0);
+      tmsize_t n = TIFFReadRawTile(tif, tile, rawbuf.data(),
+                                   tmsize_t(rawbuf.size()));
+      if (n <= 0) return -1;
+      jpeg_decompress_struct ci;
+      DctErr jerr;
+      ci.err = jpeg_std_error(&jerr.pub);
+      jerr.pub.error_exit = dct_error_exit;
+      if (setjmp(jerr.env)) {
+        jpeg_destroy_decompress(&ci);
+        return 1;  // corrupt/unsupported stream: pixel path may still work
+      }
+      jpeg_create_decompress(&ci);
+      if (jtlen > 4) {  // abbreviated streams: tables ride a separate field
+        jpeg_mem_src(&ci, const_cast<uint8_t*>(jt), jtlen);
+        jpeg_read_header(&ci, FALSE);
+      }
+      jpeg_mem_src(&ci, rawbuf.data(), (unsigned long)n);
+      jpeg_read_header(&ci, TRUE);
+      if (ci.num_components != 3 ||
+          ci.comp_info[0].h_samp_factor != 2 ||
+          ci.comp_info[0].v_samp_factor != 2 ||
+          ci.comp_info[1].h_samp_factor != 1 ||
+          ci.comp_info[1].v_samp_factor != 1) {
+        jpeg_destroy_decompress(&ci);
+        return 1;  // not 4:2:0
+      }
+      jvirt_barray_ptr* coefs = jpeg_read_coefficients(&ci);
+      if (!coefs) {
+        jpeg_destroy_decompress(&ci);
+        return 1;
+      }
+      for (int c = 0; c < 3; ++c) {
+        jpeg_component_info* comp = &ci.comp_info[c];
+        const int sub = c == 0 ? 1 : 2;
+        const int64_t cx = x / sub, cy = y / sub;
+        const int64_t tgx = tx * L.tile_w / sub, tgy = ty * L.tile_h / sub;
+        for (JDIMENSION br = 0; br < comp->height_in_blocks; ++br) {
+          const int64_t rby = (tgy + 8 * int64_t(br) - cy) / 8;
+          if (tgy + 8 * int64_t(br) < cy || rby >= bhei[c]) continue;
+          JBLOCKARRAY rows = (ci.mem->access_virt_barray)(
+              reinterpret_cast<j_common_ptr>(&ci), coefs[c], br, 1, FALSE);
+          for (JDIMENSION bc = 0; bc < comp->width_in_blocks; ++bc) {
+            const int64_t rbx = (tgx + 8 * int64_t(bc) - cx) / 8;
+            if (tgx + 8 * int64_t(bc) < cx || rbx >= bwid[c]) continue;
+            std::memcpy(dense[c].data() + (rby * bwid[c] + rbx) * 64,
+                        rows[0][bc], 128);
+          }
+        }
+      }
+      jpeg_destroy_decompress(&ci);
+    }
+  }
+
+  // sparse-pack in region block order
+  const int64_t cap[3] = {cap_y, cap_c, cap_c};
+  for (int c = 0; c < 3; ++c) {
+    int64_t nnz = 0;
+    for (int64_t bi = 0; bi < bl[c]; ++bi) {
+      const int16_t* blk = dense[c].data() + bi * 64;
+      dc_out[c][bi] = blk[0];
+      uint8_t* b8 = bm_out[c] + bi * 8;
+      for (int k = 1; k < 64; ++k) {
+        const int v = blk[k];
+        if (!v) continue;
+        if (v < -128 || v > 127 || nnz >= cap[c]) return 1;
+        b8[k >> 3] |= uint8_t(1u << (k & 7));
+        val_out[c][nnz++] = int8_t(v);
+      }
+    }
+    nnz_out[c] = int32_t(nnz);
+  }
+  return 0;
+}
+
+}  // namespace
+
+// Probe: can `level` serve sparse DCT reads? Returns 1 and fills qt
+// (uint16[3*64], natural order) on success.
+int32_t ws_dct_probe(void* handle, int32_t level, uint16_t* qt) {
+  Slide* s = static_cast<Slide*>(handle);
+  if (level < 0 || level >= int32_t(s->levels.size())) return 0;
+  TIFF* tif = s->acquire();
+  if (!tif) return 0;
+  const LevelInfo& L = s->levels[level];
+  int32_t ok = 0;
+  do {
+    if (!TIFFSetDirectory(tif, L.dir)) break;
+    uint16_t photometric = 0, comp = 0, sh = 0, sv = 0;
+    TIFFGetField(tif, TAG_PHOTOMETRIC, &photometric);
+    TIFFGetField(tif, TAG_COMPRESSION, &comp);
+    TIFFGetField(tif, TAG_YCBCRSUBSAMPLING, &sh, &sv);
+    if (photometric != PHOTOMETRIC_YCBCR_ || comp != COMPRESSION_JPEG_ ||
+        sh != 2 || sv != 2 || !L.tiled || L.tile_w % 16 || L.tile_h % 16)
+      break;
+    uint8_t* jt = nullptr;
+    uint32_t jtlen = 0;
+    TIFFGetField(tif, TAG_JPEGTABLES, &jtlen, &jt);
+    std::vector<uint8_t> raw(4 << 20);
+    tmsize_t n = TIFFReadRawTile(tif, 0, raw.data(), tmsize_t(raw.size()));
+    if (n <= 0) break;
+    jpeg_decompress_struct ci;
+    DctErr jerr;
+    ci.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = dct_error_exit;
+    if (setjmp(jerr.env)) {
+      jpeg_destroy_decompress(&ci);
+      break;
+    }
+    jpeg_create_decompress(&ci);
+    if (jtlen > 4) {
+      jpeg_mem_src(&ci, jt, jtlen);
+      jpeg_read_header(&ci, FALSE);
+    }
+    jpeg_mem_src(&ci, raw.data(), (unsigned long)n);
+    jpeg_read_header(&ci, TRUE);
+    if (ci.num_components == 3) {
+      ok = 1;
+      for (int c = 0; c < 3; ++c) {
+        JQUANT_TBL* q = ci.quant_tbl_ptrs[ci.comp_info[c].quant_tbl_no];
+        if (!q) { ok = 0; break; }
+        std::memcpy(qt + c * 64, q->quantval, 128);
+      }
+    }
+    jpeg_destroy_decompress(&ci);
+  } while (false);
+  s->release(tif);
+  return ok;
+}
+
+// Batched thread-pooled sparse-DCT reads. Layout per region i (regions of
+// (w x h) at 16-aligned coords):
+//   y_dc  int16[i*ybl .. ]        ybl = (h/8)*(w/8), cbl = (h/16)*(w/16)
+//   y_bm  uint8[i*ybl*8 .. ]
+//   y_val int8[i*cap_y .. ]       nnz in y_nnz[i]
+//   cb_*/cr_* same with cbl/cap_c; valid int32[i*2] = in-slide (w, h);
+//   status int8[i]: 0 ok, 1 = re-read via a pixel path, 2 = hard error.
+// Returns the number of non-ok regions (0 = all packed).
+int32_t ws_read_regions_dct(void* handle, int32_t level,
+                            const int64_t* coords, int32_t n, int64_t w,
+                            int64_t h, int32_t cap_y, int32_t cap_c,
+                            int16_t* y_dc, uint8_t* y_bm, int8_t* y_val,
+                            int32_t* y_nnz, int16_t* cb_dc, uint8_t* cb_bm,
+                            int8_t* cb_val, int32_t* cb_nnz, int16_t* cr_dc,
+                            uint8_t* cr_bm, int8_t* cr_val, int32_t* cr_nnz,
+                            int32_t* valid, int8_t* status,
+                            int32_t n_threads) {
+  Slide* s = static_cast<Slide*>(handle);
+  if ((w | h) & 15 || w <= 0 || h <= 0) {
+    for (int32_t i = 0; i < n; ++i) status[i] = 1;
+    return n;
+  }
+  const int64_t ybl = (w / 8) * (h / 8), cbl = (w / 16) * (h / 16);
+
+  // JPEGTables bytes: fetched once (pointer is per-handle state)
+  std::vector<uint8_t> jtables;
+  {
+    TIFF* tif = s->acquire();
+    if (!tif) return -1;
+    if (TIFFSetDirectory(tif, s->levels[level].dir)) {
+      uint8_t* jt = nullptr;
+      uint32_t jtlen = 0;
+      if (TIFFGetField(tif, TAG_JPEGTABLES, &jtlen, &jt) && jtlen)
+        jtables.assign(jt, jt + jtlen);
+    }
+    s->release(tif);
+  }
+
+  if (n_threads <= 0) n_threads = int32_t(std::thread::hardware_concurrency());
+  n_threads = std::max(1, std::min<int32_t>(n_threads, n));
+  std::atomic<int32_t> next(0), bad(0);
+  auto worker = [&]() {
+    TIFF* tif = s->acquire();
+    if (!tif) {
+      bad.fetch_add(1);
+      return;
+    }
+    std::vector<int16_t> dense[3];
+    std::vector<uint8_t> rawbuf(4 << 20);
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) break;
+      int16_t* dc[3] = {y_dc + size_t(i) * ybl, cb_dc + size_t(i) * cbl,
+                        cr_dc + size_t(i) * cbl};
+      uint8_t* bm[3] = {y_bm + size_t(i) * ybl * 8,
+                        cb_bm + size_t(i) * cbl * 8,
+                        cr_bm + size_t(i) * cbl * 8};
+      int8_t* val[3] = {y_val + size_t(i) * cap_y,
+                        cb_val + size_t(i) * cap_c,
+                        cr_val + size_t(i) * cap_c};
+      int32_t nnz[3] = {0, 0, 0};
+      int r = extract_region_dct(
+          s, tif, level, coords[2 * i], coords[2 * i + 1], w, h,
+          jtables.data(), uint32_t(jtables.size()), cap_y, cap_c, dc, bm,
+          val, nnz, valid + 2 * i, dense, rawbuf);
+      y_nnz[i] = nnz[0];
+      cb_nnz[i] = nnz[1];
+      cr_nnz[i] = nnz[2];
+      status[i] = int8_t(r < 0 ? 2 : r);
+      if (r) bad.fetch_add(1);
+    }
+    s->release(tif);
+  };
+  std::vector<std::thread> threads;
+  for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return bad.load();
 }
 
 // ---------------------------------------------------------------------------

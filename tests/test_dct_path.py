@@ -1,0 +1,183 @@
+"""Sparse DCT-coefficient transfer path (native ws_read_regions_dct +
+ops/jpegdct.py device decode): the host ships quantized DCT coefficients
+(~0.5-0.9 bytes/px) instead of decoded pixel planes (1.5 for raw YCbCr,
+3 for RGB); the device dequantizes, IDCTs (batched 8x8 matmuls), upsamples
+and color-converts.
+
+Parity oracles: the raw-YCbCr reader (same libjpeg-decoded planes the
+device must reproduce — float IDCT vs jpeg_idct_islow differs by at most
+1 LSB) and libtiff's full RGB decode (same tolerance bands as
+tests/test_yuv_path.py).
+"""
+import numpy as np
+import pytest
+
+from hipt_abmil_atec23_tpu.slideio.reader import TiffSlide
+from hipt_abmil_atec23_tpu.slideio.synthetic import write_synthetic_slide
+
+
+@pytest.fixture(scope="module")
+def ycbcr_slide(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dct")
+    path = str(tmp / "ycbcr.tif")
+    img = write_synthetic_slide(path, 1024, 1024, n_levels=2, seed=3,
+                                ycbcr420=True)
+    slide = TiffSlide(path)
+    yield slide, img
+    slide.close()
+
+
+def test_dct_probe(ycbcr_slide, tmp_path):
+    slide, _ = ycbcr_slide
+    qt = slide.dct_probe(0)
+    assert qt is not None and qt.shape == (3, 64) and qt.dtype == np.uint16
+    assert (qt >= 1).all()  # real quantization tables
+    # plain RGB-JPEG slides do NOT support the coefficient path
+    p = str(tmp_path / "rgb.tif")
+    write_synthetic_slide(p, 512, 512, n_levels=1, seed=1)
+    rgb = TiffSlide(p)
+    assert rgb.dct_probe(0) is None
+    rgb.close()
+
+
+def test_dct_planes_match_libjpeg_planes(ycbcr_slide):
+    """Device dequant+IDCT must reproduce libjpeg's decoded planes (the
+    YUV reader's output) within 1 LSB — float vs islow integer IDCT."""
+    import jax
+    from hipt_abmil_atec23_tpu.ops.jpegdct import dct_regions_to_planes
+
+    slide, _ = ycbcr_slide
+    coords = np.array([[0, 0], [256, 256], [512, 128], [768, 768]])
+    want = slide.read_regions_yuv420(coords, 0, (256, 256))
+    r = slide.read_regions_dct(coords, 0, (256, 256))
+    assert (r.status == 0).all()
+    assert r.y_dc.shape == (4, 32, 32) and r.y_bm.shape == (4, 32, 32, 8)
+    assert r.cb_dc.shape == (4, 16, 16)
+    qt = slide.dct_probe(0)
+    got = jax.jit(dct_regions_to_planes)(
+        r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
+        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid)
+    for name, g, w in zip("y cb cr".split(), got, want):
+        diff = np.abs(np.asarray(g).astype(np.int16) - w.astype(np.int16))
+        assert diff.max() <= 1, (name, diff.max())
+        assert diff.mean() < 0.05, (name, diff.mean())
+
+
+def test_dct_rgb_matches_libtiff_decode(ycbcr_slide):
+    """Full path to RGB: same tolerance bands as the YUV path tests."""
+    import jax
+    from hipt_abmil_atec23_tpu.ops.jpegdct import dct_regions_to_rgb
+
+    slide, _ = ycbcr_slide
+    coords = np.array([[0, 0], [512, 128], [768, 768]])
+    ref = slide.read_regions(coords, 0, (256, 256))
+    r = slide.read_regions_dct(coords, 0, (256, 256))
+    qt = slide.dct_probe(0)
+    got = np.asarray(jax.jit(dct_regions_to_rgb)(
+        r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
+        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid))
+    diff = np.abs(got - ref.astype(np.float32))
+    assert diff.mean() < 1.0, diff.mean()
+    assert np.quantile(diff, 0.99) <= 4.0, np.quantile(diff, 0.99)
+
+
+def test_dct_region_boundary_white(ycbcr_slide):
+    """A region hanging off the slide edge renders white past the valid
+    extents, exactly like the RGB/YUV readers' background fill."""
+    import jax
+    from hipt_abmil_atec23_tpu.ops.jpegdct import dct_regions_to_rgb
+
+    slide, _ = ycbcr_slide
+    coords = np.array([[896, 896]])
+    ref = slide.read_regions(coords, 0, (256, 256))
+    r = slide.read_regions_dct(coords, 0, (256, 256))
+    assert (r.status == 0).all()
+    assert tuple(r.valid[0]) == (128, 128)
+    qt = slide.dct_probe(0)
+    got = np.asarray(jax.jit(dct_regions_to_rgb)(
+        r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
+        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid))
+    assert np.all(got[0, 128:] == 255) and np.all(got[0, :, 128:] == 255)
+    diff = np.abs(got - ref.astype(np.float32))
+    assert diff.mean() < 1.0, diff.mean()
+
+
+def test_dct_unaligned_and_overflow_flag_fallback(ycbcr_slide):
+    slide, _ = ycbcr_slide
+    # 4:2:0 MCUs are 16x16: unaligned coords must flag, not corrupt
+    r = slide.read_regions_dct(np.array([[8, 0], [0, 0]]), 0, (256, 256))
+    assert r.status[0] == 1 and r.status[1] == 0
+    # a value cap far below the content's density must flag, not truncate
+    r2 = slide.read_regions_dct(np.array([[0, 0]]), 0, (256, 256),
+                                cap_y_pb=1, cap_c_pb=1)
+    assert r2.status[0] == 1
+
+
+def test_decode_batch_dct_and_fallback(ycbcr_slide):
+    from hipt_abmil_atec23_tpu.engine.encode import DctBatch, _decode_batch
+
+    slide, _ = ycbcr_slide
+    qt = slide.dct_probe(0)
+    ctx = (qt, 32, 12)
+    out = _decode_batch(slide, np.array([[0, 0], [256, 256]]),
+                        patch_level=0, size=256, bs=2, transform=None,
+                        target_patch_size=0, n_io_threads=2, dct_ctx=ctx)
+    assert isinstance(out, DctBatch)
+    assert out.qt.shape == (3, 64) and out.valid.shape == (2, 2)
+    # unaligned chunk: falls back to the YUV tuple, never a broken pack
+    out2 = _decode_batch(slide, np.array([[8, 0]]), patch_level=0,
+                         size=256, bs=1, transform=None,
+                         target_patch_size=0, n_io_threads=1, dct_ctx=ctx,
+                         use_yuv=True)
+    assert not isinstance(out2, DctBatch)
+
+
+def test_encode_stream_uses_dct_and_matches_rgb(ycbcr_slide):
+    """The stream auto-detects the coefficient path, ships packs, and
+    produces features matching the RGB transfer path."""
+    from hipt_abmil_atec23_tpu.engine.encode import (
+        build_encoder, encode_stream)
+    from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+
+    class CountingSlide:
+        def __init__(self, s):
+            self._s = s
+            self.dct_calls = 0
+
+        def __getattr__(self, k):
+            return getattr(self._s, k)
+
+        def read_regions_dct(self, *a, **kw):
+            self.dct_calls += 1
+            return self._s.read_regions_dct(*a, **kw)
+
+    slide, _ = ycbcr_slide
+    proxy = CountingSlide(slide)
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=2,
+                                      dtype="float32"))
+    assert enc.apply_dct is not None
+    coords = np.array([[0, 0], [256, 0], [0, 256], [512, 512], [256, 768]])
+    outs = dict(encode_stream([("a", proxy, coords)], enc))
+    assert proxy.dct_calls > 0, "coefficient path not engaged"
+    want = dict(encode_stream([("a", slide, coords)], enc,
+                              transform=lambda x: x))  # forces RGB path
+    assert outs["a"].shape == want["a"].shape == (5, enc.feat_dim)
+    np.testing.assert_allclose(outs["a"], want["a"], rtol=5e-2, atol=5e-2)
+    assert np.abs(outs["a"]).max() > 0.01
+
+
+def test_encode_stream_dct_unaligned_slides_still_encode(ycbcr_slide):
+    """Coords off the 16-grid disable/fall back the coefficient path but
+    the stream still yields correct features (YUV or RGB transfer)."""
+    from hipt_abmil_atec23_tpu.engine.encode import (
+        build_encoder, encode_stream)
+    from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
+
+    slide, _ = ycbcr_slide
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=2,
+                                      dtype="float32"))
+    coords = np.array([[8, 0], [256, 8], [0, 264]])  # even but not 16-grid
+    outs = dict(encode_stream([("a", slide, coords)], enc))
+    want = dict(encode_stream([("a", slide, coords)], enc,
+                              transform=lambda x: x))
+    np.testing.assert_allclose(outs["a"], want["a"], rtol=5e-2, atol=5e-2)

@@ -147,10 +147,12 @@ def test_encode_stream_uses_yuv_and_matches_rgb(ycbcr_slide, tmp_path):
     assert np.abs(outs["a"]).max() > 0.01
 
 
-def test_encode_stream_noop_target_patch_size_keeps_yuv(ycbcr_slide):
+def test_encode_stream_noop_target_patch_size_keeps_fast_path(ycbcr_slide):
     """target_patch_size equal to the region size is a no-op resize and
-    must NOT disable the raw-plane fast path (the pipeline is wire-bound;
-    falling back to RGB would double H2D bytes for identical output)."""
+    must NOT disable the compressed transfer paths (the pipeline is
+    wire-bound; falling back to RGB would 2-6x the H2D bytes for
+    identical output). Either compressed format (sparse DCT or raw
+    planes) counts; decoded RGB must never ship."""
     from hipt_abmil_atec23_tpu.engine.encode import (
         build_encoder, encode_stream)
     from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
@@ -158,14 +160,23 @@ def test_encode_stream_noop_target_patch_size_keeps_yuv(ycbcr_slide):
     class CountingSlide:
         def __init__(self, s):
             self._s = s
-            self.yuv_calls = 0
+            self.fast_calls = 0
+            self.rgb_calls = 0
 
         def __getattr__(self, k):
             return getattr(self._s, k)
 
         def read_regions_yuv420(self, *a, **kw):
-            self.yuv_calls += 1
+            self.fast_calls += 1
             return self._s.read_regions_yuv420(*a, **kw)
+
+        def read_regions_dct(self, *a, **kw):
+            self.fast_calls += 1
+            return self._s.read_regions_dct(*a, **kw)
+
+        def read_regions(self, *a, **kw):
+            self.rgb_calls += 1
+            return self._s.read_regions(*a, **kw)
 
     slide, _ = ycbcr_slide
     proxy = CountingSlide(slide)
@@ -174,7 +185,8 @@ def test_encode_stream_noop_target_patch_size_keeps_yuv(ycbcr_slide):
     coords = np.array([[0, 0], [256, 0], [0, 256]])
     outs = dict(encode_stream([("a", proxy, coords)], enc, region_size=256,
                               target_patch_size=256))
-    assert proxy.yuv_calls > 0  # raw planes shipped despite the no-op flag
+    assert proxy.fast_calls > 0  # compressed bytes despite the no-op flag
+    assert proxy.rgb_calls == 0  # decoded pixels never shipped
     want = dict(encode_stream([("a", slide, coords)], enc, region_size=256))
     np.testing.assert_allclose(outs["a"], want["a"], rtol=1e-5, atol=1e-5)
 
