@@ -276,14 +276,16 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
             slides.append(slide)
             jobs.append((f"s{i}", slide, coords))
         done_t, n_regions = [], []
+        stats = {}
         for sid, feats in encode_stream(jobs, encoder, region_size=REGION,
-                                        n_io_threads=16, prefetch=3):
+                                        n_io_threads=16, prefetch=3,
+                                        stats=stats):
             mil_step(feats)
             done_t.append(time.perf_counter())
             n_regions.append(len(feats))
         for s in slides:
             s.close()
-        return t0, done_t, n_regions
+        return t0, done_t, n_regions, stats
 
     run_stream(1)  # untimed warm slide: cold decoder caches + the first
     # execution flips the tunnel out of buffered-put mode, so the timed
@@ -303,7 +305,7 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
     # ---- timed: the slide-stream production path. The dev tunnel's H2D
     # rate drifts ~2x within minutes, so the headline uses the MEDIAN
     # per-slide completion interval — robust to a single link stall.
-    t0, done_t, n_regions = run_stream(N_SLIDES)
+    t0, done_t, n_regions, stats = run_stream(N_SLIDES)
     intervals = np.diff([t0] + done_t)
     regions_done = sum(n_regions)
     dt = done_t[-1] - t0
@@ -312,19 +314,43 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
 
     # link/compute decomposition: lets a reader attribute a low headline
     # to a tunnel droop window (wire MB/s) vs an actual pipeline problem.
-    # The yuv raw-plane path ships 1.5 bytes/px.
-    mb_per_region = 1.5 * REGION * REGION / 1e6
-    eff_wire_mbps = regions_done * mb_per_region / dt
+    # h2d_bytes is the EXACT payload the stream shipped (sparse DCT packs
+    # when the slide/grid allow: ~0.8 B/px on this slide; raw YCbCr 1.5;
+    # RGB 3) — measured, not assumed.
+    mb_per_region = stats.get("h2d_bytes", 0) / max(regions_done, 1) / 1e6
+    eff_wire_mbps = stats.get("h2d_bytes", 0) / 1e6 / dt
+    transfer_mode = {k: v for k, v in stats.items()
+                     if k.startswith("regions_")}
     # per-region device latency (dispatch + compute + result fetch) in the
     # same degraded-dispatch mode the stream ran in: the serving-latency
-    # number, and the compute-bound ceiling when the wire is not limiting
-    y = np.random.default_rng(0).integers(0, 255,
-                                          (REGION_BATCH, REGION, REGION),
-                                          np.uint8)
-    c = np.zeros((REGION_BATCH, REGION // 2, REGION // 2), np.uint8)
-    dy = jax.device_put((y, c, c), jax.devices()[0])
+    # number, and the compute-bound ceiling when the wire is not limiting.
+    # Times the SAME entry the stream used (the sparse-DCT decode entry
+    # when engaged — the on-device dequant+IDCT rides inside the forward).
+    slide = TiffSlide(slide_path)
+    seg = segment_tissue(slide, tile_cfg.seg)
+    probe_coords = enumerate_coords(slide, seg, tile_cfg)[:REGION_BATCH]
+    caps = stats.get("dct_caps")
+    sample = None
+    if caps:
+        qt = slide.dct_probe(0)
+        r = slide.read_regions_dct(probe_coords, 0, (REGION, REGION),
+                                   cap_y_pb=caps[0], cap_c_pb=caps[1],
+                                   n_threads=REGION_BATCH)
+        if not r.status.any():
+            from hipt_abmil_atec23_tpu.engine.encode import DctBatch
+            sample = DctBatch(r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm,
+                              r.cb_val, r.cr_dc, r.cr_bm, r.cr_val, qt,
+                              r.valid)
+            fn = encoder.compile_ahead(tuple(sample), dct=True)
+    if sample is None:
+        y = np.random.default_rng(0).integers(
+            0, 255, (REGION_BATCH, REGION, REGION), np.uint8)
+        c = np.zeros((REGION_BATCH, REGION // 2, REGION // 2), np.uint8)
+        sample = (y, c, c)
+        fn = encoder.compile_ahead(sample, yuv=True)
+    slide.close()
+    dy = jax.device_put(tuple(sample), jax.devices()[0])
     jax.block_until_ready(dy)
-    fn = encoder.compile_ahead((y, c, c), yuv=True)
     np.asarray(fn(*dy))  # warm
     tcs = time.perf_counter()
     for _ in range(3):
@@ -383,6 +409,9 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
         "per_slide_s": [round(t, 1) for t in intervals],
         "total_regions_per_hour": round(regions_done / dt * 3600.0, 1),
         "effective_H2D_MBps": round(eff_wire_mbps, 1),
+        "wire_MB_per_region": round(mb_per_region, 1),
+        "transfer_regions_by_mode": transfer_mode,
+        "dct_value_caps": list(stats.get("dct_caps") or ()),
         "link_gate_probe_MBps": round(probed_mbps, 1),
         "link_gate_waited_s": round(link_waited, 1),
         "compute_ms_per_region_incl_dispatch": round(compute_ms_region, 1),
@@ -391,10 +420,12 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
             3600e3 / compute_ms_region / REGIONS_PER_TCGA_SLIDE, 1),
         "heatmap_ms_per_slide_cached_features": round(t_heat * 1e3, 1),
         "note": "tunnel-H2D-bound (25-55MB/s honest wire rate; droop "
-                "windows sink to 2-8); the raw YCbCr 4:2:0 path ships "
-                "25MB/region (planes verbatim, RGB reconstructed "
-                "on-device) and decode/H2D/compute overlap across slide "
-                "boundaries — local TPU hosts feed ~100x faster",
+                "windows sink to 2-8); the sparse-DCT path ships "
+                "quantized JPEG coefficients (~13MB/region on this slide "
+                "vs 25 raw-YCbCr / 50 RGB) and the device dequantizes + "
+                "IDCTs inside the encoder forward; decode/H2D/compute "
+                "overlap across slide boundaries — local TPU hosts feed "
+                "~100x faster",
     })
 
 

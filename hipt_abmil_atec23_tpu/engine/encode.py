@@ -475,6 +475,7 @@ def encode_stream(
     prefetch: int = 3,
     stage: bool = False,
     stage_budget_bytes: int = 6 << 30,
+    stats: Optional[dict] = None,
 ):
     """Encode a SEQUENCE of slides through one continuous pipeline.
 
@@ -590,11 +591,23 @@ def encode_stream(
 
     def read_batch(item):
         ji, slide, chunk, use_yuv, dct_ctx = item
-        return _decode_batch(slide, chunk, patch_level=patch_level,
-                             size=size, bs=bs, transform=transform,
-                             target_patch_size=target_patch_size,
-                             n_io_threads=n_io_threads, use_yuv=use_yuv,
-                             dct_ctx=dct_ctx)
+        buf = _decode_batch(slide, chunk, patch_level=patch_level,
+                            size=size, bs=bs, transform=transform,
+                            target_patch_size=target_patch_size,
+                            n_io_threads=n_io_threads, use_yuv=use_yuv,
+                            dct_ctx=dct_ctx)
+        if stats is not None:
+            # honest wire accounting: exactly what device_put will ship
+            leaves = buf if isinstance(buf, tuple) else (buf,)
+            stats["h2d_bytes"] = (stats.get("h2d_bytes", 0)
+                                  + sum(a.nbytes for a in leaves))
+            kind = ("dct" if isinstance(buf, DctBatch)
+                    else "yuv" if isinstance(buf, tuple) else "rgb")
+            stats[f"regions_{kind}"] = (stats.get(f"regions_{kind}", 0)
+                                        + len(chunk))
+            if dct_caps:
+                stats["dct_caps"] = dct_caps
+        return buf
 
     try:
         device = next(iter(jax.tree.leaves(encoder.variables)[0].devices()))
