@@ -340,7 +340,7 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
             from hipt_abmil_atec23_tpu.engine.encode import DctBatch
             sample = DctBatch(r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm,
                               r.cb_val, r.cr_dc, r.cr_bm, r.cr_val, qt,
-                              r.valid)
+                              r.valid, r.off)
             fn = encoder.compile_ahead(tuple(sample), dct=True)
     if sample is None:
         y = np.random.default_rng(0).integers(

@@ -48,6 +48,8 @@ class DctBatch(NamedTuple):
     cr_val: np.ndarray
     qt: np.ndarray      # [3, 64] uint16 quant tables (per slide)
     valid: np.ndarray   # [n, 2] int32 in-slide extents (white past them)
+    off: np.ndarray     # [n, 2] int32 device crop offsets (grids off the
+                        # 16px MCU lattice), or [n, 0] for exact packs
 
 
 @dataclass
@@ -330,7 +332,7 @@ def _decode_batch(slide, chunk, *, patch_level, size, bs, transform,
                     _pad_to(r.cb_bm, k, bs), _pad_to(r.cb_val, k, bs),
                     _pad_to(r.cr_dc, k, bs), _pad_to(r.cr_bm, k, bs),
                     _pad_to(r.cr_val, k, bs), qt,
-                    _pad_to(r.valid, k, bs))
+                    _pad_to(r.valid, k, bs), _pad_to(r.off, k, bs))
         except (IOError, AttributeError):
             pass  # unreadable through the coefficient path — pixels below
     if use_yuv and transform is None and not target_patch_size:
@@ -570,7 +572,9 @@ def encode_stream(
             lvl = np.stack([(np.asarray(coords)[:, 0] / ds[0]),
                             (np.asarray(coords)[:, 1] / ds[1])],
                            axis=1).astype(np.int64)
-            if not (lvl % 16).any():  # 4:2:0 MCU grid alignment
+            if not (lvl % 2).any():  # even grid: any origin works — the
+                # reader aligns to the 16px MCU lattice and the device
+                # crops (odd origins share the raw-plane path's limit)
                 qt = getattr(slide, "dct_probe",
                              lambda lvl: None)(patch_level)
                 if qt is not None:

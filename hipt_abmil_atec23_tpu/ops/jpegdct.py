@@ -85,8 +85,21 @@ def _idct_plane(coef, bh, bw):
     return jnp.clip(jnp.round(plane), 0.0, 255.0).astype(jnp.uint8)
 
 
+def _crop_planes(plane, off, out_h, out_w, denom):
+    """Per-region crop of a decoded plane [n, H, W] to [n, out_h, out_w]
+    at (off / denom) — the misaligned-grid mode: the host reads at the
+    16-aligned origin (JPEG 4:2:0 MCUs are 16x16) plus one extra MCU
+    row/column, and the device shifts. Cropping BEFORE the chroma
+    upsample keeps plane-level libjpeg parity: the cropped samples are
+    exactly the ones a direct decode of the region would produce."""
+    def one(p, o):
+        return jax.lax.dynamic_slice(
+            p, (o[1] // denom, o[0] // denom), (out_h, out_w))
+    return jax.vmap(one)(plane, off)
+
+
 def dct_regions_to_planes(y_dc, y_bm, y_val, cb_dc, cb_bm, cb_val,
-                          cr_dc, cr_bm, cr_val, qt, valid):
+                          cr_dc, cr_bm, cr_val, qt, valid, off=None):
     """Sparse coefficient pack -> uint8 YCbCr planes (Y [n, h, w],
     Cb/Cr [n, h/2, w/2]); white past the per-region valid extents.
 
@@ -95,6 +108,13 @@ def dct_regions_to_planes(y_dc, y_bm, y_val, cb_dc, cb_bm, cb_val,
     (Y=255, Cb=Cr=128), matching the RGB/YUV readers' background fill
     beyond the slide edge. Region geometry comes from the block grids:
     h = 8 * y_dc.shape[1], w = 8 * y_dc.shape[2].
+
+    off: per-region (dx, dy) luma crop offsets, EVEN, in [0, 16).
+    Shape-encoded mode flag: [n, 2] means the host packed the region at
+    its 16-aligned origin with one extra MCU row/column (tile grids off
+    the MCU lattice — the common TCGA case) and the planes crop by 16 px
+    here, before the white mask; [n, 0] or None means the grid was
+    aligned and the pack is exact.
     """
     ybh, ybw = y_dc.shape[1], y_dc.shape[2]
     cbh, cbw = cb_dc.shape[1], cb_dc.shape[2]
@@ -104,6 +124,11 @@ def dct_regions_to_planes(y_dc, y_bm, y_val, cb_dc, cb_bm, cb_val,
                      cbh, cbw)
     cr = _idct_plane(_unpack_component(cr_dc, cr_bm, cr_val, qt[2]),
                      cbh, cbw)
+    if off is not None and off.shape[-1] == 2:  # static at trace time
+        h, w = h - 16, w - 16
+        y = _crop_planes(y, off, h, w, 1)
+        cb = _crop_planes(cb, off, h // 2, w // 2, 2)
+        cr = _crop_planes(cr, off, h // 2, w // 2, 2)
     vw = valid[:, 0][:, None, None]
     vh = valid[:, 1][:, None, None]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 2)
@@ -119,11 +144,11 @@ def dct_regions_to_planes(y_dc, y_bm, y_val, cb_dc, cb_bm, cb_val,
 
 
 def dct_regions_to_rgb(y_dc, y_bm, y_val, cb_dc, cb_bm, cb_val,
-                       cr_dc, cr_bm, cr_val, qt, valid):
+                       cr_dc, cr_bm, cr_val, qt, valid, off=None):
     """Sparse coefficient pack -> float32 RGB [n, h, w, 3] in 0..255,
     byte-identical to yuv420_to_rgb over host-decoded planes (the planes
     themselves match libjpeg within 1 LSB)."""
     y, cb, cr = dct_regions_to_planes(
         y_dc, y_bm, y_val, cb_dc, cb_bm, cb_val, cr_dc, cr_bm, cr_val,
-        qt, valid)
+        qt, valid, off)
     return yuv420_to_rgb(y, cb, cr)

@@ -44,6 +44,9 @@ class DctRegions(NamedTuple):
     cr_nnz: np.ndarray
     valid: np.ndarray   # [n, 2] int32 in-slide (w, h) extents
     status: np.ndarray  # [n] int8: 0 ok, 1 pixel-fallback, 2 error
+    off: np.ndarray     # [n, 2] int32 device crop offsets (16-misaligned
+                        # grids: packs cover the aligned origin + one
+                        # extra MCU row/col), or [n, 0] when exact
 
 
 class BaseSlide:
@@ -189,9 +192,15 @@ class TiffSlide(BaseSlide):
         """Batched sparse quantized-DCT reads (host does the Huffman decode
         ONLY; dequant/IDCT/upsample/color run on device). Returns a
         DctRegions namedtuple of block-grid arrays; regions whose
-        status != 0 must be re-read via a pixel path (16-misaligned
-        coords, value-cap overflow, |AC| > 127). cap_*_pb: value capacity
-        per 8x8 block (the padded int8 stream shipped per region)."""
+        status != 0 must be re-read via a pixel path (odd coords,
+        value-cap overflow, |AC| > 127). cap_*_pb: value capacity per
+        8x8 block (the padded int8 stream shipped per region).
+
+        Grids off the 16px MCU lattice (any even origin — the common
+        TCGA contour-bbox case) are read at the 16-aligned origin with
+        one extra MCU row/column and shipped with per-region crop
+        offsets (`off`); ops/jpegdct.py shifts on device. Aligned grids
+        ship exact packs with `off` of shape [n, 0]."""
         locations = np.asarray(locations, np.int64)
         dx, dy = self.level_downsamples[level]
         lvl_coords = np.ascontiguousarray(
@@ -199,6 +208,19 @@ class TiffSlide(BaseSlide):
                       (locations[:, 1] / dy).astype(np.int64)], axis=1))
         w, h = size
         n = len(locations)
+        offs = (lvl_coords & 15).astype(np.int32)
+        odd = (lvl_coords & 1).any() or (w | h) & 1
+        if odd:
+            # chroma is co-sited on 2x2 units: odd origins cannot ride
+            # the coefficient path at all (same constraint as the raw
+            # 4:2:0 plane reader) — flag every region for pixel fallback
+            offs = np.zeros((n, 2), np.int32)
+        if offs.any():
+            lvl_coords = np.ascontiguousarray(lvl_coords - offs)
+            w, h = w + 16, h + 16
+            off_out = offs
+        else:
+            off_out = np.zeros((n, 0), np.int32)
         ybh, ybw = h // 8, w // 8
         cbh, cbw = h // 16, w // 16
         ybl, cbl = ybh * ybw, cbh * cbw
@@ -214,19 +236,28 @@ class TiffSlide(BaseSlide):
         cr_val = np.empty((n, cap_c), np.int8)
         nnz = [np.zeros(n, np.int32) for _ in range(3)]
         valid = np.zeros((n, 2), np.int32)
-        status = np.full(n, 2, np.int8)
-        p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
-        r = self._lib.ws_read_regions_dct(
-            self._h, level, p(lvl_coords), n, w, h, cap_y, cap_c,
-            p(y_dc), p(y_bm), p(y_val), p(nnz[0]),
-            p(cb_dc), p(cb_bm), p(cb_val), p(nnz[1]),
-            p(cr_dc), p(cr_bm), p(cr_val), p(nnz[2]),
-            p(valid), p(status), n_threads)
-        if r < 0:
-            raise IOError(f"read_regions_dct failed ({r})")
+        status = np.full(n, 1, np.int8)
+        if not odd:
+            p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+            r = self._lib.ws_read_regions_dct(
+                self._h, level, p(lvl_coords), n, w, h, cap_y, cap_c,
+                p(y_dc), p(y_bm), p(y_val), p(nnz[0]),
+                p(cb_dc), p(cb_bm), p(cb_val), p(nnz[1]),
+                p(cr_dc), p(cr_bm), p(cr_val), p(nnz[2]),
+                p(valid), p(status), n_threads)
+            if r < 0:
+                raise IOError(f"read_regions_dct failed ({r})")
+        # valid extents of the TRUE region (native reported the aligned
+        # read window's — after the device crop the white mask must sit
+        # at the requested region's slide edge)
+        lw, lh = self.level_dimensions[level]
+        tw, th = size
+        true_coords = lvl_coords + offs
+        valid[:, 0] = np.clip(lw - true_coords[:, 0], 0, tw)
+        valid[:, 1] = np.clip(lh - true_coords[:, 1], 0, th)
         return DctRegions(y_dc, y_bm, y_val, nnz[0], cb_dc, cb_bm, cb_val,
                           nnz[1], cr_dc, cr_bm, cr_val, nnz[2], valid,
-                          status)
+                          status, off_out)
 
     def close(self):
         if self._h:

@@ -56,7 +56,7 @@ def test_dct_planes_match_libjpeg_planes(ycbcr_slide):
     qt = slide.dct_probe(0)
     got = jax.jit(dct_regions_to_planes)(
         r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
-        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid)
+        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid, r.off)
     for name, g, w in zip("y cb cr".split(), got, want):
         diff = np.abs(np.asarray(g).astype(np.int16) - w.astype(np.int16))
         assert diff.max() <= 1, (name, diff.max())
@@ -75,7 +75,7 @@ def test_dct_rgb_matches_libtiff_decode(ycbcr_slide):
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
         r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
-        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid))
+        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid, r.off))
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
     assert np.quantile(diff, 0.99) <= 4.0, np.quantile(diff, 0.99)
@@ -96,21 +96,68 @@ def test_dct_region_boundary_white(ycbcr_slide):
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
         r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
-        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid))
+        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid, r.off))
     assert np.all(got[0, 128:] == 255) and np.all(got[0, :, 128:] == 255)
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
 
 
-def test_dct_unaligned_and_overflow_flag_fallback(ycbcr_slide):
+def test_dct_odd_and_overflow_flag_fallback(ycbcr_slide):
     slide, _ = ycbcr_slide
-    # 4:2:0 MCUs are 16x16: unaligned coords must flag, not corrupt
-    r = slide.read_regions_dct(np.array([[8, 0], [0, 0]]), 0, (256, 256))
-    assert r.status[0] == 1 and r.status[1] == 0
+    # chroma is co-sited on 2x2 units: ODD coords must flag, not corrupt
+    # (even-but-misaligned grids ride the offset mode instead)
+    r = slide.read_regions_dct(np.array([[7, 0], [0, 0]]), 0, (256, 256))
+    assert (r.status == 1).all()
     # a value cap far below the content's density must flag, not truncate
     r2 = slide.read_regions_dct(np.array([[0, 0]]), 0, (256, 256),
                                 cap_y_pb=1, cap_c_pb=1)
     assert r2.status[0] == 1
+
+
+def test_dct_offset_grid_matches_libtiff_decode(ycbcr_slide):
+    """Even origins OFF the 16px MCU lattice (the common TCGA contour-bbox
+    case): the reader packs the aligned window plus one MCU row/column and
+    the device crops — same tolerance vs libtiff as the aligned path, and
+    the pack advertises the padded geometry + offsets."""
+    import jax
+    from hipt_abmil_atec23_tpu.ops.jpegdct import dct_regions_to_rgb
+
+    slide, _ = ycbcr_slide
+    coords = np.array([[8, 24], [136, 6], [520, 394]])
+    ref = slide.read_regions(coords, 0, (256, 256))
+    r = slide.read_regions_dct(coords, 0, (256, 256))
+    assert (r.status == 0).all()
+    assert r.off.shape == (3, 2) and (r.off == coords % 16).all()
+    assert r.y_dc.shape == (3, 34, 34)  # (256+16)/8 padded block grid
+    qt = slide.dct_probe(0)
+    got = np.asarray(jax.jit(dct_regions_to_rgb)(
+        r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
+        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid, r.off))
+    assert got.shape == (3, 256, 256, 3)
+    diff = np.abs(got - ref.astype(np.float32))
+    assert diff.mean() < 1.0, diff.mean()
+    assert np.quantile(diff, 0.99) <= 4.0, np.quantile(diff, 0.99)
+
+
+def test_dct_offset_grid_boundary_white(ycbcr_slide):
+    """Offset mode + slide-edge region: the white mask sits at the TRUE
+    region's slide-edge crossing, not the aligned read window's."""
+    import jax
+    from hipt_abmil_atec23_tpu.ops.jpegdct import dct_regions_to_rgb
+
+    slide, _ = ycbcr_slide
+    coords = np.array([[904, 890]])  # true valid extents (120, 134)
+    ref = slide.read_regions(coords, 0, (256, 256))
+    r = slide.read_regions_dct(coords, 0, (256, 256))
+    assert (r.status == 0).all()
+    assert tuple(r.valid[0]) == (120, 134)
+    qt = slide.dct_probe(0)
+    got = np.asarray(jax.jit(dct_regions_to_rgb)(
+        r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
+        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid, r.off))
+    assert np.all(got[0, 134:] == 255) and np.all(got[0, :, 120:] == 255)
+    diff = np.abs(got - ref.astype(np.float32))
+    assert diff.mean() < 1.0, diff.mean()
 
 
 def test_decode_batch_dct_and_fallback(ycbcr_slide):
@@ -124,8 +171,8 @@ def test_decode_batch_dct_and_fallback(ycbcr_slide):
                         target_patch_size=0, n_io_threads=2, dct_ctx=ctx)
     assert isinstance(out, DctBatch)
     assert out.qt.shape == (3, 64) and out.valid.shape == (2, 2)
-    # unaligned chunk: falls back to the YUV tuple, never a broken pack
-    out2 = _decode_batch(slide, np.array([[8, 0]]), patch_level=0,
+    # odd chunk: falls back to the pixel tuple, never a broken pack
+    out2 = _decode_batch(slide, np.array([[7, 0]]), patch_level=0,
                          size=256, bs=1, transform=None,
                          target_patch_size=0, n_io_threads=1, dct_ctx=ctx,
                          use_yuv=True)
@@ -166,9 +213,9 @@ def test_encode_stream_uses_dct_and_matches_rgb(ycbcr_slide):
     assert np.abs(outs["a"]).max() > 0.01
 
 
-def test_encode_stream_dct_unaligned_slides_still_encode(ycbcr_slide):
-    """Coords off the 16-grid disable/fall back the coefficient path but
-    the stream still yields correct features (YUV or RGB transfer)."""
+def test_encode_stream_dct_odd_slides_still_encode(ycbcr_slide):
+    """ODD coords disable the coefficient path (and the raw-plane path)
+    but the stream still yields correct features."""
     from hipt_abmil_atec23_tpu.engine.encode import (
         build_encoder, encode_stream)
     from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
@@ -176,7 +223,7 @@ def test_encode_stream_dct_unaligned_slides_still_encode(ycbcr_slide):
     slide, _ = ycbcr_slide
     enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=2,
                                       dtype="float32"))
-    coords = np.array([[8, 0], [256, 8], [0, 264]])  # even but not 16-grid
+    coords = np.array([[7, 0], [255, 9], [1, 263]])  # odd origins
     outs = dict(encode_stream([("a", slide, coords)], enc))
     want = dict(encode_stream([("a", slide, coords)], enc,
                               transform=lambda x: x))
