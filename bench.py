@@ -335,12 +335,12 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
         qt = slide.dct_probe(0)
         r = slide.read_regions_dct(probe_coords, 0, (REGION, REGION),
                                    cap_y_pb=caps[0], cap_c_pb=caps[1],
+                                   cap_aesc_y=caps[2], cap_aesc_c=caps[3],
+                                   cap_desc_y=caps[4], cap_desc_c=caps[5],
                                    n_threads=REGION_BATCH)
         if not r.status.any():
             from hipt_abmil_atec23_tpu.engine.encode import DctBatch
-            sample = DctBatch(r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm,
-                              r.cb_val, r.cr_dc, r.cr_bm, r.cr_val, qt,
-                              r.valid, r.off)
+            sample = DctBatch(*r[:21], qt, r.valid, r.off)
             fn = encoder.compile_ahead(tuple(sample), dct=True)
     if sample is None:
         y = np.random.default_rng(0).integers(

@@ -31,21 +31,35 @@ from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
 
 
 class DctBatch(NamedTuple):
-    """One compute batch shipped as sparse quantized-DCT packs instead of
-    pixels (~0.5-0.9 bytes/px vs 1.5 raw-YCbCr / 3 RGB — the wire is the
-    e2e bottleneck). Field order matches ops/jpegdct.dct_regions_to_rgb;
-    the device does dequant -> IDCT -> upsample -> color -> normalize in
-    one fused graph. NOTE: this is a tuple subtype — dispatchers must test
-    DctBatch BEFORE the plain-tuple (YUV planes) case."""
-    y_dc: np.ndarray
-    y_bm: np.ndarray
-    y_val: np.ndarray
-    cb_dc: np.ndarray
+    """One compute batch shipped as sparse quantized-DCT v2 packs instead
+    of pixels (~0.4 bytes/px on the iid-noise worst case vs 1.5 raw-YCbCr
+    / 3 RGB — the wire is the e2e bottleneck). Field order matches
+    ops/jpegdct.dct_regions_to_rgb (21 component arrays + qt + valid +
+    off); the device does unpack -> dequant -> IDCT -> upsample -> color
+    -> normalize in one fused graph. NOTE: this is a tuple subtype —
+    dispatchers must test DctBatch BEFORE the plain-tuple (YUV planes)
+    case."""
+    y_dc8: np.ndarray   # [n, h/8, w/8] int8 delta-coded DC
+    y_bm: np.ndarray    # [n, h/8, w/8, 8] uint8 AC bitmap
+    y_valn: np.ndarray  # [n, cap/2] uint8 nibble-packed AC values
+    y_aidx: np.ndarray  # [n, cap_a] int32 AC-escape stream indices
+    y_aval: np.ndarray  # [n, cap_a] int8 AC-escape values
+    y_didx: np.ndarray  # [n, cap_d] int32 DC-escape block indices
+    y_dval: np.ndarray  # [n, cap_d] int16 DC-escape deltas
+    cb_dc8: np.ndarray
     cb_bm: np.ndarray
-    cb_val: np.ndarray
-    cr_dc: np.ndarray
+    cb_valn: np.ndarray
+    cb_aidx: np.ndarray
+    cb_aval: np.ndarray
+    cb_didx: np.ndarray
+    cb_dval: np.ndarray
+    cr_dc8: np.ndarray
     cr_bm: np.ndarray
-    cr_val: np.ndarray
+    cr_valn: np.ndarray
+    cr_aidx: np.ndarray
+    cr_aval: np.ndarray
+    cr_didx: np.ndarray
+    cr_dval: np.ndarray
     qt: np.ndarray      # [3, 64] uint16 quant tables (per slide)
     valid: np.ndarray   # [n, 2] int32 in-slide extents (white past them)
     off: np.ndarray     # [n, 2] int32 device crop offsets (grids off the
@@ -319,20 +333,25 @@ def _decode_batch(slide, chunk, *, patch_level, size, bs, transform,
     chunk to the pixel paths below — never a mixed/truncated payload."""
     k = len(chunk)
     if dct_ctx is not None and transform is None and not target_patch_size:
-        qt, cap_y_pb, cap_c_pb = dct_ctx
+        qt, caps = dct_ctx
         try:
             r = slide.read_regions_dct(chunk, patch_level, (size, size),
-                                       cap_y_pb=cap_y_pb,
-                                       cap_c_pb=cap_c_pb,
+                                       cap_y_pb=caps[0], cap_c_pb=caps[1],
+                                       cap_aesc_y=caps[2],
+                                       cap_aesc_c=caps[3],
+                                       cap_desc_y=caps[4],
+                                       cap_desc_c=caps[5],
                                        n_threads=n_io_threads or k)
             if not r.status.any():
-                return DctBatch(
-                    _pad_to(r.y_dc, k, bs), _pad_to(r.y_bm, k, bs),
-                    _pad_to(r.y_val, k, bs), _pad_to(r.cb_dc, k, bs),
-                    _pad_to(r.cb_bm, k, bs), _pad_to(r.cb_val, k, bs),
-                    _pad_to(r.cr_dc, k, bs), _pad_to(r.cr_bm, k, bs),
-                    _pad_to(r.cr_val, k, bs), qt,
-                    _pad_to(r.valid, k, bs), _pad_to(r.off, k, bs))
+                comp = [_pad_to(a, k, bs) for a in r[:21]]
+                # escape-index pads must stay -1 (dropped by the device
+                # scatter); _pad_to zero-fills, and index 0 is a REAL slot
+                if k < bs:
+                    for a in (comp[3], comp[5], comp[10], comp[12],
+                              comp[17], comp[19]):
+                        a[k:] = -1
+                return DctBatch(*comp, qt, _pad_to(r.valid, k, bs),
+                                _pad_to(r.off, k, bs))
         except (IOError, AttributeError):
             pass  # unreadable through the coefficient path — pixels below
     if use_yuv and transform is None and not target_patch_size:
@@ -538,25 +557,41 @@ def encode_stream(
             sample = np.asarray(coords)[
                 np.unique(np.linspace(0, len(coords) - 1, 3, dtype=int))]
             try:
-                r = slide.read_regions_dct(sample, patch_level,
-                                           (size, size), cap_y_pb=63,
-                                           cap_c_pb=63,
-                                           n_threads=len(sample))
+                ybl = (size // 8) ** 2
+                r = slide.read_regions_dct(
+                    sample, patch_level, (size, size), cap_y_pb=63,
+                    cap_c_pb=63, cap_aesc_y=ybl, cap_aesc_c=ybl // 4,
+                    cap_desc_y=ybl, cap_desc_c=ybl // 4,
+                    n_threads=len(sample))
             except (IOError, AttributeError):
                 dct_caps = False
                 return
             if r.status.any():
                 dct_caps = False
                 return
-            ybl, cbl = r.y_dc[0].size, r.cb_dc[0].size
-            need_y = r.y_nnz.max() / ybl * 1.3 + 1.0  # 30% headroom
-            need_c = (max(r.cb_nnz.max(), r.cr_nnz.max()) / cbl * 1.3
-                      + 1.0)
+            from hipt_abmil_atec23_tpu.ops.jpegdct import _G
+            cnts = r.cnts  # [n, comp, {nnz, aesc, desc, max_group_fill}]
+            # value streams are padded per _G-block GROUP: the binding
+            # stat is the max group fill, not the per-block average
+            # (30% headroom + 1 — probed on 3 sample regions only)
+            need_y = cnts[:, 0, 3].max() * 1.3 / _G + 1.0
+            need_c = cnts[:, 1:, 3].max() * 1.3 / _G + 1.0
             y_pb = next((b for b in (4, 8, 16, 24, 32, 48) if b >= need_y),
                         63)
             c_pb = next((b for b in (2, 4, 8, 12, 16, 24) if b >= need_c),
                         63)
-            dct_caps = (y_pb, c_pb)
+            # escape slots: bucketed so every batch in the stream shares
+            # one compiled entry; escapes are rare (|AC| > 7, |dDC| > 127)
+            # but border/edge regions spike them — 2x headroom + floor
+            def esc_cap(n):
+                need = int(n) * 2 + 64
+                return next((b for b in (256, 1024, 4096, 16384, 65536)
+                             if b >= need), 262144)
+            dct_caps = (y_pb, c_pb,
+                        esc_cap(cnts[:, 0, 1].max()),
+                        esc_cap(cnts[:, 1:, 1].max()),
+                        esc_cap(cnts[:, 0, 2].max()),
+                        esc_cap(cnts[:, 1:, 2].max()))
 
     items = []
     for ji, (sid, slide, coords) in enumerate(jobs):
@@ -580,7 +615,7 @@ def encode_stream(
                 if qt is not None:
                     _probe_caps(slide, coords)
                     if dct_caps:
-                        dct_ctx = (qt, dct_caps[0], dct_caps[1])
+                        dct_ctx = (qt, dct_caps)
         for chunk in _batches(coords, bs):
             items.append((ji, slide, chunk, use_yuv, dct_ctx))
     feats = [np.empty((len(c), encoder.feat_dim), np.float32)

@@ -35,8 +35,11 @@ def get_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH):
-            _build()
+        src = os.path.join(_NATIVE_DIR, "wsireader.cpp")
+        if not os.path.exists(_SO_PATH) or (
+                os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)):
+            _build()  # missing OR stale (source newer than the .so)
         lib = ctypes.CDLL(_SO_PATH)
         lib.ws_open.restype = ctypes.c_void_p
         lib.ws_open.argtypes = [ctypes.c_char_p]
@@ -73,12 +76,13 @@ def get_lib() -> ctypes.CDLL:
         lib.ws_dct_probe.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
         lib.ws_dct_probe.restype = ctypes.c_int32
-        lib.ws_read_regions_dct.argtypes = (
+        lib.ws_read_regions_dct2.argtypes = (
             [ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
-             ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
-             ctypes.c_int32, ctypes.c_int32] +
-            [ctypes.c_void_p] * 14 + [ctypes.c_int32])
-        lib.ws_read_regions_dct.restype = ctypes.c_int32
+             ctypes.c_int32, ctypes.c_int64, ctypes.c_int64] +
+            [ctypes.c_void_p] * 5 + [ctypes.c_int32])
+        lib.ws_read_regions_dct2.restype = ctypes.c_int32
+        lib.ws_dct_group_size.restype = ctypes.c_int32
+        lib.ws_dct_group_size.argtypes = []
         _lib = lib
         return lib
 

@@ -25,23 +25,52 @@ import numpy as np
 
 from hipt_abmil_atec23_tpu.slideio import native
 
+_DCT_GROUP = None
+
+
+def dct_group_size(lib) -> int:
+    """Blocks per padded value group of the sparse-DCT pack v2 (native
+    kDctGroup; ops/jpegdct.py derives its group size from array shapes)."""
+    global _DCT_GROUP
+    if _DCT_GROUP is None:
+        _DCT_GROUP = int(lib.ws_dct_group_size())
+    return _DCT_GROUP
+
 
 class DctRegions(NamedTuple):
-    """One batch of sparse quantized-DCT region packs (read_regions_dct).
+    """One batch of sparse quantized-DCT region packs, format v2
+    (read_regions_dct / native ws_read_regions_dct2): delta-coded int8 DC,
+    AC bitmap, nibble-packed AC values, explicit-index escape streams.
     Block-grid arrays carry the geometry; `status[i] != 0` means region i
     must be re-read through a pixel path (see wsireader.cpp)."""
-    y_dc: np.ndarray    # [n, h/8, w/8] int16
+    y_dc8: np.ndarray   # [n, h/8, w/8] int8 DC deltas (raster; row starts
+                        # chain down column 0; escapes leave 0 here)
     y_bm: np.ndarray    # [n, h/8, w/8, 8] uint8 (LSB-first AC bitmap)
-    y_val: np.ndarray   # [n, cap_y] int8 (AC values, bitmap order)
-    y_nnz: np.ndarray   # [n] int32
-    cb_dc: np.ndarray   # [n, h/16, w/16] int16
+    y_valn: np.ndarray  # [n, ngroups*capg/2] uint8 nibble-packed AC values
+                        # in bitmap order (low nibble first, two's
+                        # complement; -8 marks an escape), padded per
+                        # 16-block group to capg slots
+    y_aidx: np.ndarray  # [n, cap_aesc] int32 AC-escape padded-stream slot
+                        # (-1 pads unused slots)
+    y_aval: np.ndarray  # [n, cap_aesc] int8 AC-escape true values
+    y_didx: np.ndarray  # [n, cap_desc] int32 DC-escape block index (-1 pad)
+    y_dval: np.ndarray  # [n, cap_desc] int16 DC-escape true deltas
+    cb_dc8: np.ndarray  # chroma grids are [n, h/16, w/16]
     cb_bm: np.ndarray
-    cb_val: np.ndarray
-    cb_nnz: np.ndarray
-    cr_dc: np.ndarray
+    cb_valn: np.ndarray
+    cb_aidx: np.ndarray
+    cb_aval: np.ndarray
+    cb_didx: np.ndarray
+    cb_dval: np.ndarray
+    cr_dc8: np.ndarray
     cr_bm: np.ndarray
-    cr_val: np.ndarray
-    cr_nnz: np.ndarray
+    cr_valn: np.ndarray
+    cr_aidx: np.ndarray
+    cr_aval: np.ndarray
+    cr_didx: np.ndarray
+    cr_dval: np.ndarray
+    cnts: np.ndarray    # [n, 3, 4] int32 per-component {nnz, aesc, desc,
+                        # max_group_fill}
     valid: np.ndarray   # [n, 2] int32 in-slide (w, h) extents
     status: np.ndarray  # [n] int8: 0 ok, 1 pixel-fallback, 2 error
     off: np.ndarray     # [n, 2] int32 device crop offsets (16-misaligned
@@ -188,13 +217,18 @@ class TiffSlide(BaseSlide):
         return None
 
     def read_regions_dct(self, locations, level, size, cap_y_pb: int = 32,
-                         cap_c_pb: int = 12, n_threads: int = 0):
-        """Batched sparse quantized-DCT reads (host does the Huffman decode
-        ONLY; dequant/IDCT/upsample/color run on device). Returns a
-        DctRegions namedtuple of block-grid arrays; regions whose
-        status != 0 must be re-read via a pixel path (odd coords,
-        value-cap overflow, |AC| > 127). cap_*_pb: value capacity per
-        8x8 block (the padded int8 stream shipped per region).
+                         cap_c_pb: int = 12, cap_aesc_y: int = 8192,
+                         cap_aesc_c: int = 2048, cap_desc_y: int = 4096,
+                         cap_desc_c: int = 1024, n_threads: int = 0):
+        """Batched sparse quantized-DCT reads, pack v2 (host does the
+        Huffman decode ONLY; dequant/IDCT/upsample/color run on device).
+        Returns a DctRegions namedtuple; regions whose status != 0 must
+        be re-read via a pixel path (odd coords, any cap overflow,
+        |AC| > 127). cap_*_pb: AC value capacity per 8x8 block — the
+        value stream is padded per 16-block GROUP to capg = 16*cap_pb
+        slots (nibble stream ships ngroups*capg/2 bytes per region);
+        cap_aesc_*/cap_desc_*: per-region escape-slot capacities for AC
+        values outside [-7, 7] and DC deltas outside int8.
 
         Grids off the 16px MCU lattice (any even origin — the common
         TCGA contour-bbox case) are read at the 16-aligned origin with
@@ -224,27 +258,36 @@ class TiffSlide(BaseSlide):
         ybh, ybw = h // 8, w // 8
         cbh, cbw = h // 16, w // 16
         ybl, cbl = ybh * ybw, cbh * cbw
-        cap_y, cap_c = ybl * cap_y_pb, cbl * cap_c_pb
-        y_dc = np.empty((n, ybh, ybw), np.int16)
-        y_bm = np.empty((n, ybh, ybw, 8), np.uint8)
-        y_val = np.empty((n, cap_y), np.int8)
-        cb_dc = np.empty((n, cbh, cbw), np.int16)
-        cb_bm = np.empty((n, cbh, cbw, 8), np.uint8)
-        cb_val = np.empty((n, cap_c), np.int8)
-        cr_dc = np.empty((n, cbh, cbw), np.int16)
-        cr_bm = np.empty((n, cbh, cbw, 8), np.uint8)
-        cr_val = np.empty((n, cap_c), np.int8)
-        nnz = [np.zeros(n, np.int32) for _ in range(3)]
+        G = dct_group_size(self._lib)
+        # per-16-block-group value caps (16 * per-block budget, even)
+        capg_y, capg_c = G * cap_y_pb, G * cap_c_pb
+        ng_y, ng_c = -(-ybl // G), -(-cbl // G)
+        caps = np.array([capg_y, capg_c, cap_aesc_y, cap_aesc_c,
+                         cap_desc_y, cap_desc_c], np.int64)
+        comps = []
+        for bh_, bw_, nbytes_v, capa, capd in (
+                (ybh, ybw, ng_y * capg_y // 2, cap_aesc_y, cap_desc_y),
+                (cbh, cbw, ng_c * capg_c // 2, cap_aesc_c, cap_desc_c),
+                (cbh, cbw, ng_c * capg_c // 2, cap_aesc_c, cap_desc_c)):
+            comps.append((
+                np.empty((n, bh_, bw_), np.int8),        # dc8
+                np.empty((n, bh_, bw_, 8), np.uint8),    # bm
+                np.empty((n, nbytes_v), np.uint8),       # valn
+                np.empty((n, capa), np.int32),           # aesc_idx
+                np.empty((n, capa), np.int8),            # aesc_val
+                np.empty((n, capd), np.int32),           # desc_idx
+                np.empty((n, capd), np.int16)))          # desc_val
+        cnts = np.zeros((n, 3, 4), np.int32)
         valid = np.zeros((n, 2), np.int32)
         status = np.full(n, 1, np.int8)
         if not odd:
+            bufs = (ctypes.c_void_p * 21)(
+                *[a.ctypes.data_as(ctypes.c_void_p).value
+                  for comp in comps for a in comp])
             p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
-            r = self._lib.ws_read_regions_dct(
-                self._h, level, p(lvl_coords), n, w, h, cap_y, cap_c,
-                p(y_dc), p(y_bm), p(y_val), p(nnz[0]),
-                p(cb_dc), p(cb_bm), p(cb_val), p(nnz[1]),
-                p(cr_dc), p(cr_bm), p(cr_val), p(nnz[2]),
-                p(valid), p(status), n_threads)
+            r = self._lib.ws_read_regions_dct2(
+                self._h, level, p(lvl_coords), n, w, h, p(caps), bufs,
+                p(cnts), p(valid), p(status), n_threads)
             if r < 0:
                 raise IOError(f"read_regions_dct failed ({r})")
         # valid extents of the TRUE region (native reported the aligned
@@ -255,8 +298,7 @@ class TiffSlide(BaseSlide):
         true_coords = lvl_coords + offs
         valid[:, 0] = np.clip(lw - true_coords[:, 0], 0, tw)
         valid[:, 1] = np.clip(lh - true_coords[:, 1], 0, th)
-        return DctRegions(y_dc, y_bm, y_val, nnz[0], cb_dc, cb_bm, cb_val,
-                          nnz[1], cr_dc, cr_bm, cr_val, nnz[2], valid,
+        return DctRegions(*comps[0], *comps[1], *comps[2], cnts, valid,
                           status, off_out)
 
     def close(self):

@@ -51,12 +51,12 @@ def test_dct_planes_match_libjpeg_planes(ycbcr_slide):
     want = slide.read_regions_yuv420(coords, 0, (256, 256))
     r = slide.read_regions_dct(coords, 0, (256, 256))
     assert (r.status == 0).all()
-    assert r.y_dc.shape == (4, 32, 32) and r.y_bm.shape == (4, 32, 32, 8)
-    assert r.cb_dc.shape == (4, 16, 16)
+    assert r.y_dc8.shape == (4, 32, 32) and r.y_bm.shape == (4, 32, 32, 8)
+    assert r.cb_dc8.shape == (4, 16, 16)
+    assert r.y_dc8.dtype == np.int8 and r.y_aidx.dtype == np.int32
     qt = slide.dct_probe(0)
     got = jax.jit(dct_regions_to_planes)(
-        r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
-        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid, r.off)
+        *r[:21], qt, r.valid, r.off)
     for name, g, w in zip("y cb cr".split(), got, want):
         diff = np.abs(np.asarray(g).astype(np.int16) - w.astype(np.int16))
         assert diff.max() <= 1, (name, diff.max())
@@ -74,8 +74,7 @@ def test_dct_rgb_matches_libtiff_decode(ycbcr_slide):
     r = slide.read_regions_dct(coords, 0, (256, 256))
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
-        r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
-        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid, r.off))
+        *r[:21], qt, r.valid, r.off))
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
     assert np.quantile(diff, 0.99) <= 4.0, np.quantile(diff, 0.99)
@@ -95,8 +94,7 @@ def test_dct_region_boundary_white(ycbcr_slide):
     assert tuple(r.valid[0]) == (128, 128)
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
-        r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
-        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid, r.off))
+        *r[:21], qt, r.valid, r.off))
     assert np.all(got[0, 128:] == 255) and np.all(got[0, :, 128:] == 255)
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
@@ -128,11 +126,10 @@ def test_dct_offset_grid_matches_libtiff_decode(ycbcr_slide):
     r = slide.read_regions_dct(coords, 0, (256, 256))
     assert (r.status == 0).all()
     assert r.off.shape == (3, 2) and (r.off == coords % 16).all()
-    assert r.y_dc.shape == (3, 34, 34)  # (256+16)/8 padded block grid
+    assert r.y_dc8.shape == (3, 34, 34)  # (256+16)/8 padded block grid
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
-        r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
-        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid, r.off))
+        *r[:21], qt, r.valid, r.off))
     assert got.shape == (3, 256, 256, 3)
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
@@ -153,8 +150,7 @@ def test_dct_offset_grid_boundary_white(ycbcr_slide):
     assert tuple(r.valid[0]) == (120, 134)
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
-        r.y_dc, r.y_bm, r.y_val, r.cb_dc, r.cb_bm, r.cb_val,
-        r.cr_dc, r.cr_bm, r.cr_val, qt, r.valid, r.off))
+        *r[:21], qt, r.valid, r.off))
     assert np.all(got[0, 134:] == 255) and np.all(got[0, :, 120:] == 255)
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
@@ -165,7 +161,7 @@ def test_decode_batch_dct_and_fallback(ycbcr_slide):
 
     slide, _ = ycbcr_slide
     qt = slide.dct_probe(0)
-    ctx = (qt, 32, 12)
+    ctx = (qt, (32, 12, 1024, 256, 1024, 256))
     out = _decode_batch(slide, np.array([[0, 0], [256, 256]]),
                         patch_level=0, size=256, bs=2, transform=None,
                         target_patch_size=0, n_io_threads=2, dct_ctx=ctx)
@@ -228,3 +224,39 @@ def test_encode_stream_dct_odd_slides_still_encode(ycbcr_slide):
     want = dict(encode_stream([("a", slide, coords)], enc,
                               transform=lambda x: x))
     np.testing.assert_allclose(outs["a"], want["a"], rtol=5e-2, atol=5e-2)
+
+
+def test_dct_group_size_matches_native(ycbcr_slide):
+    """ops/jpegdct._G must mirror the native packer's kDctGroup — the
+    device derives padded-stream slots from it."""
+    from hipt_abmil_atec23_tpu.ops.jpegdct import _G
+    from hipt_abmil_atec23_tpu.slideio.reader import dct_group_size
+
+    slide, _ = ycbcr_slide
+    assert _G == dct_group_size(slide._lib)
+
+
+def test_dct_escape_streams_and_pad_indices(ycbcr_slide):
+    """The noise fixture exercises AC escapes (|v| > 7) and DC-delta
+    escapes; pad slots carry idx = -1 and must NOT wrap onto the last
+    element (JAX negative indexing) — regression for the v2->v3 port."""
+    import jax
+    from hipt_abmil_atec23_tpu.ops.jpegdct import dct_regions_to_planes
+
+    slide, _ = ycbcr_slide
+    coords = np.array([[0, 0], [512, 512]])
+    r = slide.read_regions_dct(coords, 0, (256, 256))
+    assert (r.status == 0).all()
+    assert r.cnts[:, :, 1].sum() > 0, "no AC escapes exercised"
+    assert (r.y_aidx == -1).any(), "no pad slots exercised"
+    # poison the pad VALUE slots: a wrap bug would drag them into the
+    # plane; a correct drop leaves the decode bit-identical
+    r2 = r._replace(
+        y_aval=np.where(r.y_aidx < 0, 99, r.y_aval).astype(np.int8),
+        y_dval=np.where(r.y_didx < 0, 30000, r.y_dval).astype(np.int16))
+    qt = slide.dct_probe(0)
+    fn = jax.jit(dct_regions_to_planes)
+    got = [np.asarray(a) for a in fn(*r[:21], qt, r.valid, r.off)]
+    got2 = [np.asarray(a) for a in fn(*r2[:21], qt, r2.valid, r2.off)]
+    for g, g2 in zip(got, got2):
+        np.testing.assert_array_equal(g, g2)
