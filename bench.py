@@ -44,6 +44,71 @@ TARGET_SLIDES_PER_HOUR = 50.0
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
+def _noise_block():
+    """iid stain-colored noise, the JPEG worst case: every AC coefficient
+    band carries energy, so the sparse-DCT pack is at its densest. Kept
+    as the worst-case fixture (extras) after round 3's headline ran on it
+    (VERDICT r3 #5: 'the bench slide is iid noise')."""
+    rng = np.random.default_rng(0)
+    return np.clip(
+        np.array([199, 124, 180], np.int16)
+        + rng.integers(-25, 25, size=(4096, 4096, 3), dtype=np.int16),
+        0, 255).astype(np.uint8)
+
+
+def _tissue_block():
+    """H&E-like 4096px texture: power-law (fractal-octave) stroma density
+    mapped white->eosin-pink, nuclei blobs in hematoxylin blue-purple,
+    mild sensor noise. Matches what the DCT path exploits about real TCGA
+    tiles — energy concentrated in low-frequency bands with sharp nuclei
+    edges riding on top — without copying any real slide. (Reference
+    anchor: read_region on real .svs JPEG tiles,
+    wsi_core/WholeSlideImage.py:165.)"""
+    import cv2
+    rng = np.random.default_rng(1)
+    size = 4096
+
+    def octaves(base, n, decay):
+        acc = np.zeros((size, size), np.float32)
+        amp, res, tot = 1.0, base, 0.0
+        for _ in range(n):
+            g = rng.standard_normal((res, res)).astype(np.float32)
+            acc += amp * cv2.resize(g, (size, size),
+                                    interpolation=cv2.INTER_CUBIC)
+            tot += amp
+            amp *= decay
+            res = min(res * 2, size)
+        return acc / tot
+
+    density = 1.0 / (1.0 + np.exp(-2.5 * octaves(8, 6, 0.6)))
+    density = 0.45 + 0.55 * density  # tissue everywhere; no seg holes
+    nuc = octaves(256, 3, 0.5)
+    nuclei = (nuc > np.quantile(nuc, 0.88)).astype(np.float32)
+    nuclei = cv2.GaussianBlur(nuclei, (0, 0), 1.2)
+    eosin = np.array([225, 160, 200], np.float32)
+    hema = np.array([90, 60, 150], np.float32)
+    white = np.array([248, 246, 248], np.float32)
+    img = (white * (1.0 - density[..., None])
+           + eosin * density[..., None])
+    img = img * (1.0 - nuclei[..., None]) + hema * nuclei[..., None]
+    img += rng.normal(0.0, 2.0, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _fabricate_slide(path, block, write_synthetic_slide, native):
+    """Tile one 4096px block to SLIDE_PX with a thin white border (Otsu
+    needs a background mode) and write the YCbCr 4:2:0 JPEG pyramid."""
+    full = np.tile(block, (SLIDE_PX // 4096, SLIDE_PX // 4096, 1))
+    b = 192
+    full[:b] = full[-b:] = 255
+    full[:, :b] = 255
+    full[:, -b:] = 255
+    write_synthetic_slide(path + ".part", SLIDE_PX, SLIDE_PX, n_levels=5,
+                          compression=native.COMPRESSION_JPEG,
+                          image=full, ycbcr420=True)
+    os.replace(path + ".part", path)
+
+
 def _setup_cache(jax):
     # persistent compile cache: first bench run pays the (minutes-long)
     # tunnel compile; subsequent runs start hot
@@ -200,33 +265,23 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
     from hipt_abmil_atec23_tpu.utils.config import (
         EncoderConfig, SegConfig, TileConfig)
 
-    # ---- setup (untimed): fabricate a FULL-tissue slide (all 16 regions
+    # ---- setup (untimed): fabricate FULL-tissue slides (all 16 regions
     # carry tissue, like the dense core of a TCGA section), build + warm.
-    # v3 stores TCGA-faithful YCbCr 4:2:0 JPEG tiles (real .svs files are
-    # chroma-subsampled), which enables the raw-plane transfer path:
-    # 1.5 bytes/px to the device, RGB reconstructed on-chip (ops/yuv.py).
-    # The slide is deterministic — cache it across bench runs (~60s saved).
-    slide_path = f"/tmp/bench_slide_{SLIDE_PX}_fulltissue_v3.tif"
+    # v3+ stores TCGA-faithful YCbCr 4:2:0 JPEG tiles (real .svs files are
+    # chroma-subsampled), enabling the raw-plane and sparse-DCT transfer
+    # paths. TWO fixtures (VERDICT r3 #5): the HEADLINE runs on an
+    # H&E-like texture (smooth fractal stroma + nuclei blobs — JPEG
+    # statistics in the neighborhood of real tissue); the old iid-noise
+    # fixture is kept as the JPEG WORST CASE and its pack size is
+    # reported as an extra. Both deterministic — cached across runs.
+    slide_path = f"/tmp/bench_slide_{SLIDE_PX}_tissue_v4.tif"
+    noise_path = f"/tmp/bench_slide_{SLIDE_PX}_fulltissue_v3.tif"
     if not os.path.exists(slide_path):
-        rng = np.random.default_rng(0)
-        block = np.clip(
-            np.array([199, 124, 180], np.int16)
-            + rng.integers(-25, 25, size=(4096, 4096, 3), dtype=np.int16),
-            0, 255).astype(np.uint8)
-        full = np.tile(block, (SLIDE_PX // 4096, SLIDE_PX // 4096, 1))
-        # thin white border: Otsu needs a background mode to threshold
-        # against; the interior stays 100% tissue so all 16 grid regions
-        # carry load
-        b = 192
-        full[:b] = full[-b:] = 255
-        full[:, :b] = 255
-        full[:, -b:] = 255
-        write_synthetic_slide(slide_path + ".part", SLIDE_PX, SLIDE_PX,
-                              n_levels=5,
-                              compression=native.COMPRESSION_JPEG,
-                              image=full, ycbcr420=True)
-        os.replace(slide_path + ".part", slide_path)
-        del full, block
+        _fabricate_slide(slide_path, _tissue_block(),
+                         write_synthetic_slide, native)
+    if not os.path.exists(noise_path):
+        _fabricate_slide(noise_path, _noise_block(),
+                         write_synthetic_slide, native)
 
     # Link model (measured, round 3): before the first jit execution the
     # runtime BUFFERS device_put — block_until_ready returns at ~1.4 GB/s
@@ -402,12 +457,13 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
         qt = slide.dct_probe(0)
         r = slide.read_regions_dct(probe_coords, 0, (REGION, REGION),
                                    cap_y_pb=caps[0], cap_c_pb=caps[1],
-                                   cap_aesc_y=caps[2], cap_aesc_c=caps[3],
-                                   cap_desc_y=caps[4], cap_desc_c=caps[5],
+                                   cap_ge_y=caps[2], cap_ge_c=caps[3],
+                                   cap_aesc_y=caps[4], cap_aesc_c=caps[5],
+                                   cap_desc_y=caps[6], cap_desc_c=caps[7],
                                    n_threads=REGION_BATCH)
         if not r.status.any():
             from hipt_abmil_atec23_tpu.engine.encode import DctBatch
-            sample = DctBatch(*r[:21], qt, r.valid, r.off)
+            sample = DctBatch(*r[:24], qt, r.valid, r.off)
             fn = encoder.compile_ahead(tuple(sample), dct=True)
     if sample is None:
         y = np.random.default_rng(0).integers(
@@ -460,6 +516,22 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
     assert hm.size > 0
     slide.close()
 
+    # dual-fixture wire accounting (VERDICT r3 #5): exact sparse-DCT pack
+    # size per 4096px region at each fixture's own stream caps (host-only
+    # probe — the analytic pack size at probed caps is exact)
+    def _dct_pack_mb(path):
+        from hipt_abmil_atec23_tpu.engine.encode import probe_dct_caps
+        s = TiffSlide(path)
+        pts = np.array([[4096, 4096], [8192, 4096], [4096, 8192]])
+        probed = probe_dct_caps(s, pts, 0, REGION)
+        s.close()
+        if probed is None:
+            return None
+        return round(probed[1] * REGION * REGION / 1e6, 2)
+
+    fixture_mb = {"tissue": _dct_pack_mb(slide_path),
+                  "noise_worstcase": _dct_pack_mb(noise_path)}
+
     regions_per_hour = median_rate * 3600.0
     raw_slides_per_hour = N_SLIDES / dt * 3600.0
     tcga40 = regions_per_hour / REGIONS_PER_TCGA_SLIDE
@@ -477,6 +549,8 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
         "total_regions_per_hour": round(regions_done / dt * 3600.0, 1),
         "effective_H2D_MBps": round(eff_wire_mbps, 1),
         "wire_MB_per_region": round(mb_per_region, 1),
+        "bench_fixture": "tissue_v4 (H&E-like fractal stroma + nuclei)",
+        "dct_pack_MB_per_region_by_fixture": fixture_mb,
         "transfer_regions_by_mode": transfer_mode,
         "dct_value_caps": list(stats.get("dct_caps") or ()),
         "link_gate_probe_MBps": round(probed_mbps, 1),

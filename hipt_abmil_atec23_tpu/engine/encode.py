@@ -32,24 +32,26 @@ from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
 
 
 class DctBatch(NamedTuple):
-    """One compute batch shipped as sparse quantized-DCT v2 packs instead
-    of pixels (~0.4 bytes/px on the iid-noise worst case vs 1.5 raw-YCbCr
-    / 3 RGB — the wire is the e2e bottleneck). Field order matches
-    ops/jpegdct.dct_regions_to_rgb (21 component arrays + qt + valid +
-    off); the device does unpack -> dequant -> IDCT -> upsample -> color
-    -> normalize in one fused graph. NOTE: this is a tuple subtype —
-    dispatchers must test DctBatch BEFORE the plain-tuple (YUV planes)
-    case."""
+    """One compute batch shipped as sparse quantized-DCT v2.1 packs
+    instead of pixels (~0.4 bytes/px on the iid-noise worst case vs 1.5
+    raw-YCbCr / 3 RGB — the wire is the e2e bottleneck). Field order
+    matches ops/jpegdct.dct_regions_to_rgb (24 component arrays + qt +
+    valid + off); the device does unpack -> dequant -> IDCT -> upsample
+    -> color -> normalize in one fused graph. NOTE: this is a tuple
+    subtype — dispatchers must test DctBatch BEFORE the plain-tuple (YUV
+    planes) case."""
     y_dc8: np.ndarray   # [n, h/8, w/8] int8 delta-coded DC
     y_bm: np.ndarray    # [n, h/8, w/8, 8] uint8 AC bitmap
     y_valn: np.ndarray  # [n, cap/2] uint8 nibble-packed AC values
-    y_aidx: np.ndarray  # [n, cap_a] int32 AC-escape stream indices
-    y_aval: np.ndarray  # [n, cap_a] int8 AC-escape values
+    y_esc8: np.ndarray  # [n, ng*capge] int8 group-padded AC escapes
+    y_aidx: np.ndarray  # [n, cap_a] int32 |v|>127-escape coef indices
+    y_aval: np.ndarray  # [n, cap_a] int16 escape values
     y_didx: np.ndarray  # [n, cap_d] int32 DC-escape block indices
     y_dval: np.ndarray  # [n, cap_d] int16 DC-escape deltas
     cb_dc8: np.ndarray
     cb_bm: np.ndarray
     cb_valn: np.ndarray
+    cb_esc8: np.ndarray
     cb_aidx: np.ndarray
     cb_aval: np.ndarray
     cb_didx: np.ndarray
@@ -57,6 +59,7 @@ class DctBatch(NamedTuple):
     cr_dc8: np.ndarray
     cr_bm: np.ndarray
     cr_valn: np.ndarray
+    cr_esc8: np.ndarray
     cr_aidx: np.ndarray
     cr_aval: np.ndarray
     cr_didx: np.ndarray
@@ -388,18 +391,19 @@ def _decode_batch(slide, chunk, *, patch_level, size, bs, transform,
         try:
             r = slide.read_regions_dct(chunk, patch_level, (size, size),
                                        cap_y_pb=caps[0], cap_c_pb=caps[1],
-                                       cap_aesc_y=caps[2],
-                                       cap_aesc_c=caps[3],
-                                       cap_desc_y=caps[4],
-                                       cap_desc_c=caps[5],
+                                       cap_ge_y=caps[2], cap_ge_c=caps[3],
+                                       cap_aesc_y=caps[4],
+                                       cap_aesc_c=caps[5],
+                                       cap_desc_y=caps[6],
+                                       cap_desc_c=caps[7],
                                        n_threads=n_io_threads or k)
             if not r.status.any():
-                comp = [_pad_to(a, k, bs) for a in r[:21]]
+                comp = [_pad_to(a, k, bs) for a in r[:24]]
                 # escape-index pads must stay -1 (dropped by the device
                 # scatter); _pad_to zero-fills, and index 0 is a REAL slot
                 if k < bs:
-                    for a in (comp[3], comp[5], comp[10], comp[12],
-                              comp[17], comp[19]):
+                    for a in (comp[4], comp[6], comp[12], comp[14],
+                              comp[20], comp[22]):
                         a[k:] = -1
                 return DctBatch(*comp, qt, _pad_to(r.valid, k, bs),
                                 _pad_to(r.off, k, bs))
@@ -431,6 +435,74 @@ def _decode_batch(slide, chunk, *, patch_level, size, bs, transform,
 def _batches(coords: np.ndarray, batch: int) -> Iterable[np.ndarray]:
     for i in range(0, len(coords), batch):
         yield coords[i:i + batch]
+
+
+def probe_dct_caps(slide, coords, patch_level, size):
+    """Probe a slide's sparse-DCT pack capacities for a region stream:
+    read 3 sample regions at maximal caps, then size the per-block value
+    budgets from the MAX GROUP FILL (value streams are padded per
+    ops/jpegdct._G-block group — the group max is the binding stat, not
+    the per-block average) and bucket the escape capacities so every
+    batch in the stream shares one compiled entry.
+
+    Returns (caps, bytes_per_px) — caps = (y_pb, c_pb, ge_y, ge_c,
+    aesc_y, aesc_c, desc_y, desc_c) as read_regions_dct takes them,
+    bytes_per_px the exact aligned-grid pack size at those caps (for the
+    rung selector) — or None when this slide/grid cannot ride the
+    coefficient path."""
+    # sample regions SPREAD across the slide: the first region is often
+    # background (near-zero density) and would size the caps so low that
+    # every tissue chunk overflows into the fallback
+    sample = np.asarray(coords)[
+        np.unique(np.linspace(0, len(coords) - 1, 3, dtype=int))]
+    try:
+        ybl = (size // 8) ** 2
+        from hipt_abmil_atec23_tpu.ops.jpegdct import _G
+        r = slide.read_regions_dct(
+            sample, patch_level, (size, size), cap_y_pb=63,
+            cap_c_pb=63, cap_ge_y=63 * _G, cap_ge_c=63 * _G,
+            cap_aesc_y=ybl, cap_aesc_c=ybl // 4,
+            cap_desc_y=ybl, cap_desc_c=ybl // 4,
+            n_threads=len(sample))
+    except (IOError, AttributeError):
+        return None
+    if r.status.any():
+        return None
+    cnts = r.cnts  # [n, comp, {nnz, aesc, desc, gmax, gemax}]
+    # 30% headroom + 1 — probed on 3 sample regions only
+    need_y = cnts[:, 0, 3].max() * 1.3 / _G + 1.0
+    need_c = cnts[:, 1:, 3].max() * 1.3 / _G + 1.0
+    y_pb = next((b for b in (4, 8, 16, 24, 32, 48) if b >= need_y), 63)
+    c_pb = next((b for b in (2, 4, 8, 12, 16, 24) if b >= need_c), 63)
+    # escape byte slots per 16-block group (|AC| > 7 rides the group-
+    # padded int8 stream; 50% headroom — group maxima vary more than
+    # value fills)
+    need_ge_y = cnts[:, 0, 4].max() * 1.5 + 2.0
+    need_ge_c = cnts[:, 1:, 4].max() * 1.5 + 2.0
+    ge_y = next((b for b in (4, 8, 16, 32, 64, 128, 256, 512)
+                 if b >= need_ge_y), 63 * _G)
+    ge_c = next((b for b in (2, 4, 8, 16, 32, 64, 128)
+                 if b >= need_ge_c), 63 * _G)
+
+    # explicit-index slots: bucketed so every batch in the stream shares
+    # one compiled entry; |AC| > 127 / |dDC| > 127 are rare but
+    # border/edge regions spike them — 2x headroom + floor
+    def esc_cap(n):
+        need = int(n) * 2 + 64
+        return next((b for b in (256, 1024, 4096, 16384, 65536)
+                     if b >= need), 262144)
+
+    caps = (y_pb, c_pb, ge_y, ge_c,
+            esc_cap(cnts[:, 0, 1].max()), esc_cap(cnts[:, 1:, 1].max()),
+            esc_cap(cnts[:, 0, 2].max()), esc_cap(cnts[:, 1:, 2].max()))
+    # exact per-region wire bytes at these caps (aligned grid; dc8 + bm =
+    # 9 B/block, nibbles pb/2 B/block, escape bytes ge/_G B/block,
+    # explicit escapes 6 B/slot) -> bytes/px
+    ybl_a, cbl_a = (size // 8) ** 2, (size // 16) ** 2
+    nb = (ybl_a * (9 + y_pb / 2 + ge_y / _G)
+          + 2 * cbl_a * (9 + c_pb / 2 + ge_c / _G)
+          + 6 * (caps[4] + 2 * caps[5]) + 6 * (caps[6] + 2 * caps[7]))
+    return caps, nb / float(size * size)
 
 
 def encode_slide(
@@ -615,56 +687,11 @@ def encode_stream(
     def _probe_caps(slide, coords):
         nonlocal dct_caps, dct_bpp
         if dct_caps is None:
-            # sample regions SPREAD across the slide: the first region is
-            # often background (near-zero density) and would size the caps
-            # so low that every tissue chunk overflows into the fallback
-            sample = np.asarray(coords)[
-                np.unique(np.linspace(0, len(coords) - 1, 3, dtype=int))]
-            try:
-                ybl = (size // 8) ** 2
-                r = slide.read_regions_dct(
-                    sample, patch_level, (size, size), cap_y_pb=63,
-                    cap_c_pb=63, cap_aesc_y=ybl, cap_aesc_c=ybl // 4,
-                    cap_desc_y=ybl, cap_desc_c=ybl // 4,
-                    n_threads=len(sample))
-            except (IOError, AttributeError):
+            probed = probe_dct_caps(slide, coords, patch_level, size)
+            if probed is None:
                 dct_caps = False
-                return
-            if r.status.any():
-                dct_caps = False
-                return
-            from hipt_abmil_atec23_tpu.ops.jpegdct import _G
-            cnts = r.cnts  # [n, comp, {nnz, aesc, desc, max_group_fill}]
-            # value streams are padded per _G-block GROUP: the binding
-            # stat is the max group fill, not the per-block average
-            # (30% headroom + 1 — probed on 3 sample regions only)
-            need_y = cnts[:, 0, 3].max() * 1.3 / _G + 1.0
-            need_c = cnts[:, 1:, 3].max() * 1.3 / _G + 1.0
-            y_pb = next((b for b in (4, 8, 16, 24, 32, 48) if b >= need_y),
-                        63)
-            c_pb = next((b for b in (2, 4, 8, 12, 16, 24) if b >= need_c),
-                        63)
-            # escape slots: bucketed so every batch in the stream shares
-            # one compiled entry; escapes are rare (|AC| > 7, |dDC| > 127)
-            # but border/edge regions spike them — 2x headroom + floor
-            def esc_cap(n):
-                need = int(n) * 2 + 64
-                return next((b for b in (256, 1024, 4096, 16384, 65536)
-                             if b >= need), 262144)
-            dct_caps = (y_pb, c_pb,
-                        esc_cap(cnts[:, 0, 1].max()),
-                        esc_cap(cnts[:, 1:, 1].max()),
-                        esc_cap(cnts[:, 0, 2].max()),
-                        esc_cap(cnts[:, 1:, 2].max()))
-            # exact per-region wire bytes at these caps (aligned grid;
-            # dc8 + bm = 9 B/block, nibbles y_pb/2 B/block, escapes
-            # 5/6 B/slot) -> bytes/px for the rung selector
-            ybl_a, cbl_a = (size // 8) ** 2, (size // 16) ** 2
-            nb = (ybl_a * (9 + y_pb / 2)
-                  + 2 * cbl_a * (9 + c_pb / 2)
-                  + 5 * (dct_caps[2] + 2 * dct_caps[3])
-                  + 6 * (dct_caps[4] + 2 * dct_caps[5]))
-            dct_bpp = nb / float(size * size)
+            else:
+                dct_caps, dct_bpp = probed
 
     items = []
     for ji, (sid, slide, coords) in enumerate(jobs):

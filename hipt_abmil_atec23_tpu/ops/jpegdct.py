@@ -28,10 +28,16 @@ ws_read_regions_dct2; block grid row-major, coefficients natural order):
                           NIBBLES, low nibble first, GROUP-PADDED: each run
                           of _G=16 raster-consecutive blocks owns a fixed
                           window of capg slots (unused tail slots stay 0).
-                          [-7, 7] inline; -8 marks "true value in aesc";
-  aesc (idx int32, val int8)[cap_a]   AC escapes keyed by PADDED-STREAM
-                          slot (group*capg + in-group offset; idx = -1
-                          pads unused slots);
+                          [-7, 7] inline; -8 marks "true value in esc8";
+  esc8 int8[ngroups*capge]  AC-escape values (|v| > 7) in bitmap order
+                          among the group's escape slots, GROUP-PADDED
+                          like valn (~1 B/escape vs 6 for an explicit-
+                          index stream — edge-dense tissue carries ~1
+                          escape/block); -128 = "true value in aesc";
+  aesc (idx int32, val int16)[cap_a]  |v| > 127 escapes keyed by
+                          COEFFICIENT index (block*64 + k; idx = -1 pads
+                          unused slots) — int16 so sharp-edged tissue
+                          never forces the pixel fallback;
   desc (idx int32, val int16)[cap_d]  DC-delta escapes keyed by BLOCK
                           index (idx = -1 pads unused slots).
 
@@ -45,7 +51,8 @@ take_along_axis a tight stream forces (22 vs 312 ms/region on a 4096px
 noise region) — v1's full-stream cumsum + gather was the round-3
 bottleneck (VERDICT r3 item 3); the nibble/delta/escape coding also cut
 wire bytes roughly in half (VERDICT r3 item 1). Escape streams scatter by
-explicit index (`.at[idx].set(val, mode='drop')`) before the matmul.
+explicit index (`.at[idx].set(val, mode='drop')`) after the matmul, which
+keeps the matmul operands in the bf16-exact [-8, 7] range.
 
 The block-grid shapes carry the region geometry, so callers never pass
 static height/width — a jit entry retraces naturally per region size.
@@ -81,8 +88,8 @@ _M8 = (np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None]
 _G = 16
 
 
-def _unpack_component(dc8, bm, valn, aidx, aval, didx, dval, q):
-    """One component's v2 pack -> dequantized coefficient blocks
+def _unpack_component(dc8, bm, valn, esc8, aidx, aval, didx, dval, q):
+    """One component's v2.1 pack -> dequantized coefficient blocks
     [n, bh*bw, 8, 8] f32 (see module docstring for the field layout)."""
     n, bh, bw = dc8.shape
     bl = bh * bw
@@ -97,7 +104,8 @@ def _unpack_component(dc8, bm, valn, aidx, aval, didx, dval, q):
     cnt = rank[..., -1]                                  # [n, ng, G]
     starts = jnp.cumsum(cnt, axis=-1) - cnt              # in-group offsets
     slot = starts[..., None] + rank - 1                  # padded-stream slot
-    # nibble stream -> int8 values; escapes scatter by padded-stream slot
+    # nibble stream -> int8 values in [-8, 7]; -8 marks an escape whose
+    # true value rides the group-padded esc8 byte stream
     lo = (valn & 0xF).astype(jnp.int8)
     hi = (valn >> 4).astype(jnp.int8)
     nib = jnp.stack([lo, hi], axis=-1).reshape(n, -1)    # [n, ng*capg] int8
@@ -105,13 +113,24 @@ def _unpack_component(dc8, bm, valn, aidx, aval, didx, dval, q):
     # pad slots carry idx = -1, which JAX indexing would WRAP to the last
     # element — push pads out of bounds so mode='drop' discards them
     big = jnp.int32(2**30)
-    vals = jax.vmap(lambda v, i, e: v.at[i].set(e, mode="drop"))(
-        vals, jnp.where(aidx < 0, big, aidx), aval)
+    # escape bytes align to their value slots by a second small one-hot
+    # matmul: the e-th escape of a group lands on the slot holding the
+    # group's e-th -8 marker (padded tail slots hold 0, never -8)
+    em = (vals == -8).reshape(n, ng, capg)
+    capge = esc8.shape[-1] // ng
+    erank = jnp.cumsum(em.astype(jnp.int32), axis=-1) - 1
+    eiota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, capge), 3)
+    eoh = ((erank[..., None] == eiota) & em[..., None]).astype(jnp.bfloat16)
+    esc = jnp.einsum("ngse,nge->ngs", eoh,
+                     esc8.reshape(n, ng, capge).astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
     # value placement as a one-hot batched matmul over the capg axis: the
     # comparison-generated operand fuses into the dot (MXU), the inputs are
-    # exact in bf16 (|v| <= 127), and the f32 accumulation picks exactly
-    # one value per coefficient — bit-exact, no gather
-    vg = vals.reshape(n, ng, capg).astype(jnp.bfloat16)
+    # exact in bf16 (|v| <= 128 after the escape merge), and the f32
+    # accumulation picks exactly one value per coefficient — bit-exact
+    vg = jnp.where(em, esc,
+                   vals.reshape(n, ng, capg).astype(jnp.float32)
+                   ).astype(jnp.bfloat16)
     bitsg = (bits > 0).reshape(n, ng, _G * 64)
     slotg = slot.reshape(n, ng, _G * 64)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, capg), 3)
@@ -120,6 +139,12 @@ def _unpack_component(dc8, bm, valn, aidx, aval, didx, dval, q):
     coef = jnp.einsum("ngjs,ngs->ngj", onehot, vg,
                       preferred_element_type=jnp.float32)
     coef = coef.reshape(n, ng * _G, 64)[:, :bl]
+    # |v| > 127 escapes (int16 — any libjpeg JCOEF) overwrite their -128
+    # sentinels by coefficient index, AFTER the matmul so its operands
+    # stay bf16-exact; int16 -> f32 is exact
+    coef = jax.vmap(lambda c, i, e: c.at[i].set(e, mode="drop"))(
+        coef.reshape(n, bl * 64), jnp.where(aidx < 0, big, aidx),
+        aval.astype(jnp.float32)).reshape(n, bl, 64)
     # DC: scatter escape deltas, chain row starts down column 0, then
     # prefix-sum each row (bw-length scans — geometry-sized, not stream)
     d32 = dc8.astype(jnp.int32).reshape(n, bl)
@@ -157,11 +182,12 @@ def _crop_planes(plane, off, out_h, out_w, denom):
     return jax.vmap(one)(plane, off)
 
 
-def dct_regions_to_planes(y_dc8, y_bm, y_valn, y_aidx, y_aval, y_didx,
-                          y_dval, cb_dc8, cb_bm, cb_valn, cb_aidx, cb_aval,
-                          cb_didx, cb_dval, cr_dc8, cr_bm, cr_valn, cr_aidx,
-                          cr_aval, cr_didx, cr_dval, qt, valid, off=None):
-    """Sparse v2 coefficient pack -> uint8 YCbCr planes (Y [n, h, w],
+def dct_regions_to_planes(y_dc8, y_bm, y_valn, y_esc8, y_aidx, y_aval,
+                          y_didx, y_dval, cb_dc8, cb_bm, cb_valn, cb_esc8,
+                          cb_aidx, cb_aval, cb_didx, cb_dval, cr_dc8, cr_bm,
+                          cr_valn, cr_esc8, cr_aidx, cr_aval, cr_didx,
+                          cr_dval, qt, valid, off=None):
+    """Sparse v2.1 coefficient pack -> uint8 YCbCr planes (Y [n, h, w],
     Cb/Cr [n, h/2, w/2]); white past the per-region valid extents.
 
     qt: [3, 64] quantization tables (natural order); valid: [n, 2] int32
@@ -180,14 +206,15 @@ def dct_regions_to_planes(y_dc8, y_bm, y_valn, y_aidx, y_aval, y_didx,
     ybh, ybw = y_dc8.shape[1], y_dc8.shape[2]
     cbh, cbw = cb_dc8.shape[1], cb_dc8.shape[2]
     h, w = ybh * 8, ybw * 8
-    y = _idct_plane(_unpack_component(y_dc8, y_bm, y_valn, y_aidx, y_aval,
-                                      y_didx, y_dval, qt[0]), ybh, ybw)
-    cb = _idct_plane(_unpack_component(cb_dc8, cb_bm, cb_valn, cb_aidx,
-                                       cb_aval, cb_didx, cb_dval, qt[1]),
-                     cbh, cbw)
-    cr = _idct_plane(_unpack_component(cr_dc8, cr_bm, cr_valn, cr_aidx,
-                                       cr_aval, cr_didx, cr_dval, qt[2]),
-                     cbh, cbw)
+    y = _idct_plane(_unpack_component(y_dc8, y_bm, y_valn, y_esc8, y_aidx,
+                                      y_aval, y_didx, y_dval, qt[0]),
+                    ybh, ybw)
+    cb = _idct_plane(_unpack_component(cb_dc8, cb_bm, cb_valn, cb_esc8,
+                                       cb_aidx, cb_aval, cb_didx, cb_dval,
+                                       qt[1]), cbh, cbw)
+    cr = _idct_plane(_unpack_component(cr_dc8, cr_bm, cr_valn, cr_esc8,
+                                       cr_aidx, cr_aval, cr_didx, cr_dval,
+                                       qt[2]), cbh, cbw)
     if off is not None and off.shape[-1] == 2:  # static at trace time
         h, w = h - 16, w - 16
         y = _crop_planes(y, off, h, w, 1)
@@ -208,7 +235,7 @@ def dct_regions_to_planes(y_dc8, y_bm, y_valn, y_aidx, y_aval, y_didx,
 
 
 def dct_regions_to_rgb(*pack):
-    """Sparse v2 coefficient pack -> float32 RGB [n, h, w, 3] in 0..255,
+    """Sparse v2.1 coefficient pack -> float32 RGB [n, h, w, 3] in 0..255,
     byte-identical to yuv420_to_rgb over host-decoded planes (the planes
     themselves match libjpeg within 1 LSB)."""
     y, cb, cr = dct_regions_to_planes(*pack)

@@ -38,9 +38,10 @@ def dct_group_size(lib) -> int:
 
 
 class DctRegions(NamedTuple):
-    """One batch of sparse quantized-DCT region packs, format v2
+    """One batch of sparse quantized-DCT region packs, format v2.1
     (read_regions_dct / native ws_read_regions_dct2): delta-coded int8 DC,
-    AC bitmap, nibble-packed AC values, explicit-index escape streams.
+    AC bitmap, nibble-packed AC values, group-padded int8 escape bytes,
+    explicit-index int16 escape streams for the rare |v| > 127.
     Block-grid arrays carry the geometry; `status[i] != 0` means region i
     must be re-read through a pixel path (see wsireader.cpp)."""
     y_dc8: np.ndarray   # [n, h/8, w/8] int8 DC deltas (raster; row starts
@@ -50,14 +51,19 @@ class DctRegions(NamedTuple):
                         # in bitmap order (low nibble first, two's
                         # complement; -8 marks an escape), padded per
                         # 16-block group to capg slots
-    y_aidx: np.ndarray  # [n, cap_aesc] int32 AC-escape padded-stream slot
-                        # (-1 pads unused slots)
-    y_aval: np.ndarray  # [n, cap_aesc] int8 AC-escape true values
+    y_esc8: np.ndarray  # [n, ngroups*capge] int8 AC-escape values (|v| > 7)
+                        # in bitmap order among the group's escape slots,
+                        # group-padded to capge bytes; -128 = sentinel
+                        # "true value in aesc"
+    y_aidx: np.ndarray  # [n, cap_aesc] int32 |v|>127-escape COEFFICIENT
+                        # index (block*64 + k; -1 pads unused slots)
+    y_aval: np.ndarray  # [n, cap_aesc] int16 escape true values
     y_didx: np.ndarray  # [n, cap_desc] int32 DC-escape block index (-1 pad)
     y_dval: np.ndarray  # [n, cap_desc] int16 DC-escape true deltas
     cb_dc8: np.ndarray  # chroma grids are [n, h/16, w/16]
     cb_bm: np.ndarray
     cb_valn: np.ndarray
+    cb_esc8: np.ndarray
     cb_aidx: np.ndarray
     cb_aval: np.ndarray
     cb_didx: np.ndarray
@@ -65,12 +71,13 @@ class DctRegions(NamedTuple):
     cr_dc8: np.ndarray
     cr_bm: np.ndarray
     cr_valn: np.ndarray
+    cr_esc8: np.ndarray
     cr_aidx: np.ndarray
     cr_aval: np.ndarray
     cr_didx: np.ndarray
     cr_dval: np.ndarray
-    cnts: np.ndarray    # [n, 3, 4] int32 per-component {nnz, aesc, desc,
-                        # max_group_fill}
+    cnts: np.ndarray    # [n, 3, 5] int32 per-component {nnz, aesc, desc,
+                        # max_group_fill, max_group_esc_fill}
     valid: np.ndarray   # [n, 2] int32 in-slide (w, h) extents
     status: np.ndarray  # [n] int8: 0 ok, 1 pixel-fallback, 2 error
     off: np.ndarray     # [n, 2] int32 device crop offsets (16-misaligned
@@ -217,18 +224,22 @@ class TiffSlide(BaseSlide):
         return None
 
     def read_regions_dct(self, locations, level, size, cap_y_pb: int = 32,
-                         cap_c_pb: int = 12, cap_aesc_y: int = 8192,
-                         cap_aesc_c: int = 2048, cap_desc_y: int = 4096,
+                         cap_c_pb: int = 12, cap_ge_y: int = 64,
+                         cap_ge_c: int = 16, cap_aesc_y: int = 1024,
+                         cap_aesc_c: int = 256, cap_desc_y: int = 4096,
                          cap_desc_c: int = 1024, n_threads: int = 0):
         """Batched sparse quantized-DCT reads, pack v2 (host does the
         Huffman decode ONLY; dequant/IDCT/upsample/color run on device).
         Returns a DctRegions namedtuple; regions whose status != 0 must
-        be re-read via a pixel path (odd coords, any cap overflow,
-        |AC| > 127). cap_*_pb: AC value capacity per 8x8 block — the
+        be re-read via a pixel path (odd coords or any cap overflow;
+        escape values are int8+int16 tiered so magnitude never forces
+        the fallback). cap_*_pb: AC value capacity per 8x8 block — the
         value stream is padded per 16-block GROUP to capg = 16*cap_pb
         slots (nibble stream ships ngroups*capg/2 bytes per region);
-        cap_aesc_*/cap_desc_*: per-region escape-slot capacities for AC
-        values outside [-7, 7] and DC deltas outside int8.
+        cap_ge_*: AC-escape (|v| > 7) byte slots per 16-block group;
+        cap_aesc_*/cap_desc_*: per-region explicit-index escape-slot
+        capacities for AC values outside int8 and DC deltas outside
+        int8.
 
         Grids off the 16px MCU lattice (any even origin — the common
         TCGA contour-bbox case) are read at the 16-aligned origin with
@@ -262,26 +273,31 @@ class TiffSlide(BaseSlide):
         # per-16-block-group value caps (16 * per-block budget, even)
         capg_y, capg_c = G * cap_y_pb, G * cap_c_pb
         ng_y, ng_c = -(-ybl // G), -(-cbl // G)
-        caps = np.array([capg_y, capg_c, cap_aesc_y, cap_aesc_c,
+        caps = np.array([capg_y, capg_c, cap_ge_y, cap_ge_c,
+                         cap_aesc_y, cap_aesc_c,
                          cap_desc_y, cap_desc_c], np.int64)
         comps = []
-        for bh_, bw_, nbytes_v, capa, capd in (
-                (ybh, ybw, ng_y * capg_y // 2, cap_aesc_y, cap_desc_y),
-                (cbh, cbw, ng_c * capg_c // 2, cap_aesc_c, cap_desc_c),
-                (cbh, cbw, ng_c * capg_c // 2, cap_aesc_c, cap_desc_c)):
+        for bh_, bw_, nbytes_v, nbytes_e, capa, capd in (
+                (ybh, ybw, ng_y * capg_y // 2, ng_y * cap_ge_y,
+                 cap_aesc_y, cap_desc_y),
+                (cbh, cbw, ng_c * capg_c // 2, ng_c * cap_ge_c,
+                 cap_aesc_c, cap_desc_c),
+                (cbh, cbw, ng_c * capg_c // 2, ng_c * cap_ge_c,
+                 cap_aesc_c, cap_desc_c)):
             comps.append((
                 np.empty((n, bh_, bw_), np.int8),        # dc8
                 np.empty((n, bh_, bw_, 8), np.uint8),    # bm
                 np.empty((n, nbytes_v), np.uint8),       # valn
+                np.empty((n, nbytes_e), np.int8),        # esc8
                 np.empty((n, capa), np.int32),           # aesc_idx
-                np.empty((n, capa), np.int8),            # aesc_val
+                np.empty((n, capa), np.int16),           # aesc_val
                 np.empty((n, capd), np.int32),           # desc_idx
                 np.empty((n, capd), np.int16)))          # desc_val
-        cnts = np.zeros((n, 3, 4), np.int32)
+        cnts = np.zeros((n, 3, 5), np.int32)
         valid = np.zeros((n, 2), np.int32)
         status = np.full(n, 1, np.int8)
         if not odd:
-            bufs = (ctypes.c_void_p * 21)(
+            bufs = (ctypes.c_void_p * 24)(
                 *[a.ctypes.data_as(ctypes.c_void_p).value
                   for comp in comps for a in comp])
             p = lambda a: a.ctypes.data_as(ctypes.c_void_p)

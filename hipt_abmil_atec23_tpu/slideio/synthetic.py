@@ -45,11 +45,13 @@ def write_synthetic_slide(path: str, width: int = 4096, height: int = 4096,
                           compression: int = native.COMPRESSION_JPEG,
                           seed: int = 0,
                           image: Optional[np.ndarray] = None,
-                          ycbcr420: bool = False) -> np.ndarray:
+                          ycbcr420: bool = False,
+                          quality: int = 80) -> np.ndarray:
     """Write a synthetic pyramidal TIFF; returns the level-0 image.
     ycbcr420=True stores TCGA-style YCbCr 4:2:0 JPEG tiles."""
     img = image if image is not None else make_tissue_image(
         width, height, seed=seed)
     native.write_pyramid(path, img, tile=tile, n_levels=n_levels,
-                         compression=compression, ycbcr420=ycbcr420)
+                         compression=compression, ycbcr420=ycbcr420,
+                         quality=quality)
     return img

@@ -413,14 +413,23 @@ int32_t ws_read_regions_yuv420(void* handle, int32_t level,
 //                           run of kDctGroup=16 consecutive blocks owns a
 //                           fixed window of capg slots (slots beyond the
 //                           group's value count stay 0). [-7, 7] inline;
-//                           escapes hold the -8 marker and the true int8
-//                           value rides the aesc stream.
-//   aesc int32 idx + int8 val: AC escapes keyed by PADDED-STREAM slot
-//                           index (group*capg + in-group offset); unused
+//                           escapes hold the -8 marker and the true value
+//                           rides the esc8 byte stream.
+//   esc8 int8[ngroups*capge]  AC escapes (|v| > 7) as int8 bytes, GROUP-
+//                           PADDED like valn, in bitmap order among the
+//                           group's escape slots (~1 B/escape vs 6 for an
+//                           explicit-index stream — edge-dense tissue has
+//                           ~1 escape/block); -128 = sentinel "true value
+//                           in aesc".
+//   aesc int32 idx + int16 val: |v| > 127 escapes keyed by COEFFICIENT
+//                           index (block*64 + k) — scattered on device
+//                           AFTER the one-hot placement, so the matmul
+//                           operands stay in the bf16-exact int8 range
+//                           while any libjpeg JCOEF round-trips; unused
 //                           tail slots get idx = -1.
 //   desc int32 idx + int16 val: DC-delta escapes keyed by BLOCK index;
 //                           unused tail slots get idx = -1.
-// |AC| > 127 or any cap overflow flags the region for pixel fallback.
+// Any cap overflow flags the region for pixel fallback.
 // Group padding is the TPU-native choice: the device recovers each value's
 // slot from bitmap popcounts with only 16/64-length scans and places the
 // values with a one-hot batched MATMUL over the capg axis (MXU work) —
@@ -448,25 +457,35 @@ void dct_error_exit(j_common_ptr c) {
 constexpr int64_t kDctGroup = 16;
 
 // v2 sparse pack of one dense coefficient plane (format comment above).
-// capg = value-slot capacity per 16-block group. Returns 0 ok, 1 = some
-// cap overflowed / value beyond int8 -> the caller flags the region for
-// the pixel fallback. cnts out: {nnz, n_aesc, n_desc, max_group_fill}.
+// capg = value-slot capacity per 16-block group; capge = ESCAPE byte slots
+// per group (escapes — |v| > 7 — ride a group-padded int8 stream `esc8` in
+// bitmap order, ~6x cheaper than explicit indices on edge-dense tissue;
+// the rare |v| > 127 stores the -128 sentinel there and the true int16
+// value rides `aesc` keyed by COEFFICIENT index block*64+k, so any libjpeg
+// JCOEF round-trips). Returns 0 ok, 1 = some cap overflowed -> the caller
+// flags the region for the pixel fallback. cnts out: {nnz, n_aesc, n_desc,
+// max_group_fill, max_group_esc_fill}.
 int pack_dct2_component(const int16_t* dense, int64_t bw, int64_t bh,
                         int8_t* dc8, uint8_t* bm, uint8_t* valn,
-                        int64_t capg, int32_t* aesc_idx, int8_t* aesc_val,
+                        int64_t capg, int8_t* esc8, int64_t capge,
+                        int32_t* aesc_idx, int16_t* aesc_val,
                         int64_t cap_aesc, int32_t* desc_idx,
                         int16_t* desc_val, int64_t cap_desc,
-                        int32_t cnts[4]) {
+                        int32_t cnts[5]) {
   const int64_t bl = bw * bh;
   const int64_t ngroups = (bl + kDctGroup - 1) / kDctGroup;
   std::memset(bm, 0, size_t(bl) * 8);
   std::memset(valn, 0, size_t(ngroups * capg / 2));
+  std::memset(esc8, 0, size_t(ngroups * capge));
   int64_t nnz = 0, na = 0, nd = 0, gfill = 0, gmax = 0;
+  int64_t gefill = 0, gemax = 0;
   int32_t prev = 0, prev_row0 = 0;
   for (int64_t bi = 0; bi < bl; ++bi) {
     if (bi % kDctGroup == 0) {
       gmax = std::max(gmax, gfill);
+      gemax = std::max(gemax, gefill);
       gfill = 0;
+      gefill = 0;
     }
     const int16_t* blk = dense + bi * 64;
     const bool row_start = bi % bw == 0;
@@ -493,10 +512,19 @@ int pack_dct2_component(const int16_t* dense, int64_t bw, int64_t bh,
       b8[k >> 3] |= uint8_t(1u << (k & 7));
       int8_t nib;
       if (v < -7 || v > 7) {
-        if (v < -128 || v > 127 || na >= cap_aesc) return 1;
-        aesc_idx[na] = int32_t(slot);
-        aesc_val[na] = int8_t(v);
-        ++na;
+        if (gefill >= capge) return 1;
+        int8_t e8;
+        if (v < -127 || v > 127) {
+          if (na >= cap_aesc) return 1;
+          aesc_idx[na] = int32_t(bi * 64 + k);
+          aesc_val[na] = int16_t(v);
+          ++na;
+          e8 = int8_t(-128);  // sentinel: true value in aesc
+        } else {
+          e8 = int8_t(v);
+        }
+        esc8[bi / kDctGroup * capge + gefill] = e8;
+        ++gefill;
         nib = -8;
       } else {
         nib = int8_t(v);
@@ -507,27 +535,31 @@ int pack_dct2_component(const int16_t* dense, int64_t bw, int64_t bh,
     }
   }
   gmax = std::max(gmax, gfill);
+  gemax = std::max(gemax, gefill);
   for (int64_t i = na; i < cap_aesc; ++i) aesc_idx[i] = -1;
   for (int64_t i = nd; i < cap_desc; ++i) desc_idx[i] = -1;
   cnts[0] = int32_t(nnz);
   cnts[1] = int32_t(na);
   cnts[2] = int32_t(nd);
   cnts[3] = int32_t(gmax);
+  cnts[4] = int32_t(gemax);
   return 0;
 }
 
 // Decode every tile overlapping the region into dense per-component
 // coefficient planes (region block grid), then v2 sparse-pack. Returns 0 ok,
 // 1 = fall back to a pixel path (unaligned / unsupported / cap overflow),
-// -1 = hard read error. caps: {capg_y, capg_c, aesc_y, aesc_c, desc_y,
-// desc_c} (capg_* = EVEN value slots per 16-block group).
+// -1 = hard read error. caps: {capg_y, capg_c, capge_y, capge_c, aesc_y,
+// aesc_c, desc_y, desc_c} (capg_* = EVEN value slots per 16-block group;
+// capge_* = escape byte slots per group).
 int extract_region_dct(Slide* s, TIFF* tif, int level, int64_t x, int64_t y,
                        int64_t w, int64_t h, const uint8_t* jt,
                        uint32_t jtlen, const int64_t* caps,
                        int8_t* dc8_out[3], uint8_t* bm_out[3],
-                       uint8_t* valn_out[3], int32_t* aesc_idx_out[3],
-                       int8_t* aesc_val_out[3], int32_t* desc_idx_out[3],
-                       int16_t* desc_val_out[3], int32_t cnts[12],
+                       uint8_t* valn_out[3], int8_t* esc8_out[3],
+                       int32_t* aesc_idx_out[3],
+                       int16_t* aesc_val_out[3], int32_t* desc_idx_out[3],
+                       int16_t* desc_val_out[3], int32_t cnts[15],
                        int32_t* valid2, std::vector<int16_t> dense[3],
                        std::vector<uint8_t>& rawbuf) {
   const LevelInfo& L = s->levels[level];
@@ -612,9 +644,10 @@ int extract_region_dct(Slide* s, TIFF* tif, int level, int64_t x, int64_t y,
     const int q = c == 0 ? 0 : 1;  // Y caps vs chroma caps
     if (pack_dct2_component(dense[c].data(), bwid[c], bhei[c], dc8_out[c],
                             bm_out[c], valn_out[c], caps[q],
-                            aesc_idx_out[c], aesc_val_out[c], caps[2 + q],
-                            desc_idx_out[c], desc_val_out[c], caps[4 + q],
-                            cnts + c * 4))
+                            esc8_out[c], caps[2 + q],
+                            aesc_idx_out[c], aesc_val_out[c], caps[4 + q],
+                            desc_idx_out[c], desc_val_out[c], caps[6 + q],
+                            cnts + c * 5))
       return 1;
   }
   return 0;
@@ -678,22 +711,24 @@ int32_t ws_dct_probe(void* handle, int32_t level, uint16_t* qt) {
 // Group size of the v2 value-slot padding (ops/jpegdct.py mirrors it).
 int32_t ws_dct_group_size() { return int32_t(kDctGroup); }
 
-// Batched thread-pooled sparse-DCT reads, pack v2. Arguments:
-//   caps  int64[6] = {capg_y, capg_c, cap_aesc_y, cap_aesc_c,
-//                     cap_desc_y, cap_desc_c} (capg_* = EVEN value slots
-//                     per 16-block group; escape caps per region);
-//   bufs  void*[21]: for component c in {Y, Cb, Cr} at base b = c*7:
+// Batched thread-pooled sparse-DCT reads, pack v2.1. Arguments:
+//   caps  int64[8] = {capg_y, capg_c, capge_y, capge_c, cap_aesc_y,
+//                     cap_aesc_c, cap_desc_y, cap_desc_c} (capg_* = EVEN
+//                     value slots per 16-block group; capge_* = escape
+//                     byte slots per group; aesc/desc caps per region);
+//   bufs  void*[24]: for component c in {Y, Cb, Cr} at base b = c*8:
 //     bufs[b+0] dc8      int8 [n * bl_c]
 //     bufs[b+1] bm       uint8[n * bl_c * 8]
 //     bufs[b+2] valn     uint8[n * ngroups_c * capg / 2]
-//     bufs[b+3] aesc_idx int32[n * cap_aesc]
-//     bufs[b+4] aesc_val int8 [n * cap_aesc]
-//     bufs[b+5] desc_idx int32[n * cap_desc]
-//     bufs[b+6] desc_val int16[n * cap_desc]
+//     bufs[b+3] esc8     int8 [n * ngroups_c * capge]
+//     bufs[b+4] aesc_idx int32[n * cap_aesc]
+//     bufs[b+5] aesc_val int16[n * cap_aesc]
+//     bufs[b+6] desc_idx int32[n * cap_desc]
+//     bufs[b+7] desc_val int16[n * cap_desc]
 //     with bl_Y = (h/8)*(w/8), bl_C = (h/16)*(w/16),
 //     ngroups_c = ceil(bl_c / 16);
-//   cnts  int32[n * 12]: per region, per component {nnz, aesc, desc,
-//                        max_group_fill};
+//   cnts  int32[n * 15]: per region, per component {nnz, aesc, desc,
+//                        max_group_fill, max_group_esc_fill};
 //   valid int32[n * 2] = in-slide (w, h);
 //   status int8[n]: 0 ok, 1 = re-read via a pixel path, 2 = hard error.
 // Returns the number of non-ok regions (0 = all packed).
@@ -741,28 +776,31 @@ int32_t ws_read_regions_dct2(void* handle, int32_t level,
       int8_t* dc8[3];
       uint8_t* bm[3];
       uint8_t* valn[3];
+      int8_t* esc8[3];
       int32_t* aidx[3];
-      int8_t* aval[3];
+      int16_t* aval[3];
       int32_t* didx[3];
       int16_t* dval[3];
       for (int c = 0; c < 3; ++c) {
         const int q = c == 0 ? 0 : 1;
         const int64_t ngroups = (blc[c] + kDctGroup - 1) / kDctGroup;
-        void** b = bufs + c * 7;
+        void** b = bufs + c * 8;
         dc8[c] = static_cast<int8_t*>(b[0]) + size_t(i) * blc[c];
         bm[c] = static_cast<uint8_t*>(b[1]) + size_t(i) * blc[c] * 8;
         valn[c] = static_cast<uint8_t*>(b[2]) +
                   size_t(i) * size_t(ngroups * caps[q] / 2);
-        aidx[c] = static_cast<int32_t*>(b[3]) + size_t(i) * caps[2 + q];
-        aval[c] = static_cast<int8_t*>(b[4]) + size_t(i) * caps[2 + q];
-        didx[c] = static_cast<int32_t*>(b[5]) + size_t(i) * caps[4 + q];
-        dval[c] = static_cast<int16_t*>(b[6]) + size_t(i) * caps[4 + q];
+        esc8[c] = static_cast<int8_t*>(b[3]) +
+                  size_t(i) * size_t(ngroups * caps[2 + q]);
+        aidx[c] = static_cast<int32_t*>(b[4]) + size_t(i) * caps[4 + q];
+        aval[c] = static_cast<int16_t*>(b[5]) + size_t(i) * caps[4 + q];
+        didx[c] = static_cast<int32_t*>(b[6]) + size_t(i) * caps[6 + q];
+        dval[c] = static_cast<int16_t*>(b[7]) + size_t(i) * caps[6 + q];
       }
       int r = extract_region_dct(
           s, tif, level, coords[2 * i], coords[2 * i + 1], w, h,
           jtables.data(), uint32_t(jtables.size()), caps, dc8, bm, valn,
-          aidx, aval, didx, dval, cnts + size_t(i) * 12, valid + 2 * i,
-          dense, rawbuf);
+          esc8, aidx, aval, didx, dval, cnts + size_t(i) * 15,
+          valid + 2 * i, dense, rawbuf);
       status[i] = int8_t(r < 0 ? 2 : r);
       if (r) bad.fetch_add(1);
     }

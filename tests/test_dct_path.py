@@ -56,7 +56,7 @@ def test_dct_planes_match_libjpeg_planes(ycbcr_slide):
     assert r.y_dc8.dtype == np.int8 and r.y_aidx.dtype == np.int32
     qt = slide.dct_probe(0)
     got = jax.jit(dct_regions_to_planes)(
-        *r[:21], qt, r.valid, r.off)
+        *r[:24], qt, r.valid, r.off)
     for name, g, w in zip("y cb cr".split(), got, want):
         diff = np.abs(np.asarray(g).astype(np.int16) - w.astype(np.int16))
         assert diff.max() <= 1, (name, diff.max())
@@ -74,7 +74,7 @@ def test_dct_rgb_matches_libtiff_decode(ycbcr_slide):
     r = slide.read_regions_dct(coords, 0, (256, 256))
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
-        *r[:21], qt, r.valid, r.off))
+        *r[:24], qt, r.valid, r.off))
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
     assert np.quantile(diff, 0.99) <= 4.0, np.quantile(diff, 0.99)
@@ -94,7 +94,7 @@ def test_dct_region_boundary_white(ycbcr_slide):
     assert tuple(r.valid[0]) == (128, 128)
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
-        *r[:21], qt, r.valid, r.off))
+        *r[:24], qt, r.valid, r.off))
     assert np.all(got[0, 128:] == 255) and np.all(got[0, :, 128:] == 255)
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
@@ -129,7 +129,7 @@ def test_dct_offset_grid_matches_libtiff_decode(ycbcr_slide):
     assert r.y_dc8.shape == (3, 34, 34)  # (256+16)/8 padded block grid
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
-        *r[:21], qt, r.valid, r.off))
+        *r[:24], qt, r.valid, r.off))
     assert got.shape == (3, 256, 256, 3)
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
@@ -150,7 +150,7 @@ def test_dct_offset_grid_boundary_white(ycbcr_slide):
     assert tuple(r.valid[0]) == (120, 134)
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
-        *r[:21], qt, r.valid, r.off))
+        *r[:24], qt, r.valid, r.off))
     assert np.all(got[0, 134:] == 255) and np.all(got[0, :, 120:] == 255)
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
@@ -161,7 +161,7 @@ def test_decode_batch_dct_and_fallback(ycbcr_slide):
 
     slide, _ = ycbcr_slide
     qt = slide.dct_probe(0)
-    ctx = (qt, (32, 12, 1024, 256, 1024, 256))
+    ctx = (qt, (32, 12, 64, 16, 1024, 256, 1024, 256))
     out = _decode_batch(slide, np.array([[0, 0], [256, 256]]),
                         patch_level=0, size=256, bs=2, transform=None,
                         target_patch_size=0, n_io_threads=2, dct_ctx=ctx)
@@ -237,9 +237,10 @@ def test_dct_group_size_matches_native(ycbcr_slide):
 
 
 def test_dct_escape_streams_and_pad_indices(ycbcr_slide):
-    """The noise fixture exercises AC escapes (|v| > 7) and DC-delta
-    escapes; pad slots carry idx = -1 and must NOT wrap onto the last
-    element (JAX negative indexing) — regression for the v2->v3 port."""
+    """The noise fixture exercises byte-tier AC escapes (|v| > 7) and
+    DC-delta escapes; esc8 group-padded tail slots and idx = -1 pads must
+    NOT leak into the decode (negative JAX indexing would wrap) —
+    regression for the v2->v2.1 ports."""
     import jax
     from hipt_abmil_atec23_tpu.ops.jpegdct import dct_regions_to_planes
 
@@ -247,16 +248,61 @@ def test_dct_escape_streams_and_pad_indices(ycbcr_slide):
     coords = np.array([[0, 0], [512, 512]])
     r = slide.read_regions_dct(coords, 0, (256, 256))
     assert (r.status == 0).all()
-    assert r.cnts[:, :, 1].sum() > 0, "no AC escapes exercised"
-    assert (r.y_aidx == -1).any(), "no pad slots exercised"
-    # poison the pad VALUE slots: a wrap bug would drag them into the
-    # plane; a correct drop leaves the decode bit-identical
+    assert r.cnts[:, :, 4].max() > 0, "no byte-tier AC escapes exercised"
+    assert (r.y_didx == -1).any(), "no pad slots exercised"
+    # poison (a) esc8 slots past each group's escape count (a correct
+    # unpack reads only ranks the bitmap marks as escapes) and (b) the
+    # explicit-index pad VALUE slots; the decode must stay bit-identical
+    from hipt_abmil_atec23_tpu.ops.jpegdct import _G
+    ng = -(-(32 * 32) // _G)
+    capge = r.y_esc8.shape[-1] // ng
+    e = r.y_esc8.reshape(len(coords), ng, capge).copy()
+    for i in range(len(coords)):
+        for g in range(ng):
+            e[i, g, r.cnts[i, 0, 4]:] = 77  # never a real escape slot
     r2 = r._replace(
-        y_aval=np.where(r.y_aidx < 0, 99, r.y_aval).astype(np.int8),
+        y_esc8=e.reshape(r.y_esc8.shape),
+        y_aval=np.where(r.y_aidx < 0, 999, r.y_aval).astype(np.int16),
         y_dval=np.where(r.y_didx < 0, 30000, r.y_dval).astype(np.int16))
     qt = slide.dct_probe(0)
     fn = jax.jit(dct_regions_to_planes)
-    got = [np.asarray(a) for a in fn(*r[:21], qt, r.valid, r.off)]
-    got2 = [np.asarray(a) for a in fn(*r2[:21], qt, r2.valid, r2.off)]
+    got = [np.asarray(a) for a in fn(*r[:24], qt, r.valid, r.off)]
+    got2 = [np.asarray(a) for a in fn(*r2[:24], qt, r2.valid, r2.off)]
     for g, g2 in zip(got, got2):
         np.testing.assert_array_equal(g, g2)
+
+
+def test_dct_huge_coefficients_int16_tier(tmp_path):
+    """Max-contrast step edges push quantized low-frequency ACs beyond
+    int8 (real tissue's nuclei edges do this at q80): such regions must
+    ride the int16 explicit tier and still decode to libjpeg parity —
+    never fall back or truncate."""
+    import jax
+    from hipt_abmil_atec23_tpu.ops.jpegdct import dct_regions_to_planes
+
+    img = np.zeros((512, 512, 3), np.uint8)
+    img[:, 256:] = 255          # hard vertical step mid-slide
+    img[::9] = 255              # off-block-period horizontal lines
+    p = str(tmp_path / "edges.tif")
+    # quality 92: small quant divisors push step-edge ACs past int8
+    # (q80 clamps everything to the byte tier even at max contrast)
+    write_synthetic_slide(p, 512, 512, n_levels=1, image=img,
+                          ycbcr420=True, quality=92)
+    slide = TiffSlide(p)
+    coords = np.array([[0, 0], [256, 256]])
+    # explicit caps: this fixture is denser than any tissue (every block
+    # carries full-contrast lines); default caps rightly reject it with
+    # status=1 -> pixel-path fallback, which is its own test below
+    r = slide.read_regions_dct(coords, 0, (256, 256), cap_y_pb=62,
+                               cap_c_pb=62, cap_ge_y=992, cap_ge_c=992,
+                               cap_aesc_y=65536, cap_aesc_c=16384)
+    assert (r.status == 0).all()
+    assert r.cnts[:, :, 1].sum() > 0, "no |v|>127 escapes exercised"
+    assert (r.y_esc8 == -128).any(), "no int16 sentinel in esc8"
+    want = slide.read_regions_yuv420(coords, 0, (256, 256))
+    qt = slide.dct_probe(0)
+    got = jax.jit(dct_regions_to_planes)(*r[:24], qt, r.valid, r.off)
+    for name, g, w in zip("y cb cr".split(), got, want):
+        diff = np.abs(np.asarray(g).astype(np.int16) - w.astype(np.int16))
+        assert diff.max() <= 1, (name, diff.max())
+    slide.close()
