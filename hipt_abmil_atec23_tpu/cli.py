@@ -1237,6 +1237,104 @@ def _cmd_serve(a):
         print(f"[serve] served {n} slides")
 
 
+def _add_parity(sub):
+    p = sub.add_parser(
+        "parity", help="one-command real-weights AUC parity recipe: "
+        "tile -> encode (HIPT_4K from the released DINO ckpts) -> splits "
+        "-> k-fold train -> bootstrap, then compare the bootstrap AUC to "
+        "the reference headline 0.6462 +/- 0.0328 "
+        "(reference: docs/README.md:92, extract_features_fp.py:214)")
+    p.add_argument("--slide_dir", required=True)
+    p.add_argument("--csv_path", required=True,
+                   help="dataset CSV (slide_id + label columns, the "
+                        "reference's dataset_csv contract)")
+    p.add_argument("--vit256_ckpt", required=True,
+                   help="e.g. ckpts/vit256_small_dino.pth")
+    p.add_argument("--vit4k_ckpt", required=True,
+                   help="e.g. ckpts/vit4k_xs_dino.pth")
+    p.add_argument("--work_dir", required=True,
+                   help="all intermediates land here (tiles/ feats/ "
+                        "splits/ results/); every stage skips work that "
+                        "already exists, so the recipe is resumable")
+    p.add_argument("--task", default="treatment")
+    p.add_argument("--target_auc", type=float, default=0.6462)
+    p.add_argument("--target_std", type=float, default=0.0328)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--slide_ext", default=".svs")
+    p.add_argument("--region_size", type=int, default=4096,
+                   help="HIPT region edge (reference: hipt_4k.py 4096px "
+                        "two-stage input)")
+    p.add_argument("--encode_batch_size", type=int, default=8)
+    p.add_argument("--max_epochs", type=int, default=100)
+    p.add_argument("--min_epochs", type=int, default=50)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--max_patches_per_slide", type=int, default=75)
+    p.add_argument("--bootstraps", type=int, default=100_000)
+    p.add_argument("--use_otsu", action="store_true")
+    p.add_argument("--a_t", type=int, default=100)
+    p.add_argument("--strict", action="store_true",
+                   help="exit 1 when the AUC lands outside the combined "
+                        "one-std band")
+    p.add_argument("--extra_train_args", default="",
+                   help="extra flags appended verbatim to the train stage "
+                        "(e.g. '--no_inst_cluster --bag_loss ce')")
+
+
+def _cmd_parity(a):
+    """Chains the existing subcommands in-process; each stage prints the
+    exact equivalent standalone command so a failed stage can be rerun or
+    tweaked by hand."""
+    tiles = os.path.join(a.work_dir, "tiles")
+    feats = os.path.join(a.work_dir, "feats")
+    splits = os.path.join(a.work_dir, "splits")
+    results = os.path.join(a.work_dir, "results")
+    os.makedirs(a.work_dir, exist_ok=True)
+
+    stages = [
+        ["tile", "--source", a.slide_dir, "--save_dir", tiles,
+         "--patch_size", str(a.region_size), "--step_size",
+         str(a.region_size), "--a_t", str(a.a_t)]
+        + (["--use_otsu"] if a.use_otsu else []),
+        ["encode", "--data_h5_dir", tiles, "--data_slide_dir", a.slide_dir,
+         "--csv_path", a.csv_path, "--feat_dir", feats, "--model_type",
+         "HIPT_4K", "--vit256_ckpt", a.vit256_ckpt, "--vit4k_ckpt",
+         a.vit4k_ckpt, "--slide_ext", a.slide_ext, "--batch_size",
+         str(a.encode_batch_size)],
+        ["splits", "--task", a.task, "--csv_path", a.csv_path,
+         "--split_dir", splits, "--k", str(a.k), "--seed", str(a.seed)],
+        ["train", "--task", a.task, "--csv_path", a.csv_path, "--feat_dir",
+         feats, "--results_dir", results, "--exp_code", "parity",
+         "--split_dir", splits, "--k", str(a.k), "--seed", str(a.seed),
+         "--lr", str(a.lr), "--max_epochs", str(a.max_epochs),
+         "--min_epochs", str(a.min_epochs), "--max_patches_per_slide",
+         str(a.max_patches_per_slide)] + a.extra_train_args.split(),
+    ]
+    for argv in stages:
+        print(f"[parity] stage: python -m hipt_abmil_atec23_tpu.cli "
+              + " ".join(argv), flush=True)
+        rc = main(argv)
+        if rc:
+            raise SystemExit(rc)
+
+    from hipt_abmil_atec23_tpu.engine.evaluate import bootstrap_from_fold_csvs
+    out = bootstrap_from_fold_csvs([results], list(range(a.k)),
+                                   n_bootstraps=a.bootstraps, seed=0)
+    auc, std = out["auc"]["mean"], out["auc"]["std"]
+    band = a.target_std + std
+    ok = abs(auc - a.target_auc) <= band
+    with open(os.path.join(a.work_dir, "parity_summary.json"), "w") as f:
+        json.dump({"auc": auc, "auc_std": std,
+                   "target_auc": a.target_auc, "target_std": a.target_std,
+                   "within_band": bool(ok), "bootstrap": out}, f, indent=2)
+    print(f"[parity] bootstrap AUC {auc:.4f} +/- {std:.4f} vs reference "
+          f"{a.target_auc:.4f} +/- {a.target_std:.4f} "
+          f"(|delta| = {abs(auc - a.target_auc):.4f}, combined one-std "
+          f"band = {band:.4f}) -> {'WITHIN BAND' if ok else 'OUTSIDE BAND'}")
+    if a.strict and not ok:
+        raise SystemExit(1)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         prog="hipt_abmil_atec23_tpu",
@@ -1247,7 +1345,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
     for add in (_add_tile, _add_encode, _add_train, _add_eval, _add_splits,
                 _add_bootstrap, _add_heatmap, _add_count, _add_knn,
-                _add_export, _add_serve):
+                _add_export, _add_serve, _add_parity):
         add(sub)
     a = parser.parse_args(argv)
     if a.cpu:
@@ -1257,7 +1355,7 @@ def main(argv: Optional[List[str]] = None) -> int:
            "eval": _cmd_eval, "splits": _cmd_splits,
            "bootstrap": _cmd_bootstrap, "heatmap": _cmd_heatmap,
            "count": _cmd_count, "knn": _cmd_knn, "export": _cmd_export,
-           "serve": _cmd_serve}[a.cmd]
+           "serve": _cmd_serve, "parity": _cmd_parity}[a.cmd]
     cmd(a)
     return 0
 

@@ -265,3 +265,123 @@ def test_twin_training_lockstep(tmp_path):
             sys.modules[k] = v
         elif k in sys.modules and sys.modules[k] is ref_datasets:
             del sys.modules[k]
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+@pytest.mark.parametrize("model_type", ["clam_sb", "clam_mb"])
+def test_twin_training_lockstep_inst_cluster(tmp_path, model_type):
+    """LOCKSTEP twin with the INSTANCE-CLUSTER loss active (VERDICT r3
+    item 6): bitwise-identical init, identical per-epoch bag orders, and
+    the reference's train_loop_clam/validate_clam as the oracle — the
+    total loss is bag_weight*CE + (1-bag_weight)*instance_loss
+    (utils/core_utils.py:330), exercising the vectorized top-k/bottom-k
+    instance clustering through 8 full optimization epochs for BOTH
+    CLAM_SB and CLAM_MB (models/model_clam.py:77-264). Per-epoch val
+    bag-loss must track within 1e-2 and final val AUC within 0.02."""
+    import torch
+
+    stub_reference_deps()
+    saved = {k: sys.modules.get(k) for k in list(sys.modules)
+             if k == "datasets" or k.startswith("datasets.")}
+    for k in saved:
+        del sys.modules[k]
+    ref_datasets = types.ModuleType("datasets")
+    ref_datasets.__path__ = [f"{REFERENCE_DIR}/datasets"]
+    sys.modules["datasets"] = ref_datasets
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        from models.model_clam import CLAM_MB as TorchMB
+        from models.model_clam import CLAM_SB as TorchSB
+        from utils.core_utils import train_loop_clam, validate_clam
+    finally:
+        sys.path.remove(REFERENCE_DIR)
+
+    import jax
+    import jax.numpy as jnp
+    from hipt_abmil_atec23_tpu.data.synthetic import make_synthetic_bags
+    from hipt_abmil_atec23_tpu.engine.metrics import binary_auc
+    from hipt_abmil_atec23_tpu.engine.train import build_step_fns
+    from hipt_abmil_atec23_tpu.models.convert import clam_params_to_torch
+    from hipt_abmil_atec23_tpu.ops import pad_bag
+    from hipt_abmil_atec23_tpu.utils.config import (
+        ExperimentConfig, BagConfig, ModelConfig, TaskConfig, TrainConfig)
+
+    manifest, store = make_synthetic_bags(
+        str(tmp_path / "bags"), n_slides=36, feat_dim=192, signal=1.5,
+        signal_fraction=0.4, bag_range=(40, 64), seed=7)
+    ids = list(manifest.slide_ids)
+    labels = manifest.labels
+    train_idx, val_idx = list(range(24)), list(range(24, 36))
+    bags = {s: store.load_features(s) for s in ids}
+
+    epochs, lr, reg, n_pad, bag_weight = 8, 1e-3, 1e-5, 64, 0.7
+    cfg = ExperimentConfig(
+        task=TaskConfig(n_classes=2, label_dict={"0": 0, "1": 1}),
+        bags=BagConfig(max_patches_per_slide=0, batch_size=1),
+        model=ModelConfig(model_type=model_type, model_size="hipt_smaller",
+                          no_inst_cluster=False, k_sample=8, drop_out=0.0),
+        train=TrainConfig(lr=lr, reg=reg, max_epochs=epochs, min_epochs=1,
+                          early_stopping=False, bag_loss="ce",
+                          bag_weight=bag_weight))
+    fns = build_step_fns(cfg, np.array([18, 18]), n_pad, 192)
+    params = fns.init_params(jax.random.PRNGKey(3))
+
+    tcls = TorchMB if model_type == "clam_mb" else TorchSB
+    tmodel = tcls(size_arg="hipt_smaller", n_classes=2, k_sample=8,
+                  subtyping=False)
+    missing = tmodel.load_state_dict(
+        clam_params_to_torch(params, multi_branch=model_type == "clam_mb"),
+        strict=False)
+    assert not missing.unexpected_keys, missing.unexpected_keys
+    tmodel.eval()  # dropout-free; deterministic
+    opt = torch.optim.Adam(tmodel.parameters(), lr=lr, weight_decay=reg)
+    ce = torch.nn.CrossEntropyLoss()
+
+    orders = [np.random.default_rng(100 + e).permutation(len(train_idx))
+              for e in range(epochs)]
+    train_items = [(torch.tensor(bags[ids[i]]),
+                    torch.tensor([int(labels[i])])) for i in train_idx]
+    val_items = [(torch.tensor(bags[ids[i]]),
+                  torch.tensor([int(labels[i])])) for i in val_idx]
+    ref_val_losses = []
+    for epoch in range(epochs):
+        train_loop_clam(epoch, tmodel,
+                        [train_items[i] for i in orders[epoch]], opt, 2,
+                        bag_weight, writer=None, loss_fn=ce)
+        _, _, vloss, vauc = validate_clam(0, epoch, tmodel, val_items, 2,
+                                          results_dir=str(tmp_path),
+                                          loss_fn=ce)
+        ref_val_losses.append(float(vloss))
+    ref_auc = float(vauc)
+
+    padded = {s: pad_bag(bags[s], n_pad) for s in ids}
+    feats_all = np.stack([padded[ids[i]][0] for i in train_idx])
+    mask_all = np.stack([padded[ids[i]][1] for i in train_idx])
+    lab_all = np.asarray([int(labels[i]) for i in train_idx], np.int32)
+    v_feats = jnp.asarray(np.stack([padded[ids[i]][0] for i in val_idx]))
+    v_mask = jnp.asarray(np.stack([padded[ids[i]][1] for i in val_idx]))
+    v_labels = jnp.asarray([int(labels[i]) for i in val_idx], np.int32)
+
+    opt_state = fns.tx.init(params)
+    our_val_losses = []
+    for epoch in range(epochs):
+        o = orders[epoch]
+        feats = jnp.asarray(feats_all[o][:, None])   # [S, 1, N, D]
+        mask = jnp.asarray(mask_all[o][:, None])
+        labs = jnp.asarray(lab_all[o][:, None])
+        params, opt_state, *_ = fns.train_epoch(
+            params, opt_state, feats, mask, labs, jax.random.PRNGKey(0))
+        probs, losses, _ = fns.eval_batch(params, v_feats, v_mask, v_labels)
+        our_val_losses.append(float(jnp.mean(losses)))
+    our_auc = float(binary_auc(np.asarray(v_labels),
+                               np.asarray(probs)[:, 1]))
+
+    diffs = np.abs(np.asarray(our_val_losses) - np.asarray(ref_val_losses))
+    assert diffs.max() < 1e-2, (model_type, our_val_losses, ref_val_losses)
+    assert abs(our_auc - ref_auc) < 0.02, (model_type, our_auc, ref_auc)
+
+    for k, v in saved.items():
+        if v is not None:
+            sys.modules[k] = v
+        elif k in sys.modules and sys.modules[k] is ref_datasets:
+            del sys.modules[k]
