@@ -460,10 +460,11 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
                                    cap_ge_y=caps[2], cap_ge_c=caps[3],
                                    cap_aesc_y=caps[4], cap_aesc_c=caps[5],
                                    cap_desc_y=caps[6], cap_desc_c=caps[7],
+                                   cap_bm_y=caps[8], cap_bm_c=caps[9],
                                    n_threads=REGION_BATCH)
         if not r.status.any():
             from hipt_abmil_atec23_tpu.engine.encode import DctBatch
-            sample = DctBatch(*r[:24], qt, r.valid, r.off)
+            sample = DctBatch(*r[:27], qt, r.valid, r.off)
             fn = encoder.compile_ahead(tuple(sample), dct=True)
     if sample is None:
         y = np.random.default_rng(0).integers(

@@ -32,16 +32,17 @@ from hipt_abmil_atec23_tpu.utils.config import EncoderConfig
 
 
 class DctBatch(NamedTuple):
-    """One compute batch shipped as sparse quantized-DCT v2.1 packs
-    instead of pixels (~0.4 bytes/px on the iid-noise worst case vs 1.5
-    raw-YCbCr / 3 RGB — the wire is the e2e bottleneck). Field order
-    matches ops/jpegdct.dct_regions_to_rgb (24 component arrays + qt +
-    valid + off); the device does unpack -> dequant -> IDCT -> upsample
-    -> color -> normalize in one fused graph. NOTE: this is a tuple
-    subtype — dispatchers must test DctBatch BEFORE the plain-tuple (YUV
-    planes) case."""
+    """One compute batch shipped as sparse quantized-DCT v3 packs
+    instead of pixels (~0.25-0.4 bytes/px vs 1.5 raw-YCbCr / 3 RGB — the
+    wire is the e2e bottleneck). Field order matches
+    ops/jpegdct.dct_regions_to_rgb (27 component arrays + qt + valid +
+    off); the device does unpack -> dequant -> IDCT -> upsample -> color
+    -> normalize in one fused graph. NOTE: this is a tuple subtype —
+    dispatchers must test DctBatch BEFORE the plain-tuple (YUV planes)
+    case."""
     y_dc8: np.ndarray   # [n, h/8, w/8] int8 delta-coded DC
-    y_bm: np.ndarray    # [n, h/8, w/8, 8] uint8 AC bitmap
+    y_bmc: np.ndarray   # [n, ceil(bl/2)] uint8 4-bit bitmap prefix lengths
+    y_bmb: np.ndarray   # [n, ng*capbm] uint8 group-padded bitmap prefixes
     y_valn: np.ndarray  # [n, cap/2] uint8 nibble-packed AC values
     y_esc8: np.ndarray  # [n, ng*capge] int8 group-padded AC escapes
     y_aidx: np.ndarray  # [n, cap_a] int32 |v|>127-escape coef indices
@@ -49,7 +50,8 @@ class DctBatch(NamedTuple):
     y_didx: np.ndarray  # [n, cap_d] int32 DC-escape block indices
     y_dval: np.ndarray  # [n, cap_d] int16 DC-escape deltas
     cb_dc8: np.ndarray
-    cb_bm: np.ndarray
+    cb_bmc: np.ndarray
+    cb_bmb: np.ndarray
     cb_valn: np.ndarray
     cb_esc8: np.ndarray
     cb_aidx: np.ndarray
@@ -57,7 +59,8 @@ class DctBatch(NamedTuple):
     cb_didx: np.ndarray
     cb_dval: np.ndarray
     cr_dc8: np.ndarray
-    cr_bm: np.ndarray
+    cr_bmc: np.ndarray
+    cr_bmb: np.ndarray
     cr_valn: np.ndarray
     cr_esc8: np.ndarray
     cr_aidx: np.ndarray
@@ -396,14 +399,15 @@ def _decode_batch(slide, chunk, *, patch_level, size, bs, transform,
                                        cap_aesc_c=caps[5],
                                        cap_desc_y=caps[6],
                                        cap_desc_c=caps[7],
+                                       cap_bm_y=caps[8], cap_bm_c=caps[9],
                                        n_threads=n_io_threads or k)
             if not r.status.any():
-                comp = [_pad_to(a, k, bs) for a in r[:24]]
+                comp = [_pad_to(a, k, bs) for a in r[:27]]
                 # escape-index pads must stay -1 (dropped by the device
                 # scatter); _pad_to zero-fills, and index 0 is a REAL slot
                 if k < bs:
-                    for a in (comp[4], comp[6], comp[12], comp[14],
-                              comp[20], comp[22]):
+                    for a in (comp[5], comp[7], comp[14], comp[16],
+                              comp[23], comp[25]):
                         a[k:] = -1
                 return DctBatch(*comp, qt, _pad_to(r.valid, k, bs),
                                 _pad_to(r.off, k, bs))
@@ -446,10 +450,10 @@ def probe_dct_caps(slide, coords, patch_level, size):
     batch in the stream shares one compiled entry.
 
     Returns (caps, bytes_per_px) — caps = (y_pb, c_pb, ge_y, ge_c,
-    aesc_y, aesc_c, desc_y, desc_c) as read_regions_dct takes them,
-    bytes_per_px the exact aligned-grid pack size at those caps (for the
-    rung selector) — or None when this slide/grid cannot ride the
-    coefficient path."""
+    aesc_y, aesc_c, desc_y, desc_c, bm_y, bm_c) as read_regions_dct
+    takes them, bytes_per_px the exact aligned-grid pack size at those
+    caps (for the rung selector) — or None when this slide/grid cannot
+    ride the coefficient path."""
     # sample regions SPREAD across the slide: the first region is often
     # background (near-zero density) and would size the caps so low that
     # every tissue chunk overflows into the fallback
@@ -463,12 +467,13 @@ def probe_dct_caps(slide, coords, patch_level, size):
             cap_c_pb=63, cap_ge_y=63 * _G, cap_ge_c=63 * _G,
             cap_aesc_y=ybl, cap_aesc_c=ybl // 4,
             cap_desc_y=ybl, cap_desc_c=ybl // 4,
+            cap_bm_y=8, cap_bm_c=8,
             n_threads=len(sample))
     except (IOError, AttributeError):
         return None
     if r.status.any():
         return None
-    cnts = r.cnts  # [n, comp, {nnz, aesc, desc, gmax, gemax}]
+    cnts = r.cnts  # [n, comp, {nnz, aesc, desc, gmax, gemax, gbmax}]
     # 30% headroom + 1 — probed on 3 sample regions only
     need_y = cnts[:, 0, 3].max() * 1.3 / _G + 1.0
     need_c = cnts[:, 1:, 3].max() * 1.3 / _G + 1.0
@@ -492,15 +497,24 @@ def probe_dct_caps(slide, coords, patch_level, size):
         return next((b for b in (256, 1024, 4096, 16384, 65536)
                      if b >= need), 262144)
 
+    # bitmap prefix-byte budget per block (group max / _G, 25% headroom);
+    # v3 ships only each block's nonzero bitmap prefix — the binding stat
+    # is again the GROUP max, not the average
+    need_bm_y = cnts[:, 0, 5].max() * 1.25 / _G + 0.5
+    need_bm_c = cnts[:, 1:, 5].max() * 1.25 / _G + 0.5
+    bm_y = next((b for b in (2, 3, 4, 5, 6, 7) if b >= need_bm_y), 8)
+    bm_c = next((b for b in (1, 2, 3, 4, 5, 6) if b >= need_bm_c), 8)
+
     caps = (y_pb, c_pb, ge_y, ge_c,
             esc_cap(cnts[:, 0, 1].max()), esc_cap(cnts[:, 1:, 1].max()),
-            esc_cap(cnts[:, 0, 2].max()), esc_cap(cnts[:, 1:, 2].max()))
-    # exact per-region wire bytes at these caps (aligned grid; dc8 + bm =
-    # 9 B/block, nibbles pb/2 B/block, escape bytes ge/_G B/block,
-    # explicit escapes 6 B/slot) -> bytes/px
+            esc_cap(cnts[:, 0, 2].max()), esc_cap(cnts[:, 1:, 2].max()),
+            bm_y, bm_c)
+    # exact per-region wire bytes at these caps (aligned grid; dc8 + bmc
+    # = 1.5 B/block, bitmap prefixes bm B/block, nibbles pb/2 B/block,
+    # escape bytes ge/_G B/block, explicit escapes 6 B/slot) -> bytes/px
     ybl_a, cbl_a = (size // 8) ** 2, (size // 16) ** 2
-    nb = (ybl_a * (9 + y_pb / 2 + ge_y / _G)
-          + 2 * cbl_a * (9 + c_pb / 2 + ge_c / _G)
+    nb = (ybl_a * (1.5 + bm_y + y_pb / 2 + ge_y / _G)
+          + 2 * cbl_a * (1.5 + bm_c + c_pb / 2 + ge_c / _G)
           + 6 * (caps[4] + 2 * caps[5]) + 6 * (caps[6] + 2 * caps[7]))
     return caps, nb / float(size * size)
 

@@ -17,13 +17,22 @@ is TPU-native:
          (two small matmuls per block, MXU work) -> planes; then the
          existing ops/yuv.py fancy-upsample + JFIF conversion.
 
-Pack format v2 (per region, per component; produced by native
+Pack format v3 (per region, per component; produced by native
 ws_read_regions_dct2; block grid row-major, coefficients natural order):
   dc8  int8[bh, bw]       DC deltas: block (r, c>0) vs (r, c-1), row starts
                           (r, 0) vs (r-1, 0), block (0, 0) vs 0; deltas
                           outside int8 leave 0 here and ride `desc`;
-  bm   uint8[bh, bw, 8]   AC nonzero bitmap: LSB-first bit j of byte i
-                          marks coefficient i*8+j (bit 0, the DC, is 0);
+  bmc  uint8[ceil(bl/2)]  per-block bitmap PREFIX LENGTHS as 4-bit
+                          nibbles (low first): how many of the block's 8
+                          bitmap bytes ship (byte i = the block's
+                          vertical frequency i; tissue rarely excites
+                          high rows, so trailing zero bytes are dropped
+                          — ~2.5-4 B/block vs v2.1's fixed 8, which was
+                          ~1/3 of the total wire);
+  bmb  uint8[ngroups*capbm]  AC nonzero bitmap prefix bytes, GROUP-
+                          PADDED like valn: LSB-first bit j of shipped
+                          byte i marks coefficient i*8+j (bit 0, the DC,
+                          is 0);
   valn uint8[ngroups*capg/2]  AC values in bitmap order as two's-complement
                           NIBBLES, low nibble first, GROUP-PADDED: each run
                           of _G=16 raster-consecutive blocks owns a fixed
@@ -88,17 +97,38 @@ _M8 = (np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None]
 _G = 16
 
 
-def _unpack_component(dc8, bm, valn, esc8, aidx, aval, didx, dval, q):
-    """One component's v2.1 pack -> dequantized coefficient blocks
+def _unpack_component(dc8, bmc, bmb, valn, esc8, aidx, aval, didx, dval, q):
+    """One component's v3 pack -> dequantized coefficient blocks
     [n, bh*bw, 8, 8] f32 (see module docstring for the field layout)."""
     n, bh, bw = dc8.shape
     bl = bh * bw
     ng = -(-bl // _G)
     capg = valn.shape[-1] * 2 // ng
-    bits = ((bm.reshape(n, bl, 8)[..., None]
-             >> jnp.arange(8, dtype=jnp.uint8)) & 1).reshape(n, bl, 64)
-    if ng * _G != bl:  # last group partially filled (tiny/offset grids)
-        bits = jnp.pad(bits, ((0, 0), (0, ng * _G - bl), (0, 0)))
+    capbm = bmb.shape[-1] // ng
+    # bitmap prefix lengths (4-bit nibbles) -> per-block byte counts;
+    # blocks past bl (partial last group) read count 0 -> zero bytes
+    clo = (bmc & 0xF).astype(jnp.int32)
+    chi = (bmc >> 4).astype(jnp.int32)
+    bcnt = jnp.stack([clo, chi], axis=-1).reshape(n, -1)
+    bcnt = jnp.pad(bcnt, ((0, 0), (0, ng * _G - bcnt.shape[1])))[:, :ng * _G]
+    bcnt = bcnt.reshape(n, ng, _G)
+    # reconstruct the dense bitmap bytes by the same group-padded one-hot
+    # matmul trick as the values: block j's byte i sits at group slot
+    # starts[j] + i when i < cnt[j] (uint8 bytes are bf16-exact: <= 255
+    # needs 8 significand bits, and exactly one one-hot term fires)
+    bstart = jnp.cumsum(bcnt, axis=-1) - bcnt            # [n, ng, G]
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 8), 3)
+    bslot = bstart[..., None] + bidx                     # [n, ng, G, 8]
+    bvalid = bidx < bcnt[..., None]
+    biota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, capbm), 3)
+    boh = ((bslot.reshape(n, ng, _G * 8)[..., None] == biota)
+           & bvalid.reshape(n, ng, _G * 8)[..., None]).astype(jnp.bfloat16)
+    bmby = jnp.einsum("ngjc,ngc->ngj", boh,
+                      bmb.reshape(n, ng, capbm).astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    bm8 = bmby.astype(jnp.int32).reshape(n, ng * _G, 8)
+    bits = ((bm8[..., None] >> jnp.arange(8, dtype=jnp.int32)) & 1
+            ).reshape(n, ng * _G, 64)
     bits = bits.reshape(n, ng, _G, 64)
     rank = jnp.cumsum(bits.astype(jnp.int32), axis=-1)   # [n, ng, G, 64]
     cnt = rank[..., -1]                                  # [n, ng, G]
@@ -182,12 +212,13 @@ def _crop_planes(plane, off, out_h, out_w, denom):
     return jax.vmap(one)(plane, off)
 
 
-def dct_regions_to_planes(y_dc8, y_bm, y_valn, y_esc8, y_aidx, y_aval,
-                          y_didx, y_dval, cb_dc8, cb_bm, cb_valn, cb_esc8,
-                          cb_aidx, cb_aval, cb_didx, cb_dval, cr_dc8, cr_bm,
-                          cr_valn, cr_esc8, cr_aidx, cr_aval, cr_didx,
-                          cr_dval, qt, valid, off=None):
-    """Sparse v2.1 coefficient pack -> uint8 YCbCr planes (Y [n, h, w],
+def dct_regions_to_planes(y_dc8, y_bmc, y_bmb, y_valn, y_esc8, y_aidx,
+                          y_aval, y_didx, y_dval, cb_dc8, cb_bmc, cb_bmb,
+                          cb_valn, cb_esc8, cb_aidx, cb_aval, cb_didx,
+                          cb_dval, cr_dc8, cr_bmc, cr_bmb, cr_valn, cr_esc8,
+                          cr_aidx, cr_aval, cr_didx, cr_dval, qt, valid,
+                          off=None):
+    """Sparse v3 coefficient pack -> uint8 YCbCr planes (Y [n, h, w],
     Cb/Cr [n, h/2, w/2]); white past the per-region valid extents.
 
     qt: [3, 64] quantization tables (natural order); valid: [n, 2] int32
@@ -206,15 +237,15 @@ def dct_regions_to_planes(y_dc8, y_bm, y_valn, y_esc8, y_aidx, y_aval,
     ybh, ybw = y_dc8.shape[1], y_dc8.shape[2]
     cbh, cbw = cb_dc8.shape[1], cb_dc8.shape[2]
     h, w = ybh * 8, ybw * 8
-    y = _idct_plane(_unpack_component(y_dc8, y_bm, y_valn, y_esc8, y_aidx,
-                                      y_aval, y_didx, y_dval, qt[0]),
-                    ybh, ybw)
-    cb = _idct_plane(_unpack_component(cb_dc8, cb_bm, cb_valn, cb_esc8,
-                                       cb_aidx, cb_aval, cb_didx, cb_dval,
-                                       qt[1]), cbh, cbw)
-    cr = _idct_plane(_unpack_component(cr_dc8, cr_bm, cr_valn, cr_esc8,
-                                       cr_aidx, cr_aval, cr_didx, cr_dval,
-                                       qt[2]), cbh, cbw)
+    y = _idct_plane(_unpack_component(y_dc8, y_bmc, y_bmb, y_valn, y_esc8,
+                                      y_aidx, y_aval, y_didx, y_dval,
+                                      qt[0]), ybh, ybw)
+    cb = _idct_plane(_unpack_component(cb_dc8, cb_bmc, cb_bmb, cb_valn,
+                                       cb_esc8, cb_aidx, cb_aval, cb_didx,
+                                       cb_dval, qt[1]), cbh, cbw)
+    cr = _idct_plane(_unpack_component(cr_dc8, cr_bmc, cr_bmb, cr_valn,
+                                       cr_esc8, cr_aidx, cr_aval, cr_didx,
+                                       cr_dval, qt[2]), cbh, cbw)
     if off is not None and off.shape[-1] == 2:  # static at trace time
         h, w = h - 16, w - 16
         y = _crop_planes(y, off, h, w, 1)
@@ -235,7 +266,7 @@ def dct_regions_to_planes(y_dc8, y_bm, y_valn, y_esc8, y_aidx, y_aval,
 
 
 def dct_regions_to_rgb(*pack):
-    """Sparse v2.1 coefficient pack -> float32 RGB [n, h, w, 3] in 0..255,
+    """Sparse v3 coefficient pack -> float32 RGB [n, h, w, 3] in 0..255,
     byte-identical to yuv420_to_rgb over host-decoded planes (the planes
     themselves match libjpeg within 1 LSB)."""
     y, cb, cr = dct_regions_to_planes(*pack)

@@ -38,15 +38,21 @@ def dct_group_size(lib) -> int:
 
 
 class DctRegions(NamedTuple):
-    """One batch of sparse quantized-DCT region packs, format v2.1
+    """One batch of sparse quantized-DCT region packs, format v3
     (read_regions_dct / native ws_read_regions_dct2): delta-coded int8 DC,
-    AC bitmap, nibble-packed AC values, group-padded int8 escape bytes,
+    prefix-packed AC bitmap (per-block 4-bit lengths + group-padded
+    bytes), nibble-packed AC values, group-padded int8 escape bytes,
     explicit-index int16 escape streams for the rare |v| > 127.
     Block-grid arrays carry the geometry; `status[i] != 0` means region i
     must be re-read through a pixel path (see wsireader.cpp)."""
     y_dc8: np.ndarray   # [n, h/8, w/8] int8 DC deltas (raster; row starts
                         # chain down column 0; escapes leave 0 here)
-    y_bm: np.ndarray    # [n, h/8, w/8, 8] uint8 (LSB-first AC bitmap)
+    y_bmc: np.ndarray   # [n, ceil(bl/2)] uint8 per-block bitmap prefix
+                        # LENGTHS as 4-bit nibbles (low first): trailing
+                        # all-zero bitmap bytes are not shipped
+    y_bmb: np.ndarray   # [n, ngroups*capbm] uint8 bitmap prefix bytes
+                        # (LSB-first bit j of byte i = coeff i*8+j),
+                        # group-padded to capbm bytes per 16-block group
     y_valn: np.ndarray  # [n, ngroups*capg/2] uint8 nibble-packed AC values
                         # in bitmap order (low nibble first, two's
                         # complement; -8 marks an escape), padded per
@@ -61,7 +67,8 @@ class DctRegions(NamedTuple):
     y_didx: np.ndarray  # [n, cap_desc] int32 DC-escape block index (-1 pad)
     y_dval: np.ndarray  # [n, cap_desc] int16 DC-escape true deltas
     cb_dc8: np.ndarray  # chroma grids are [n, h/16, w/16]
-    cb_bm: np.ndarray
+    cb_bmc: np.ndarray
+    cb_bmb: np.ndarray
     cb_valn: np.ndarray
     cb_esc8: np.ndarray
     cb_aidx: np.ndarray
@@ -69,15 +76,17 @@ class DctRegions(NamedTuple):
     cb_didx: np.ndarray
     cb_dval: np.ndarray
     cr_dc8: np.ndarray
-    cr_bm: np.ndarray
+    cr_bmc: np.ndarray
+    cr_bmb: np.ndarray
     cr_valn: np.ndarray
     cr_esc8: np.ndarray
     cr_aidx: np.ndarray
     cr_aval: np.ndarray
     cr_didx: np.ndarray
     cr_dval: np.ndarray
-    cnts: np.ndarray    # [n, 3, 5] int32 per-component {nnz, aesc, desc,
-                        # max_group_fill, max_group_esc_fill}
+    cnts: np.ndarray    # [n, 3, 6] int32 per-component {nnz, aesc, desc,
+                        # max_group_fill, max_group_esc_fill,
+                        # max_group_bitmap_bytes}
     valid: np.ndarray   # [n, 2] int32 in-slide (w, h) extents
     status: np.ndarray  # [n] int8: 0 ok, 1 pixel-fallback, 2 error
     off: np.ndarray     # [n, 2] int32 device crop offsets (16-misaligned
@@ -227,8 +236,9 @@ class TiffSlide(BaseSlide):
                          cap_c_pb: int = 12, cap_ge_y: int = 64,
                          cap_ge_c: int = 16, cap_aesc_y: int = 1024,
                          cap_aesc_c: int = 256, cap_desc_y: int = 4096,
-                         cap_desc_c: int = 1024, n_threads: int = 0):
-        """Batched sparse quantized-DCT reads, pack v2 (host does the
+                         cap_desc_c: int = 1024, cap_bm_y: int = 8,
+                         cap_bm_c: int = 8, n_threads: int = 0):
+        """Batched sparse quantized-DCT reads, pack v3 (host does the
         Huffman decode ONLY; dequant/IDCT/upsample/color run on device).
         Returns a DctRegions namedtuple; regions whose status != 0 must
         be re-read via a pixel path (odd coords or any cap overflow;
@@ -239,7 +249,9 @@ class TiffSlide(BaseSlide):
         cap_ge_*: AC-escape (|v| > 7) byte slots per 16-block group;
         cap_aesc_*/cap_desc_*: per-region explicit-index escape-slot
         capacities for AC values outside int8 and DC deltas outside
-        int8.
+        int8; cap_bm_*: bitmap prefix-byte budget per block (group
+        capacity = 16*cap_bm; the default 8 always fits — probe and
+        shrink it to what the slide needs).
 
         Grids off the 16px MCU lattice (any even origin — the common
         TCGA contour-bbox case) are read at the 16-aligned origin with
@@ -272,32 +284,35 @@ class TiffSlide(BaseSlide):
         G = dct_group_size(self._lib)
         # per-16-block-group value caps (16 * per-block budget, even)
         capg_y, capg_c = G * cap_y_pb, G * cap_c_pb
+        capbm_y, capbm_c = G * cap_bm_y, G * cap_bm_c
         ng_y, ng_c = -(-ybl // G), -(-cbl // G)
         caps = np.array([capg_y, capg_c, cap_ge_y, cap_ge_c,
                          cap_aesc_y, cap_aesc_c,
-                         cap_desc_y, cap_desc_c], np.int64)
+                         cap_desc_y, cap_desc_c,
+                         capbm_y, capbm_c], np.int64)
         comps = []
-        for bh_, bw_, nbytes_v, nbytes_e, capa, capd in (
+        for bh_, bw_, nbytes_v, nbytes_e, nbytes_bm, capa, capd in (
                 (ybh, ybw, ng_y * capg_y // 2, ng_y * cap_ge_y,
-                 cap_aesc_y, cap_desc_y),
+                 ng_y * capbm_y, cap_aesc_y, cap_desc_y),
                 (cbh, cbw, ng_c * capg_c // 2, ng_c * cap_ge_c,
-                 cap_aesc_c, cap_desc_c),
+                 ng_c * capbm_c, cap_aesc_c, cap_desc_c),
                 (cbh, cbw, ng_c * capg_c // 2, ng_c * cap_ge_c,
-                 cap_aesc_c, cap_desc_c)):
+                 ng_c * capbm_c, cap_aesc_c, cap_desc_c)):
             comps.append((
                 np.empty((n, bh_, bw_), np.int8),        # dc8
-                np.empty((n, bh_, bw_, 8), np.uint8),    # bm
+                np.empty((n, (bh_ * bw_ + 1) // 2), np.uint8),  # bmc
+                np.empty((n, nbytes_bm), np.uint8),      # bmb
                 np.empty((n, nbytes_v), np.uint8),       # valn
                 np.empty((n, nbytes_e), np.int8),        # esc8
                 np.empty((n, capa), np.int32),           # aesc_idx
                 np.empty((n, capa), np.int16),           # aesc_val
                 np.empty((n, capd), np.int32),           # desc_idx
                 np.empty((n, capd), np.int16)))          # desc_val
-        cnts = np.zeros((n, 3, 5), np.int32)
+        cnts = np.zeros((n, 3, 6), np.int32)
         valid = np.zeros((n, 2), np.int32)
         status = np.full(n, 1, np.int8)
         if not odd:
-            bufs = (ctypes.c_void_p * 24)(
+            bufs = (ctypes.c_void_p * 27)(
                 *[a.ctypes.data_as(ctypes.c_void_p).value
                   for comp in comps for a in comp])
             p = lambda a: a.ctypes.data_as(ctypes.c_void_p)

@@ -406,8 +406,15 @@ int32_t ws_read_regions_yuv420(void* handle, int32_t level,
 //                           (r, 0) vs (r-1, 0); block (0,0) vs 0. Deltas
 //                           outside int8 ride the desc escape stream and
 //                           leave 0 here.
-//   bm   uint8[nblocks*8]   AC bitmap, LSB-first bit j of byte i = coeff
-//                           i*8+j nonzero (bit 0 = DC, always clear);
+//   bmc  uint8[ceil(nblocks/2)]  4-bit per-block bitmap PREFIX LENGTHS
+//                           (low nibble first): how many of the block's 8
+//                           bitmap bytes are shipped (trailing all-zero
+//                           bytes — high vertical frequencies, which
+//                           tissue rarely excites — are dropped);
+//   bmb  uint8[ngroups*capbm]  AC bitmap prefix bytes, GROUP-PADDED like
+//                           valn: LSB-first bit j of shipped byte i =
+//                           coeff i*8+j nonzero (bit 0 = DC, always
+//                           clear); ~2.5-4 B/block vs v2.1's fixed 8;
 //   valn uint8[ngroups*capg/2]  AC values in bitmap order, two's-complement
 //                           NIBBLES (low nibble first), GROUP-PADDED: each
 //                           run of kDctGroup=16 consecutive blocks owns a
@@ -466,26 +473,30 @@ constexpr int64_t kDctGroup = 16;
 // flags the region for the pixel fallback. cnts out: {nnz, n_aesc, n_desc,
 // max_group_fill, max_group_esc_fill}.
 int pack_dct2_component(const int16_t* dense, int64_t bw, int64_t bh,
-                        int8_t* dc8, uint8_t* bm, uint8_t* valn,
+                        int8_t* dc8, uint8_t* bmc, uint8_t* bmb,
+                        int64_t capbm, uint8_t* valn,
                         int64_t capg, int8_t* esc8, int64_t capge,
                         int32_t* aesc_idx, int16_t* aesc_val,
                         int64_t cap_aesc, int32_t* desc_idx,
                         int16_t* desc_val, int64_t cap_desc,
-                        int32_t cnts[5]) {
+                        int32_t cnts[6]) {
   const int64_t bl = bw * bh;
   const int64_t ngroups = (bl + kDctGroup - 1) / kDctGroup;
-  std::memset(bm, 0, size_t(bl) * 8);
+  std::memset(bmc, 0, size_t((bl + 1) / 2));
+  std::memset(bmb, 0, size_t(ngroups * capbm));
   std::memset(valn, 0, size_t(ngroups * capg / 2));
   std::memset(esc8, 0, size_t(ngroups * capge));
   int64_t nnz = 0, na = 0, nd = 0, gfill = 0, gmax = 0;
-  int64_t gefill = 0, gemax = 0;
+  int64_t gefill = 0, gemax = 0, gbfill = 0, gbmax = 0;
   int32_t prev = 0, prev_row0 = 0;
   for (int64_t bi = 0; bi < bl; ++bi) {
     if (bi % kDctGroup == 0) {
       gmax = std::max(gmax, gfill);
       gemax = std::max(gemax, gefill);
+      gbmax = std::max(gbmax, gbfill);
       gfill = 0;
       gefill = 0;
+      gbfill = 0;
     }
     const int16_t* blk = dense + bi * 64;
     const bool row_start = bi % bw == 0;
@@ -502,7 +513,7 @@ int pack_dct2_component(const int16_t* dense, int64_t bw, int64_t bh,
     } else {
       dc8[bi] = int8_t(delta);
     }
-    uint8_t* b8 = bm + bi * 8;
+    uint8_t b8[8] = {0, 0, 0, 0, 0, 0, 0, 0};
     const int64_t gbase = bi / kDctGroup * capg;
     for (int k = 1; k < 64; ++k) {
       const int v = blk[k];
@@ -533,9 +544,20 @@ int pack_dct2_component(const int16_t* dense, int64_t bw, int64_t bh,
       ++gfill;
       ++nnz;
     }
+    // bitmap prefix: tissue energy sits at low vertical frequency, so
+    // bytes past the last nonzero (byte i = block row i) are dropped —
+    // ship only the nbytes-byte prefix into the group-padded bmb stream
+    // plus a 4-bit count (vs 8 fixed bytes/block, ~30% of v2.1's wire)
+    int nbytes = 8;
+    while (nbytes > 0 && !b8[nbytes - 1]) --nbytes;
+    if (gbfill + nbytes > capbm) return 1;
+    std::memcpy(bmb + bi / kDctGroup * capbm + gbfill, b8, size_t(nbytes));
+    gbfill += nbytes;
+    bmc[bi >> 1] |= uint8_t(nbytes) << ((bi & 1) * 4);
   }
   gmax = std::max(gmax, gfill);
   gemax = std::max(gemax, gefill);
+  gbmax = std::max(gbmax, gbfill);
   for (int64_t i = na; i < cap_aesc; ++i) aesc_idx[i] = -1;
   for (int64_t i = nd; i < cap_desc; ++i) desc_idx[i] = -1;
   cnts[0] = int32_t(nnz);
@@ -543,6 +565,7 @@ int pack_dct2_component(const int16_t* dense, int64_t bw, int64_t bh,
   cnts[2] = int32_t(nd);
   cnts[3] = int32_t(gmax);
   cnts[4] = int32_t(gemax);
+  cnts[5] = int32_t(gbmax);
   return 0;
 }
 
@@ -555,11 +578,12 @@ int pack_dct2_component(const int16_t* dense, int64_t bw, int64_t bh,
 int extract_region_dct(Slide* s, TIFF* tif, int level, int64_t x, int64_t y,
                        int64_t w, int64_t h, const uint8_t* jt,
                        uint32_t jtlen, const int64_t* caps,
-                       int8_t* dc8_out[3], uint8_t* bm_out[3],
+                       int8_t* dc8_out[3], uint8_t* bmc_out[3],
+                       uint8_t* bmb_out[3],
                        uint8_t* valn_out[3], int8_t* esc8_out[3],
                        int32_t* aesc_idx_out[3],
                        int16_t* aesc_val_out[3], int32_t* desc_idx_out[3],
-                       int16_t* desc_val_out[3], int32_t cnts[15],
+                       int16_t* desc_val_out[3], int32_t cnts[18],
                        int32_t* valid2, std::vector<int16_t> dense[3],
                        std::vector<uint8_t>& rawbuf) {
   const LevelInfo& L = s->levels[level];
@@ -643,11 +667,12 @@ int extract_region_dct(Slide* s, TIFF* tif, int level, int64_t x, int64_t y,
   for (int c = 0; c < 3; ++c) {
     const int q = c == 0 ? 0 : 1;  // Y caps vs chroma caps
     if (pack_dct2_component(dense[c].data(), bwid[c], bhei[c], dc8_out[c],
-                            bm_out[c], valn_out[c], caps[q],
+                            bmc_out[c], bmb_out[c], caps[8 + q],
+                            valn_out[c], caps[q],
                             esc8_out[c], caps[2 + q],
                             aesc_idx_out[c], aesc_val_out[c], caps[4 + q],
                             desc_idx_out[c], desc_val_out[c], caps[6 + q],
-                            cnts + c * 5))
+                            cnts + c * 6))
       return 1;
   }
   return 0;
@@ -711,24 +736,28 @@ int32_t ws_dct_probe(void* handle, int32_t level, uint16_t* qt) {
 // Group size of the v2 value-slot padding (ops/jpegdct.py mirrors it).
 int32_t ws_dct_group_size() { return int32_t(kDctGroup); }
 
-// Batched thread-pooled sparse-DCT reads, pack v2.1. Arguments:
-//   caps  int64[8] = {capg_y, capg_c, capge_y, capge_c, cap_aesc_y,
-//                     cap_aesc_c, cap_desc_y, cap_desc_c} (capg_* = EVEN
-//                     value slots per 16-block group; capge_* = escape
-//                     byte slots per group; aesc/desc caps per region);
-//   bufs  void*[24]: for component c in {Y, Cb, Cr} at base b = c*8:
+// Batched thread-pooled sparse-DCT reads, pack v3. Arguments:
+//   caps  int64[10] = {capg_y, capg_c, capge_y, capge_c, cap_aesc_y,
+//                     cap_aesc_c, cap_desc_y, cap_desc_c, capbm_y,
+//                     capbm_c} (capg_* = EVEN value slots per 16-block
+//                     group; capge_* = escape byte slots per group;
+//                     aesc/desc caps per region; capbm_* = bitmap
+//                     prefix-byte slots per group);
+//   bufs  void*[27]: for component c in {Y, Cb, Cr} at base b = c*9:
 //     bufs[b+0] dc8      int8 [n * bl_c]
-//     bufs[b+1] bm       uint8[n * bl_c * 8]
-//     bufs[b+2] valn     uint8[n * ngroups_c * capg / 2]
-//     bufs[b+3] esc8     int8 [n * ngroups_c * capge]
-//     bufs[b+4] aesc_idx int32[n * cap_aesc]
-//     bufs[b+5] aesc_val int16[n * cap_aesc]
-//     bufs[b+6] desc_idx int32[n * cap_desc]
-//     bufs[b+7] desc_val int16[n * cap_desc]
+//     bufs[b+1] bmc      uint8[n * ceil(bl_c/2)] 4-bit prefix lengths
+//     bufs[b+2] bmb      uint8[n * ngroups_c * capbm] bitmap prefixes
+//     bufs[b+3] valn     uint8[n * ngroups_c * capg / 2]
+//     bufs[b+4] esc8     int8 [n * ngroups_c * capge]
+//     bufs[b+5] aesc_idx int32[n * cap_aesc]
+//     bufs[b+6] aesc_val int16[n * cap_aesc]
+//     bufs[b+7] desc_idx int32[n * cap_desc]
+//     bufs[b+8] desc_val int16[n * cap_desc]
 //     with bl_Y = (h/8)*(w/8), bl_C = (h/16)*(w/16),
 //     ngroups_c = ceil(bl_c / 16);
-//   cnts  int32[n * 15]: per region, per component {nnz, aesc, desc,
-//                        max_group_fill, max_group_esc_fill};
+//   cnts  int32[n * 18]: per region, per component {nnz, aesc, desc,
+//                        max_group_fill, max_group_esc_fill,
+//                        max_group_bitmap_bytes};
 //   valid int32[n * 2] = in-slide (w, h);
 //   status int8[n]: 0 ok, 1 = re-read via a pixel path, 2 = hard error.
 // Returns the number of non-ok regions (0 = all packed).
@@ -774,7 +803,8 @@ int32_t ws_read_regions_dct2(void* handle, int32_t level,
       int32_t i = next.fetch_add(1);
       if (i >= n) break;
       int8_t* dc8[3];
-      uint8_t* bm[3];
+      uint8_t* bmc[3];
+      uint8_t* bmb[3];
       uint8_t* valn[3];
       int8_t* esc8[3];
       int32_t* aidx[3];
@@ -784,22 +814,25 @@ int32_t ws_read_regions_dct2(void* handle, int32_t level,
       for (int c = 0; c < 3; ++c) {
         const int q = c == 0 ? 0 : 1;
         const int64_t ngroups = (blc[c] + kDctGroup - 1) / kDctGroup;
-        void** b = bufs + c * 8;
+        void** b = bufs + c * 9;
         dc8[c] = static_cast<int8_t*>(b[0]) + size_t(i) * blc[c];
-        bm[c] = static_cast<uint8_t*>(b[1]) + size_t(i) * blc[c] * 8;
-        valn[c] = static_cast<uint8_t*>(b[2]) +
+        bmc[c] = static_cast<uint8_t*>(b[1])
+                 + size_t(i) * size_t((blc[c] + 1) / 2);
+        bmb[c] = static_cast<uint8_t*>(b[2]) +
+                 size_t(i) * size_t(ngroups * caps[8 + q]);
+        valn[c] = static_cast<uint8_t*>(b[3]) +
                   size_t(i) * size_t(ngroups * caps[q] / 2);
-        esc8[c] = static_cast<int8_t*>(b[3]) +
+        esc8[c] = static_cast<int8_t*>(b[4]) +
                   size_t(i) * size_t(ngroups * caps[2 + q]);
-        aidx[c] = static_cast<int32_t*>(b[4]) + size_t(i) * caps[4 + q];
-        aval[c] = static_cast<int16_t*>(b[5]) + size_t(i) * caps[4 + q];
-        didx[c] = static_cast<int32_t*>(b[6]) + size_t(i) * caps[6 + q];
-        dval[c] = static_cast<int16_t*>(b[7]) + size_t(i) * caps[6 + q];
+        aidx[c] = static_cast<int32_t*>(b[5]) + size_t(i) * caps[4 + q];
+        aval[c] = static_cast<int16_t*>(b[6]) + size_t(i) * caps[4 + q];
+        didx[c] = static_cast<int32_t*>(b[7]) + size_t(i) * caps[6 + q];
+        dval[c] = static_cast<int16_t*>(b[8]) + size_t(i) * caps[6 + q];
       }
       int r = extract_region_dct(
           s, tif, level, coords[2 * i], coords[2 * i + 1], w, h,
-          jtables.data(), uint32_t(jtables.size()), caps, dc8, bm, valn,
-          esc8, aidx, aval, didx, dval, cnts + size_t(i) * 15,
+          jtables.data(), uint32_t(jtables.size()), caps, dc8, bmc, bmb,
+          valn, esc8, aidx, aval, didx, dval, cnts + size_t(i) * 18,
           valid + 2 * i, dense, rawbuf);
       status[i] = int8_t(r < 0 ? 2 : r);
       if (r) bad.fetch_add(1);

@@ -51,12 +51,19 @@ def test_dct_planes_match_libjpeg_planes(ycbcr_slide):
     want = slide.read_regions_yuv420(coords, 0, (256, 256))
     r = slide.read_regions_dct(coords, 0, (256, 256))
     assert (r.status == 0).all()
-    assert r.y_dc8.shape == (4, 32, 32) and r.y_bm.shape == (4, 32, 32, 8)
+    assert r.y_dc8.shape == (4, 32, 32)
+    assert r.y_bmc.shape == (4, 512)  # 4-bit prefix lengths, 1024 blocks
+    assert r.y_bmb.shape[1] % 64 == 0  # 64 groups x capbm prefix bytes
+    # the prefix pack must beat the dense 8 B/block bitmap on tissue:
+    # cnts[..., 5] is the measured per-group max prefix bytes — the size
+    # the probe's cap (and hence the wire) shrinks to. (This read used
+    # the always-fits default cap_bm=8, which pads to the dense size.)
+    assert r.cnts[:, 0, 5].max() < 8 * 16
     assert r.cb_dc8.shape == (4, 16, 16)
     assert r.y_dc8.dtype == np.int8 and r.y_aidx.dtype == np.int32
     qt = slide.dct_probe(0)
     got = jax.jit(dct_regions_to_planes)(
-        *r[:24], qt, r.valid, r.off)
+        *r[:27], qt, r.valid, r.off)
     for name, g, w in zip("y cb cr".split(), got, want):
         diff = np.abs(np.asarray(g).astype(np.int16) - w.astype(np.int16))
         assert diff.max() <= 1, (name, diff.max())
@@ -74,7 +81,7 @@ def test_dct_rgb_matches_libtiff_decode(ycbcr_slide):
     r = slide.read_regions_dct(coords, 0, (256, 256))
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
-        *r[:24], qt, r.valid, r.off))
+        *r[:27], qt, r.valid, r.off))
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
     assert np.quantile(diff, 0.99) <= 4.0, np.quantile(diff, 0.99)
@@ -94,7 +101,7 @@ def test_dct_region_boundary_white(ycbcr_slide):
     assert tuple(r.valid[0]) == (128, 128)
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
-        *r[:24], qt, r.valid, r.off))
+        *r[:27], qt, r.valid, r.off))
     assert np.all(got[0, 128:] == 255) and np.all(got[0, :, 128:] == 255)
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
@@ -129,7 +136,7 @@ def test_dct_offset_grid_matches_libtiff_decode(ycbcr_slide):
     assert r.y_dc8.shape == (3, 34, 34)  # (256+16)/8 padded block grid
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
-        *r[:24], qt, r.valid, r.off))
+        *r[:27], qt, r.valid, r.off))
     assert got.shape == (3, 256, 256, 3)
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
@@ -150,7 +157,7 @@ def test_dct_offset_grid_boundary_white(ycbcr_slide):
     assert tuple(r.valid[0]) == (120, 134)
     qt = slide.dct_probe(0)
     got = np.asarray(jax.jit(dct_regions_to_rgb)(
-        *r[:24], qt, r.valid, r.off))
+        *r[:27], qt, r.valid, r.off))
     assert np.all(got[0, 134:] == 255) and np.all(got[0, :, 120:] == 255)
     diff = np.abs(got - ref.astype(np.float32))
     assert diff.mean() < 1.0, diff.mean()
@@ -161,7 +168,7 @@ def test_decode_batch_dct_and_fallback(ycbcr_slide):
 
     slide, _ = ycbcr_slide
     qt = slide.dct_probe(0)
-    ctx = (qt, (32, 12, 64, 16, 1024, 256, 1024, 256))
+    ctx = (qt, (32, 12, 64, 16, 1024, 256, 1024, 256, 8, 8))
     out = _decode_batch(slide, np.array([[0, 0], [256, 256]]),
                         patch_level=0, size=256, bs=2, transform=None,
                         target_patch_size=0, n_io_threads=2, dct_ctx=ctx)
@@ -266,8 +273,8 @@ def test_dct_escape_streams_and_pad_indices(ycbcr_slide):
         y_dval=np.where(r.y_didx < 0, 30000, r.y_dval).astype(np.int16))
     qt = slide.dct_probe(0)
     fn = jax.jit(dct_regions_to_planes)
-    got = [np.asarray(a) for a in fn(*r[:24], qt, r.valid, r.off)]
-    got2 = [np.asarray(a) for a in fn(*r2[:24], qt, r2.valid, r2.off)]
+    got = [np.asarray(a) for a in fn(*r[:27], qt, r.valid, r.off)]
+    got2 = [np.asarray(a) for a in fn(*r2[:27], qt, r2.valid, r2.off)]
     for g, g2 in zip(got, got2):
         np.testing.assert_array_equal(g, g2)
 
@@ -301,7 +308,7 @@ def test_dct_huge_coefficients_int16_tier(tmp_path):
     assert (r.y_esc8 == -128).any(), "no int16 sentinel in esc8"
     want = slide.read_regions_yuv420(coords, 0, (256, 256))
     qt = slide.dct_probe(0)
-    got = jax.jit(dct_regions_to_planes)(*r[:24], qt, r.valid, r.off)
+    got = jax.jit(dct_regions_to_planes)(*r[:27], qt, r.valid, r.off)
     for name, g, w in zip("y cb cr".split(), got, want):
         diff = np.abs(np.asarray(g).astype(np.int16) - w.astype(np.int16))
         assert diff.max() <= 1, (name, diff.max())
