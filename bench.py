@@ -567,9 +567,10 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
             3600e3 / compute_ms_region / REGIONS_PER_TCGA_SLIDE, 1),
         "heatmap_ms_per_slide_cached_features": round(t_heat * 1e3, 1),
         "note": "tunnel-H2D-bound (25-55MB/s honest wire rate; droop "
-                "windows sink to 2-8); the sparse-DCT v2.1 path ships "
-                "nibble/escape-packed quantized JPEG coefficients "
-                "(~8.4-10MB/region vs 25 raw-YCbCr / 50 RGB), the device "
+                "windows sink to 2-8); the sparse-DCT v3 path ships "
+                "nibble/escape-packed quantized JPEG coefficients with "
+                "prefix-packed AC bitmaps "
+                "(~8.2-9.8MB/region vs 25 raw-YCbCr / 50 RGB), the device "
                 "dequantizes + IDCTs inside the encoder forward, and at "
                 "<=10MB/region the 50/h target clears even at the "
                 "tunnel's ~5MB/s droop floor; decode/H2D/compute overlap "
