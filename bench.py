@@ -249,6 +249,96 @@ def _wait_for_link(jax, min_mbps, max_wait_s, probe_every_s=90.0):
     return mbps, time.time() - t0
 
 
+def classify_droop(run_meas, gate_mbps, target_regions_s):
+    """Droop classifier (pure; unit-tested in test_bench_regate.py —
+    VERDICT r4 #1a): split per-slide measurements (interval_s, wire_bytes,
+    regions) into (clean, droopy). A slide is droopy only when BOTH
+    wire-starved (its observed per-slide wire rate fell below half the
+    gated link rate — the link sank under it mid-stream) and below the
+    target region rate — a slide that was slow for any other reason
+    (decode stall, compute) is KEPT: re-measuring it would hide a real
+    pipeline problem behind the link excuse."""
+    clean, droopy = [], []
+    for m in run_meas:
+        dt_i, b_i, r_i = m
+        starved = b_i / 1e6 / max(dt_i, 1e-9) < gate_mbps / 2.0
+        below = r_i / max(dt_i, 1e-9) < target_regions_s
+        (droopy if starved and below else clean).append(m)
+    return clean, droopy
+
+
+def measure_with_regate(run_stream, wait_for_link, n_slides, probed_mbps,
+                        link_min_mbps, link_wait_s, target_regions_s,
+                        max_attempts=2, regate_wait_s=600.0):
+    """Measurement loop with a bounded mid-stream droop re-gate
+    (VERDICT r3 #2, factored out of bench_e2e so the never-executed-on-a-
+    good-link path is unit-testable — VERDICT r4 #1a). A droop onset
+    inside the stream used to poison the whole median; wire-starved
+    below-target slides are re-measured after a bounded link re-gate,
+    with every waited second and every re-measured slide reported.
+
+    ``run_stream(n, wire_hint)`` -> (t0, done_t, n_regions, byte_marks,
+    stats); ``wait_for_link(min_mbps, max_wait_s)`` -> (mbps, waited_s).
+    Injectable so tests drive it with synthetic streams.
+
+    Returns a dict: ``meas`` — kept (interval_s, bytes, regions) per
+    slide (droopy slides replaced by their re-measurement; kept honest
+    once the re-gate budget is spent); ``all_meas`` — EVERY measured
+    slide interval including droopy ones later re-measured (the
+    unconditioned record — ADVICE r4: the headline median is good-link-
+    conditional, readers get both); ``stats`` — accumulated stream
+    stats; ``regate_attempts`` / ``regate_waited_s`` /
+    ``droop_remeasured`` — bookkeeping; ``probed_mbps`` — last link
+    probe."""
+    meas, all_meas = [], []
+    all_stats = {}
+    regate_waited = 0.0
+    regate_attempts = 0
+    droop_remeasured = 0
+    need = n_slides
+    while need:
+        t0, done_t, n_regions, byte_marks, stats = run_stream(
+            need, probed_mbps or None)
+        for k, v in stats.items():
+            if k == "h2d_bytes" or k.startswith("regions_"):
+                all_stats[k] = all_stats.get(k, 0) + v
+            else:
+                all_stats.setdefault(k, v)
+        iv = np.diff([t0] + list(done_t))
+        bts = np.diff([0] + list(byte_marks))
+        run_meas = list(zip(iv.tolist(), bts.tolist(), list(n_regions)))
+        all_meas.extend(run_meas)
+        gate = max(probed_mbps, link_min_mbps)
+        clean, droopy = classify_droop(run_meas, gate, target_regions_s)
+        meas.extend(clean)
+        if not droopy or regate_attempts >= max_attempts or link_wait_s <= 0:
+            meas.extend(droopy)  # out of re-gate budget: keep them honest
+            break
+        regate_attempts += 1
+        droop_remeasured += len(droopy)
+        p_mbps, w = wait_for_link(link_min_mbps, regate_wait_s)
+        regate_waited += w
+        if p_mbps > 0:
+            probed_mbps = p_mbps
+        need = len(droopy)
+    return {
+        "meas": meas, "all_meas": all_meas, "stats": all_stats,
+        "regate_attempts": regate_attempts,
+        "regate_waited_s": regate_waited,
+        "droop_remeasured": droop_remeasured,
+        "probed_mbps": probed_mbps,
+    }
+
+
+def tcga40_rate(meas):
+    """Median per-slide region rate of (interval_s, bytes, regions)
+    measurements -> 40-region TCGA slide-equivalents/hour."""
+    if not meas:
+        return 0.0
+    rates = np.array([m[2] for m in meas]) / np.array([m[0] for m in meas])
+    return float(np.median(rates)) * 3600.0 / REGIONS_PER_TCGA_SLIDE
+
+
 def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
     import jax
     import jax.numpy as jnp
@@ -330,13 +420,14 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
         np.asarray(logits)  # host fetch: block_until_ready returns early
         # through the tunnel (CLAUDE.md) and would under-stamp done_t
 
-    def run_stream(n_slides, wire_hint=None):
+    def run_stream(n_slides, wire_hint=None, pace_put_mbps=None):
         """tile -> HIPT encode -> ABMIL for `n_slides` slides through ONE
         continuous decode->H2D->compute pipeline (engine.encode.encode_stream
         — the production slide-stream path): the host link and the device
         never drain between slides. Returns per-slide completion times.
         ``wire_hint`` seeds the stream's rate-adaptive rung selector
-        (MB/s) — the stream refines it from its own put timings."""
+        (MB/s) — the stream refines it from its own put timings.
+        ``pace_put_mbps`` throttles the H2D stream (droop-floor subrun)."""
         t0 = time.perf_counter()
         slides, jobs = [], []
         for i in range(n_slides):
@@ -349,7 +440,8 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
         stats = {}
         for sid, feats in encode_stream(jobs, encoder, region_size=REGION,
                                         n_io_threads=16, prefetch=3,
-                                        stats=stats, wire_mbps_hint=wire_hint):
+                                        stats=stats, wire_mbps_hint=wire_hint,
+                                        pace_put_mbps=pace_put_mbps):
             mil_step(feats)
             done_t.append(time.perf_counter())
             n_regions.append(len(feats))
@@ -389,42 +481,15 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
     # waited second and every remeasured slide reported in the extras.
     target_regions_s = (TARGET_SLIDES_PER_HOUR * REGIONS_PER_TCGA_SLIDE
                         / 3600.0)
-    meas = []              # kept (interval_s, bytes, regions) per slide
-    all_stats = {}
-    regate_waited = 0.0
-    regate_attempts = 0
-    droop_remeasured = 0
-    need = N_SLIDES
-    while need:
-        t0, done_t, n_regions, byte_marks, stats = run_stream(
-            need, wire_hint=probed_mbps or None)
-        for k, v in stats.items():
-            if k == "h2d_bytes" or k.startswith("regions_"):
-                all_stats[k] = all_stats.get(k, 0) + v
-            else:
-                all_stats.setdefault(k, v)
-        iv = np.diff([t0] + done_t)
-        bts = np.diff([0] + byte_marks)
-        run_meas = list(zip(iv.tolist(), bts.tolist(), n_regions))
-        gate = max(probed_mbps, link_min_mbps)
-        clean, droopy = [], []
-        for m in run_meas:
-            dt_i, b_i, r_i = m
-            starved = b_i / 1e6 / max(dt_i, 1e-9) < gate / 2.0
-            below = r_i / max(dt_i, 1e-9) < target_regions_s
-            (droopy if starved and below else clean).append(m)
-        meas.extend(clean)
-        if not droopy or regate_attempts >= 2 or link_wait_s <= 0:
-            meas.extend(droopy)  # out of re-gate budget: keep them honest
-            break
-        regate_attempts += 1
-        droop_remeasured += len(droopy)
-        p_mbps, w = _wait_for_link(jax, link_min_mbps, 600.0)
-        regate_waited += w
-        if p_mbps > 0:
-            probed_mbps = p_mbps
-        need = len(droopy)
-    stats = all_stats
+    mr = measure_with_regate(
+        run_stream, lambda m, w: _wait_for_link(jax, m, w), N_SLIDES,
+        probed_mbps, link_min_mbps, link_wait_s, target_regions_s)
+    meas = mr["meas"]
+    stats = mr["stats"]
+    probed_mbps = mr["probed_mbps"]
+    regate_attempts = mr["regate_attempts"]
+    regate_waited = mr["regate_waited_s"]
+    droop_remeasured = mr["droop_remeasured"]
     intervals = np.array([m[0] for m in meas])
     regions_done = sum(m[2] for m in meas)
     dt = float(intervals.sum())
@@ -432,6 +497,25 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
     median_rate = float(np.median(rates))
     per_slide_mbps = [round(b / 1e6 / max(t, 1e-9), 1)
                       for t, b, _ in meas]
+    # unconditioned all-slides median (ADVICE r4): includes droopy
+    # intervals the re-gate replaced — readers see both numbers
+    all_slides_tcga40 = tcga40_rate(mr["all_meas"])
+
+    # ---- droop-floor subrun (VERDICT r4 #1b): the ">=50/h at the droop
+    # floor" claim, MEASURED instead of computed — a 2-slide stream with
+    # the H2D transfer thread paced to an effective ~5 MB/s (the tunnel's
+    # measured droop floor). Untimed extra: the pacing shim sleeps out
+    # each put's byte budget, so the decode/H2D/compute overlap behaves
+    # exactly as on a real slow wire and the rung selector sees ~5 MB/s.
+    FLOOR_MBPS = 5.0
+    t0f, done_tf, n_regf, byte_f, _ = run_stream(
+        2, wire_hint=FLOOR_MBPS, pace_put_mbps=FLOOR_MBPS)
+    ivf = np.diff([t0f] + done_tf)
+    floor_meas = list(zip(ivf.tolist(), np.diff([0] + byte_f).tolist(),
+                          n_regf))
+    throttled_floor = tcga40_rate(floor_meas)
+    throttled_wire_mbps = (sum(m[1] for m in floor_meas) / 1e6
+                           / max(float(ivf.sum()), 1e-9))
 
     # link/compute decomposition: lets a reader attribute a low headline
     # to a tunnel droop window (wire MB/s) vs an actual pipeline problem.
@@ -533,6 +617,57 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
     fixture_mb = {"tissue": _dct_pack_mb(slide_path),
                   "noise_worstcase": _dct_pack_mb(noise_path)}
 
+    # ---- train-stage extras (VERDICT r4 #6): the reference's primary
+    # workflow (reference: utils/core_utils.py:102-297) measured on-chip
+    # in the driver-captured record — fused-epoch optimizer steps/s at
+    # the winning ATEC23 config (CLAM_SB hipt_smaller, 75-instance bags,
+    # B=1) and a REAL vmapped 5-fold CV run (fold as a batch axis, the
+    # fold_parallel execution model) wall time.
+    from hipt_abmil_atec23_tpu.engine.train import build_step_fns
+    from hipt_abmil_atec23_tpu.utils.config import (
+        BagConfig, ExperimentConfig, ModelConfig, TaskConfig, TrainConfig)
+    S, F, EPOCHS, n_pad_t, d_t = 160, 5, 20, 80, 192
+    tcfg = ExperimentConfig(
+        task=TaskConfig(n_classes=2, label_dict={"0": 0, "1": 1}),
+        bags=BagConfig(max_patches_per_slide=75, batch_size=1),
+        model=ModelConfig(model_type="clam_sb", model_size="hipt_smaller"),
+        train=TrainConfig(lr=1e-3, reg=1e-4, bag_loss="ce"))
+    fns = build_step_fns(tcfg, np.array([80, 80]), n_pad_t, d_t)
+    with jax.default_device(cpu):  # eager init off-chip (CLAUDE.md rule)
+        p1 = fns.init_params(jax.random.PRNGKey(0))
+        pf = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[fns.init_params(jax.random.PRNGKey(i))
+                            for i in range(F)])
+    dev = jax.devices()[0]
+    p1 = jax.device_put(p1, dev)
+    pf = jax.device_put(pf, dev)
+    o1 = fns.tx.init(p1)
+    of = jax.vmap(fns.tx.init)(pf)
+    rng = np.random.default_rng(0)
+    tf1 = jax.device_put(rng.normal(size=(S, 1, n_pad_t, d_t))
+                         .astype(np.float32), dev)
+    tm1 = jax.device_put(np.ones((S, 1, n_pad_t), bool), dev)
+    tl1 = jax.device_put(rng.integers(0, 2, size=(S, 1)).astype(np.int32),
+                         dev)
+    tkey = jax.random.PRNGKey(1)
+    jax.block_until_ready(fns.train_epoch(p1, o1, tf1, tm1, tl1, tkey))
+    t_epoch = _timed_device(fns.train_epoch, p1, o1, tf1, tm1, tl1, tkey)
+    # vmapped 5-fold CV: 20 epochs, fold axis on-device throughout — the
+    # serial host loop carries state exactly as train_folds_parallel does
+    vm_epoch = jax.jit(jax.vmap(fns.train_epoch))
+    tff = jnp.broadcast_to(tf1, (F,) + tf1.shape)
+    tmf = jnp.broadcast_to(tm1, (F,) + tm1.shape)
+    tlf = jnp.broadcast_to(tl1, (F,) + tl1.shape)
+    fkeys = jax.random.split(tkey, F)
+    pw, ow = pf, of
+    jax.block_until_ready(vm_epoch(pw, ow, tff, tmf, tlf, fkeys))  # compile
+    t0t = time.perf_counter()
+    pw, ow = pf, of
+    for _ in range(EPOCHS):
+        pw, ow, blf, _, _ = vm_epoch(pw, ow, tff, tmf, tlf, fkeys)
+    np.asarray(blf)  # host fetch: the honest barrier (CLAUDE.md)
+    cv_wall_s = time.perf_counter() - t0t
+
     regions_per_hour = median_rate * 3600.0
     raw_slides_per_hour = N_SLIDES / dt * 3600.0
     tcga40 = regions_per_hour / REGIONS_PER_TCGA_SLIDE
@@ -559,23 +694,32 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
         "link_regate_attempts": regate_attempts,
         "link_regate_waited_s": round(regate_waited, 1),
         "droop_slides_remeasured": droop_remeasured,
+        "all_slides_median_slide_equiv_per_hour": round(all_slides_tcga40, 1),
+        "throttled_floor_slide_equiv_per_hour": round(throttled_floor, 1),
+        "throttled_floor_wire_MBps": round(throttled_wire_mbps, 2),
         "per_slide_wire_MBps": per_slide_mbps,
         "rung_decisions": stats.get("rung_decisions", []),
+        "rung_calibration": stats.get("rung_calibration"),
         "compute_ms_per_region_incl_dispatch": round(compute_ms_region, 1),
         "encode_tflops_implied_bf16": round(encode_tflops, 1),
         "compute_bound_ceiling_slides_per_hour": round(
             3600e3 / compute_ms_region / REGIONS_PER_TCGA_SLIDE, 1),
         "heatmap_ms_per_slide_cached_features": round(t_heat * 1e3, 1),
+        "train_steps_per_sec_fused_epoch": round(S / t_epoch, 1),
+        "train_epoch_ms_fused": round(t_epoch * 1e3, 1),
+        "train_cv5_wall_s_20epochs": round(cv_wall_s, 2),
+        "train_cv5_bags_per_sec": round(S * F * EPOCHS / cv_wall_s, 1),
         "note": "tunnel-H2D-bound (25-55MB/s honest wire rate; droop "
                 "windows sink to 2-8); the sparse-DCT v3 path ships "
                 "nibble/escape-packed quantized JPEG coefficients with "
                 "prefix-packed AC bitmaps "
-                "(~8.2-9.8MB/region vs 25 raw-YCbCr / 50 RGB), the device "
-                "dequantizes + IDCTs inside the encoder forward, and at "
-                "<=10MB/region the 50/h target clears even at the "
-                "tunnel's ~5MB/s droop floor; decode/H2D/compute overlap "
-                "across slide boundaries — local TPU hosts feed ~100x "
-                "faster",
+                "(~8.2-9.8MB/region vs 25 raw-YCbCr / 50 RGB) and the "
+                "device dequantizes + IDCTs inside the encoder forward. "
+                "Break-even for the 50/h target: ~5.4 MB/s wire at the "
+                "9.7 MB tissue pack, ~4.6 MB/s at the 8.2 MB worst-case "
+                "pack; the throttled_floor extra MEASURES the 5 MB/s "
+                "droop-floor case. Decode/H2D/compute overlap across "
+                "slide boundaries — local TPU hosts feed ~100x faster",
     })
 
 

@@ -76,19 +76,34 @@ class DctBatch(NamedTuple):
 # --------------------------------------------------------------------------
 # Rate-adaptive transfer-rung selection (VERDICT r3 #4)
 # --------------------------------------------------------------------------
-# Per-megapixel stage costs measured on the dev host/TPU at 4096px regions
-# (CLAUDE.md measured facts + round-4 remeasure). Only the RELATIVE costs
-# matter — the selector picks the rung whose slowest pipeline stage
-# (wire / host decode / device decode+forward) is cheapest at the current
-# measured wire rate. The reference's analog is implicit DataLoader worker
-# scaling (reference: utils/utils.py:64-98).
+# PRIOR per-megapixel stage costs, measured on THIS one-CPU dev host and
+# its TPU at 4096px regions (CLAUDE.md measured facts + round-4
+# remeasure). They are seeds only: encode_stream re-calibrates both
+# tables from its own measured per-batch decode and device times (EWMA,
+# VERDICT r4 #3) — a different host CPU, region size, or kernel change
+# shifts the dct/yuv crossover and the stream follows its measurements,
+# not this table. Only the RELATIVE costs matter — the selector picks the
+# rung whose slowest pipeline stage (wire / host decode / device
+# decode+forward) is cheapest at the current measured wire rate. The
+# reference's analog is implicit DataLoader worker scaling (reference:
+# utils/utils.py:64-98).
 RUNG_BYTES_PER_PX = {"yuv": 1.5, "rgb": 3.0}   # dct is measured per-slide
 RUNG_HOST_MS_PER_MPX = {"dct": 11.6, "yuv": 7.8, "rgb": 107.0}
 RUNG_DEV_MS_PER_MPX = {"dct": 6.0, "yuv": 3.3, "rgb": 3.3}
 
+# True once any encode stream in this process has completed a device
+# execution. Before the first jit execution the runtime BUFFERS
+# device_put — block_until_ready returns at an apparent ~1.4 GB/s while
+# the wire drains asynchronously (CLAUDE.md link model) — so put timings
+# taken before it are fiction and must never reach the wire EWMA (they
+# would seed the rate 30-500x high and flip the rung selector to
+# yuv/rgb on a 5-55 MB/s wire — ADVICE r4 medium).
+_FIRST_EXEC_DONE = False
+
 
 def select_rung(feasible, wire_mbps, region_px, dct_bytes_per_px=None,
-                current=None, hysteresis=0.85):
+                current=None, hysteresis=0.85,
+                host_ms_mpx=None, dev_ms_mpx=None):
     """Pick the transfer rung with the lowest predicted per-region cost.
 
     Cost model: the stream pipelines three serialized stages (host decode
@@ -102,7 +117,13 @@ def select_rung(feasible, wire_mbps, region_px, dct_bytes_per_px=None,
     ``current`` + ``hysteresis``: a sitting rung is kept unless the
     challenger is predicted at least (1 - hysteresis) cheaper — switching
     entries mid-stream costs a compile for the new entry shape.
+
+    ``host_ms_mpx`` / ``dev_ms_mpx``: per-rung stage-cost tables
+    (ms per megapixel). Default to the dev-host priors above; streams
+    pass their own EWMA-calibrated tables (VERDICT r4 #3).
     Returns (rung, costs_dict)."""
+    host_tab = host_ms_mpx or RUNG_HOST_MS_PER_MPX
+    dev_tab = dev_ms_mpx or RUNG_DEV_MS_PER_MPX
     mpx = region_px / 1e6
     costs = {}
     for r in feasible:
@@ -111,8 +132,8 @@ def select_rung(feasible, wire_mbps, region_px, dct_bytes_per_px=None,
             continue
         wire_s = (region_px * bpp / (wire_mbps * 1e6)
                   if wire_mbps and wire_mbps > 0 else float("inf"))
-        host_s = mpx * RUNG_HOST_MS_PER_MPX[r] / 1e3
-        dev_s = mpx * RUNG_DEV_MS_PER_MPX[r] / 1e3
+        host_s = mpx * host_tab[r] / 1e3
+        dev_s = mpx * dev_tab[r] / 1e3
         costs[r] = max(wire_s, host_s, dev_s)
     if not costs:
         return "rgb", costs
@@ -589,6 +610,8 @@ def encode_slide(
                 k = len(chunk)
                 feats[done:done + k] = np.asarray(out)[:k]
                 done += k
+                global _FIRST_EXEC_DONE
+                _FIRST_EXEC_DONE = True
         return feats
 
     # overlapped mode: one-slide stream through the shared pipeline
@@ -636,6 +659,7 @@ def encode_stream(
     stats: Optional[dict] = None,
     adaptive_rungs: bool = True,
     wire_mbps_hint: Optional[float] = None,
+    pace_put_mbps: Optional[float] = None,
 ):
     """Encode a SEQUENCE of slides through one continuous pipeline.
 
@@ -645,9 +669,26 @@ def encode_stream(
     rung's decode overhead loses to raw planes even though it ships fewer
     bytes. The wire rate seeds from ``wire_mbps_hint`` (e.g. a caller's
     link probe) and updates from the stream's own device_put timings
-    (EWMA); until an estimate exists the byte-lightest feasible rung is
-    used. Decisions land in ``stats['rung_decisions']`` as
-    [batch_idx, rung, wire_MBps] entries (recorded on change only).
+    (EWMA; put samples taken before the process's first jit execution are
+    SKIPPED — the runtime buffers them and the timing is fiction, see
+    _FIRST_EXEC_DONE). The selector's host-decode and device-compute cost
+    tables likewise self-calibrate from the stream's own measured
+    per-batch decode and device times (EWMA over the dev-host priors —
+    VERDICT r4 #3), so a different host CPU or region size moves the
+    dct/yuv crossover with the measurements. Until a wire estimate exists
+    the byte-lightest feasible rung is used. Decisions land in
+    ``stats['rung_decisions']`` as [batch_idx, rung, wire_MBps] entries
+    (recorded on change only); the live calibration tables land in
+    ``stats['rung_calibration']`` and the final wire estimate in
+    ``stats['wire_mbps_final']``.
+
+    ``pace_put_mbps``: throttle the H2D transfer thread to this effective
+    wire rate (MB/s) by sleeping out the remainder of each put's byte
+    budget — a measurement shim for reproducing slow-link (droop-window)
+    behavior on a fast link (bench droop-floor subrun / tests). The pacing
+    sleep is counted in the put timing, so the EWMA and the rung selector
+    see the throttled rate, exactly as they would a real slow wire. None
+    (default) disables it; never set in production.
 
     ``jobs``: sequence of (slide_id, slide, coords). Yields
     (slide_id, feats [N, D]) in job order as each slide's last batch
@@ -743,8 +784,20 @@ def encode_stream(
         return
 
     # live wire-rate estimate (MB/s): seeded by the caller's hint, then
-    # EWMA-updated from the transfer thread's own synchronous put timings
-    link = {"mbps": wire_mbps_hint, "rung": None, "batch": 0}
+    # EWMA-updated from the transfer thread's own synchronous put timings.
+    # host_ms_mpx / dev_ms_mpx: the selector's stage-cost tables, seeded
+    # from the dev-host priors and EWMA-calibrated in place from this
+    # stream's own measured decode / device times (VERDICT r4 #3).
+    link = {"mbps": wire_mbps_hint, "rung": None, "batch": 0,
+            "host_ms_mpx": dict(RUNG_HOST_MS_PER_MPX),
+            "dev_ms_mpx": dict(RUNG_DEV_MS_PER_MPX)}
+    if stats is not None:
+        # live view — the dicts mutate as the stream calibrates
+        stats["rung_calibration"] = {"host_ms_mpx": link["host_ms_mpx"],
+                                     "dev_ms_mpx": link["dev_ms_mpx"]}
+
+    def _ewma(table, rung, sample_ms_mpx, w=0.3):
+        table[rung] = (1.0 - w) * table[rung] + w * sample_ms_mpx
 
     def read_batch(item):
         ji, slide, chunk, use_yuv, dct_ctx = item
@@ -753,7 +806,9 @@ def encode_stream(
                 + (["dct"] if dct_ctx is not None else [])
             rung, _ = select_rung(feasible, link["mbps"], size * size,
                                   dct_bytes_per_px=dct_bpp,
-                                  current=link["rung"])
+                                  current=link["rung"],
+                                  host_ms_mpx=link["host_ms_mpx"],
+                                  dev_ms_mpx=link["dev_ms_mpx"])
             if rung != "dct":
                 dct_ctx = None
             if rung == "rgb":
@@ -763,18 +818,27 @@ def encode_stream(
                     [link["batch"], rung, round(link["mbps"], 1)])
             link["rung"] = rung
         link["batch"] += 1
+        td0 = time.perf_counter()
         buf = _decode_batch(slide, chunk, patch_level=patch_level,
                             size=size, bs=bs, transform=transform,
                             target_patch_size=target_patch_size,
                             n_io_threads=n_io_threads, use_yuv=use_yuv,
                             dct_ctx=dct_ctx)
+        # host-decode calibration: wall time of the ONE decode worker is
+        # the honest stage cost (decode never runs concurrently with
+        # itself — CLAUDE.md single-CPU rule), attributed to the rung the
+        # batch ACTUALLY rode (a cap-overflow fallback bills the pixels
+        # it shipped, not the rung it tried)
+        td = time.perf_counter() - td0
+        kind = ("dct" if isinstance(buf, DctBatch)
+                else "yuv" if isinstance(buf, tuple) else "rgb")
+        _ewma(link["host_ms_mpx"], kind,
+              td * 1e3 / (len(chunk) * size * size / 1e6))
         if stats is not None:
             # honest wire accounting: exactly what device_put will ship
             leaves = buf if isinstance(buf, tuple) else (buf,)
             stats["h2d_bytes"] = (stats.get("h2d_bytes", 0)
                                   + sum(a.nbytes for a in leaves))
-            kind = ("dct" if isinstance(buf, DctBatch)
-                    else "yuv" if isinstance(buf, tuple) else "rgb")
             stats[f"regions_{kind}"] = (stats.get(f"regions_{kind}", 0)
                                         + len(chunk))
             if dct_caps:
@@ -822,21 +886,47 @@ def encode_stream(
                 tp = time.perf_counter() - tp0
                 nb = sum(a.nbytes for a in
                          (batch if isinstance(batch, tuple) else (batch,)))
+                if pace_put_mbps:  # slow-link measurement shim: sleep out
+                    # the byte budget so the put costs what a real
+                    # pace_put_mbps wire would (and the EWMA sees it)
+                    deficit = nb / 1e6 / pace_put_mbps - tp
+                    if deficit > 0:
+                        time.sleep(deficit)
+                        tp = time.perf_counter() - tp0
                 inst = nb / 1e6 / max(tp, 1e-9)
-                # EWMA wire estimate for the rung selector; only
-                # meaningful once puts are synchronous (after the first
-                # execution — the production steady state)
-                link["mbps"] = (inst if link["mbps"] is None
-                                else 0.7 * link["mbps"] + 0.3 * inst)
+                # EWMA wire estimate for the rung selector — but ONLY once
+                # puts are synchronous: before this process's first jit
+                # execution the runtime buffers them and block_until_ready
+                # returns at an apparent ~1.4 GB/s (ADVICE r4 medium —
+                # such a sample would spike the estimate 30-500x and flip
+                # the selector off the byte-light rung on a slow wire)
+                if _FIRST_EXEC_DONE:
+                    link["mbps"] = (inst if link["mbps"] is None
+                                    else 0.7 * link["mbps"] + 0.3 * inst)
                 if not _put(d):  # one serialized H2D stream (encode_slide)
                     return
         except Exception as e:
             xfer_err.append(e)
             _put(None)
 
-    def _collect(pend):
-        ji, k, out = pend
+    def _collect(pend, q_wait=0.0):
+        global _FIRST_EXEC_DONE
+        ji, k, out, kind = pend
+        tc0 = time.perf_counter()
         feats[ji][offs[ji]:offs[ji] + k] = np.asarray(out)[:k]
+        blocked = time.perf_counter() - tc0
+        _FIRST_EXEC_DONE = True  # puts are synchronous from here on
+        # device-compute calibration: in the steady compute-bound state
+        # the collect BLOCK time is one full device step (the dispatch->
+        # fetch span would double-count the batch queued ahead). Sample
+        # only when this iteration did not starve on the H2D queue
+        # (q_wait small) AND the fetch actually blocked — a wire-bound
+        # stream hides compute under the wait and the block would
+        # under-report it; keep the prior there (the selector is
+        # wire-bound in that regime anyway).
+        if q_wait < 2e-3 and blocked > 2e-3:
+            _ewma(link["dev_ms_mpx"], kind,
+                  blocked * 1e3 / (bs * size * size / 1e6))
         offs[ji] += k
         remaining[ji] -= 1
 
@@ -857,18 +947,22 @@ def encode_stream(
     xt.start()
     try:
         for ci in range(len(items)):
+            tq0 = time.perf_counter()
             d = dev_q.get()
+            q_wait = time.perf_counter() - tq0
             if d is None:
                 break
-            out = (encoder.apply_dct(*d) if isinstance(d, DctBatch)
-                   else encoder.apply_yuv(*d) if isinstance(d, tuple)
+            kind = ("dct" if isinstance(d, DctBatch)
+                    else "yuv" if isinstance(d, tuple) else "rgb")
+            out = (encoder.apply_dct(*d) if kind == "dct"
+                   else encoder.apply_yuv(*d) if kind == "yuv"
                    else encoder.apply(d))  # async dispatch
             if pending is not None:
-                _collect(pending)
+                _collect(pending, q_wait=q_wait)
                 for item in _drain_ready():
                     yield item
             ji, _, chunk = items[ci][:3]
-            pending = (ji, len(chunk), out)
+            pending = (ji, len(chunk), out, kind)
         xt.join()
         if xfer_err:
             raise xfer_err[0]
@@ -876,6 +970,8 @@ def encode_stream(
             _collect(pending)
             for item in _drain_ready():
                 yield item
+        if stats is not None:
+            stats["wire_mbps_final"] = link["mbps"]
     finally:
         # runs on normal completion AND on generator abandonment
         # (GeneratorExit / consumer exception): release the transfer
@@ -950,8 +1046,10 @@ def _encode_stream_staged(items, jobs, feats, remaining, offs, encoder,
             outs.append(compute(rec[2]))
             rec[2] = None  # free the staged HBM as the queue consumes it
         if outs:
+            global _FIRST_EXEC_DONE
             flat = np.asarray(jnp.concatenate(outs, axis=0)) \
                 if len(outs) > 1 else np.asarray(outs[0])
+            _FIRST_EXEC_DONE = True
             row = 0
             for (ji, k, _), out in zip(staged, outs):
                 feats[ji][offs[ji]:offs[ji] + k] = flat[row:row + k]
