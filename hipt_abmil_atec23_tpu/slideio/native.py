@@ -83,6 +83,11 @@ def get_lib() -> ctypes.CDLL:
         lib.ws_read_regions_dct2.restype = ctypes.c_int32
         lib.ws_dct_group_size.restype = ctypes.c_int32
         lib.ws_dct_group_size.argtypes = []
+        lib.ws_level_compression.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_int32]
+        lib.ws_level_compression.restype = ctypes.c_int32
+        lib.ws_compression_supported.argtypes = [ctypes.c_int32]
+        lib.ws_compression_supported.restype = ctypes.c_int32
         _lib = lib
         return lib
 

@@ -27,6 +27,7 @@ tmsize_t TIFFReadRawTile(TIFF* tif, uint32_t tile, void* buf, tmsize_t size);
 tmsize_t TIFFWriteEncodedTile(TIFF* tif, uint32_t tile, void* data,
                               tmsize_t cc);
 int TIFFReadRGBATile(TIFF* tif, uint32_t x, uint32_t y, uint32_t* raster);
+int TIFFIsCODECConfigured(uint16_t scheme);
 typedef void (*TIFFErrorHandler)(const char*, const char*, va_list);
 TIFFErrorHandler TIFFSetErrorHandler(TIFFErrorHandler);
 TIFFErrorHandler TIFFSetWarningHandler(TIFFErrorHandler);
