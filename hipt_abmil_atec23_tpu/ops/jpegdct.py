@@ -57,13 +57,16 @@ cumsum — no stream-length scan at all), and all three stream expansions
 primitive (``_expand``): slot = q*R + r, an [Q, R] x [R, J] batched GEMM
 over the r factor plus a Q-term masked reduce — J*(R+Q) on-the-fly
 compare work per group instead of the naive contraction's J*S. Measured
-lineage on a 4096px tissue region (full pack -> RGB): v1 full-stream
+lineage on a 4096px tissue region (full pack -> RGB, honest chained
+timing — loop-carried integer inputs so nothing hoists): v1 full-stream
 cumsum + gather 372 ms (VERDICT r3 item 3), v2/v3 naive one-hot matmul
-52 ms, v3 + factorized _expand **6.3 ms** (r5; unpack-Y alone 36 -> 4.5).
-The nibble/delta/escape coding cut wire bytes roughly in half (VERDICT
-r3 item 1). |v| > 127 escape streams scatter by explicit index
-(`.at[idx].set(val, mode='drop')`) after the expansion, which keeps the
-expansion operands in the bf16-exact range.
+52 ms, v3 + factorized _expand 39 ms (r5; unpack-Y 36 -> 24). The
+remaining cost is the generated one-hot operands' HBM round-trips, which
+the Pallas tile kernel (_unpack_kernel, TPU path) eliminates by keeping
+every expansion operand in VMEM. The nibble/delta/escape coding cut wire
+bytes roughly in half (VERDICT r3 item 1). |v| > 127 escape streams
+scatter by explicit index (`.at[idx].set(val, mode='drop')`) after the
+expansion, which keeps the expansion operands in the bf16-exact range.
 
 The block-grid shapes carry the region geometry, so callers never pass
 static height/width — a jit entry retraces naturally per region size.
@@ -97,6 +100,137 @@ _M8 = (np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None]
 # Blocks per padded value group — mirrors native kDctGroup (exported as
 # ws_dct_group_size; test_dct_path asserts the two agree).
 _G = 16
+
+# Test overrides for the unpack implementation dispatch: _FORCE_KERNEL
+# True/False pins the Pallas/XLA path regardless of backend;
+# _KERNEL_INTERPRET runs the kernel in Pallas interpreter mode (CPU
+# parity tests against the XLA path — hardware parity is asserted by the
+# bench-side profile scripts on the real chip).
+_FORCE_KERNEL = None
+_KERNEL_INTERPRET = False
+
+# Groups per kernel tile: large enough that the grid-step overhead
+# amortizes (a 4096px Y plane is 16384 groups), small enough that the
+# in-VMEM one-hot/t arrays fit comfortably under the 100MB limit.
+_KERNEL_TG = 32
+
+
+def _kcumsum(x):
+    """Inclusive prefix sum along the last (lane) axis via log2 shifted
+    adds — Mosaic-lowerable (no reduce_window)."""
+    n = x.shape[-1]
+    sh = 1
+    while sh < n:
+        x = x + jnp.concatenate(
+            [jnp.zeros_like(x[..., :sh]), x[..., :-sh]], axis=-1)
+        sh *= 2
+    return x
+
+
+def _kexpand(marks, slot, v3):
+    """In-VMEM stream expansion (the kernel twin of _expand, operating on
+    one [tg, ...] tile): place the stream's k-th value at the k-th marked
+    position. marks/slot [tg, J]; v3 [tg, Q, R] is the stream PRE-SHAPED
+    by the XLA caller (Mosaic cannot reshape across the lane dim) with
+    bf16-exact values (|v| <= 255); returns [tg, J] f32. Same
+    slot = q*R + r factorization as _expand — the r-contraction is a
+    batched [Q, R] x [R, J] MXU dot whose operands never leave VMEM (the
+    XLA version's HBM round-trips were the measured bottleneck)."""
+    tg, J = marks.shape
+    Q, R = v3.shape[1], v3.shape[2]
+    sq = slot // R
+    sr = slot - sq * R
+    ir = jax.lax.broadcasted_iota(jnp.int32, (tg, R, J), 1)
+    ohr = ((sr[:, None, :] == ir) & marks[:, None, :]).astype(jnp.bfloat16)
+    t = jax.lax.dot_general(v3.astype(jnp.bfloat16), ohr,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)  # [tg,Q,J]
+    iq = jax.lax.broadcasted_iota(jnp.int32, (tg, Q, J), 1)
+    ohq = (sq[:, None, :] == iq) & marks[:, None, :]
+    return jnp.sum(jnp.where(ohq, t, 0.0), axis=1)
+
+
+def _kexpand_factor(s: int) -> int:
+    """R for _kexpand: the divisor of S nearest 16. Compare work scales
+    as J*(R + S/R) (optimum ~sqrt(S)), but measured on-chip R=16 beats
+    the sqrt choice at every production cap — the v3 operand keeps
+    16-wide lanes and the dot K-dim stays MXU-reasonable (R=8 byte
+    expansion 3.3 ms/region vs 2.9 at R=16, value expansion flat)."""
+    best = 1
+    for r in range(1, s + 1):
+        if s % r == 0 and abs(r - 16) < abs(best - 16):
+            best = r
+    return best
+
+
+def _unpack_kernel(bcnt_ref, bmb3_ref, vals3_ref, esc3_ref, qrep_ref,
+                   out_ref):
+    """One tile (tg groups) of the v3 unpack, fully VMEM-resident and
+    LANE-RESIDENT: every array keeps a fixed lane extent (Mosaic cannot
+    reshape across lanes), per-block scalars broadcast to the J = G*64
+    coefficient lanes via a constant 0/1 matrix dot, and prefix sums run
+    as log2 concat-shifted adds. Pipeline: bitmap-prefix bytes -> bits ->
+    nibble values -> escape merge (AFTER expansion: the e-th escape byte
+    lands on the e-th -8 sentinel in j-order — slot is monotone, so
+    j-order == stream order) -> dequantized AC coefficients [tg, G*64]
+    f32. The DC column stays 0 (bitmap bit 0 is never set); the caller
+    chains DC outside."""
+    tg, G = bcnt_ref.shape
+    J = G * 64
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tg, J), 1)
+    # constant block-broadcast: per-block [tg, G] -> per-lane [tg, J]
+    gj = jax.lax.broadcasted_iota(jnp.int32, (G, J), 1) // 64
+    gi = jax.lax.broadcasted_iota(jnp.int32, (G, J), 0)
+    b64 = (gj == gi).astype(jnp.bfloat16)
+    tolanes = lambda a: jnp.dot(a.astype(jnp.bfloat16), b64,
+                                preferred_element_type=jnp.float32
+                                ).astype(jnp.int32)
+    bcnt = bcnt_ref[...]
+    bc_j = tolanes(bcnt)                     # block's shipped-byte count
+    goff_j = tolanes(_kcumsum(bcnt) - bcnt)  # block's byte-stream offset
+    k64 = lane & 63
+    ibyte = k64 >> 3                         # bitmap byte of this coeff
+    bytemark = ibyte < bc_j
+    bytes_j = _kexpand(bytemark, goff_j + ibyte, bmb3_ref[...])
+    bits = ((bytes_j.astype(jnp.int32) >> (lane & 7)) & 1) > 0  # LSB-first
+    slot = _kcumsum(jnp.where(bits, 1, 0)) - 1
+    nib = _kexpand(bits, slot, vals3_ref[...])
+    em = bits & (nib == -8.0)                # -8 nibbles mark escapes
+    eslot = _kcumsum(jnp.where(em, 1, 0)) - 1
+    esc = _kexpand(em, eslot, esc3_ref[...])
+    out_ref[...] = jnp.where(em, esc, nib) * qrep_ref[...]
+
+
+def _unpack_pallas(bcnt, bmb3, vals3, esc3, qrep, *, interpret=False):
+    """Grid the VMEM-resident unpack over group tiles. bcnt [NG, G]
+    int32; bmb3/vals3/esc3 [NG, Q, R] f32 streams pre-shaped at their
+    _kexpand_factor (NG = n * ng, zero-padded to the tile multiple by the
+    caller); qrep [1, G*64] f32 is the quant table tiled per block.
+    Returns dequantized AC coefficients [NG, G*64] f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NG, G = bcnt.shape
+    J = G * 64
+    TG = _KERNEL_TG
+    assert NG % TG == 0
+    blk2 = lambda s: pl.BlockSpec((TG, s), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    blk3 = lambda a: pl.BlockSpec((TG,) + a.shape[1:],
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _unpack_kernel,
+        grid=(NG // TG,),
+        in_specs=[blk2(G), blk3(bmb3), blk3(vals3), blk3(esc3),
+                  pl.BlockSpec((1, J), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=blk2(J),
+        out_shape=jax.ShapeDtypeStruct((NG, J), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(bcnt, bmb3, vals3, esc3, qrep)
 
 
 def _expand_factor(s: int) -> int:
@@ -150,13 +284,18 @@ def _expand(marks, stream):
 def _unpack_component(dc8, bmc, bmb, valn, esc8, aidx, aval, didx, dval, q):
     """One component's v3 pack -> dequantized coefficient blocks
     [n, bh*bw, 8, 8] f32 (see module docstring for the field layout).
-    All three stream expansions (bitmap prefix bytes, AC escapes, AC
-    values) ride the factorized _expand primitive."""
+    The AC-stream expansions run in the VMEM-resident Pallas kernel on
+    TPU (all one-hot operands on-chip) and through the factorized XLA
+    _expand path elsewhere; DC chaining and the rare |v| > 127 explicit
+    scatters stay in XLA either way (geometry-sized, cheap)."""
     n, bh, bw = dc8.shape
     bl = bh * bw
     ng = -(-bl // _G)
     capg = valn.shape[-1] * 2 // ng
     capbm = bmb.shape[-1] // ng
+    capge = esc8.shape[-1] // ng
+    qf = q.astype(jnp.float32)
+    qrep = jnp.tile(qf, _G)[None]                        # [1, G*64]
     # bitmap prefix lengths (4-bit nibbles) -> per-block byte counts;
     # blocks past bl (partial last group) read count 0 -> zero bytes
     clo = (bmc & 0xF).astype(jnp.int32)
@@ -164,40 +303,62 @@ def _unpack_component(dc8, bmc, bmb, valn, esc8, aidx, aval, didx, dval, q):
     bcnt = jnp.stack([clo, chi], axis=-1).reshape(n, -1)
     bcnt = jnp.pad(bcnt, ((0, 0), (0, ng * _G - bcnt.shape[1])))[:, :ng * _G]
     bcnt = bcnt.reshape(n, ng, _G)
-    # bitmap byte expansion: block g's shipped byte i (i < cnt[g]) lands
-    # at position g*8 + i — marks are the in-block byte validity grid
-    bidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 8), 3)
-    bmarks = (bidx < bcnt[..., None]).reshape(n, ng, _G * 8)
-    bmby = _expand(bmarks, bmb.reshape(n, ng, capbm))
-    bm8 = bmby.astype(jnp.int32).reshape(n, ng * _G, 8)
-    bits = ((bm8[..., None] >> jnp.arange(8, dtype=jnp.int32)) & 1
-            ).reshape(n, ng, _G * 64)
     # nibble stream -> int8 values in [-8, 7]; -8 marks an escape whose
     # true value rides the group-padded esc8 byte stream
     lo = (valn & 0xF).astype(jnp.int8)
     hi = (valn >> 4).astype(jnp.int8)
     nib = jnp.stack([lo, hi], axis=-1).reshape(n, -1)    # [n, ng*capg] int8
     vals = jnp.where(nib > 7, nib - jnp.int8(16), nib)   # sign-extend 4-bit
+    vals = vals.reshape(n, ng, capg)
+
+    use_kernel = (_FORCE_KERNEL if _FORCE_KERNEL is not None
+                  else jax.default_backend() == "tpu")
+    if use_kernel:
+        NG, TG = n * ng, _KERNEL_TG
+        pad = (-NG) % TG  # zero-pad rows: empty groups decode to zeros
+
+        def pre(a, s):
+            # flatten groups, pad to the tile multiple, pre-shape the
+            # stream to [NGp, Q, R] for the in-kernel MXU dot (Mosaic
+            # cannot reshape across the lane dim)
+            r = _kexpand_factor(s)
+            flat = jnp.pad(a.reshape(NG, s), ((0, pad), (0, 0)))
+            return flat.reshape(NG + pad, s // r, r).astype(jnp.float32)
+
+        coefq = _unpack_pallas(
+            jnp.pad(bcnt.reshape(NG, _G), ((0, pad), (0, 0))),
+            pre(bmb, capbm), pre(vals, capg), pre(esc8, capge), qrep,
+            interpret=_KERNEL_INTERPRET)
+        coefq = coefq[:NG].reshape(n, ng, _G * 64)
+    else:
+        # bitmap byte expansion: block g's shipped byte i (i < cnt[g])
+        # lands at position g*8 + i
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 8), 3)
+        bmarks = (bidx < bcnt[..., None]).reshape(n, ng, _G * 8)
+        bmby = _expand(bmarks, bmb.reshape(n, ng, capbm))
+        bm8 = bmby.astype(jnp.int32).reshape(n, ng * _G, 8)
+        bits = ((bm8[..., None] >> jnp.arange(8, dtype=jnp.int32)) & 1
+                ).reshape(n, ng, _G * 64)
+        # escape bytes land on the slots holding the group's -8 markers
+        # (padded tail slots hold 0, never -8)
+        em = vals == -8
+        esc = _expand(em, esc8.reshape(n, ng, capge))
+        # value placement: expand the merged (nibble | escape) stream onto
+        # the nonzero-coefficient positions; bf16-exact (|v| <= 128)
+        vg = jnp.where(em, esc, vals.astype(jnp.float32))
+        coefq = _expand(bits > 0, vg) * qrep
+    coef = coefq.reshape(n, ng * _G, 64)[:, :bl]
     # pad slots carry idx = -1, which JAX indexing would WRAP to the last
     # element — push pads out of bounds so mode='drop' discards them
     big = jnp.int32(2**30)
-    # escape bytes land on the slots holding the group's -8 markers
-    # (padded tail slots hold 0, never -8)
-    em = (vals == -8).reshape(n, ng, capg)
-    capge = esc8.shape[-1] // ng
-    esc = _expand(em, esc8.reshape(n, ng, capge))
-    # value placement: expand the merged (nibble | escape) stream onto the
-    # nonzero-coefficient positions; bf16-exact (|v| <= 128 after merge)
-    vg = jnp.where(em, esc,
-                   vals.reshape(n, ng, capg).astype(jnp.float32))
-    coef = _expand(bits > 0, vg)
-    coef = coef.reshape(n, ng * _G, 64)[:, :bl]
     # |v| > 127 escapes (int16 — any libjpeg JCOEF) overwrite their -128
-    # sentinels by coefficient index, AFTER the matmul so its operands
-    # stay bf16-exact; int16 -> f32 is exact
+    # sentinels by coefficient index, pre-dequantized (replacement, so
+    # dequant-before or -after is identical); int16 -> f32 is exact and
+    # val*q < 2^31 rounds the same way the old post-multiply did
+    qk = qf[jnp.where(aidx < 0, 0, aidx % 64)]
     coef = jax.vmap(lambda c, i, e: c.at[i].set(e, mode="drop"))(
         coef.reshape(n, bl * 64), jnp.where(aidx < 0, big, aidx),
-        aval.astype(jnp.float32)).reshape(n, bl, 64)
+        aval.astype(jnp.float32) * qk).reshape(n, bl, 64)
     # DC: scatter escape deltas, chain row starts down column 0, then
     # prefix-sum each row (bw-length scans — geometry-sized, not stream)
     d32 = dc8.astype(jnp.int32).reshape(n, bl)
@@ -206,8 +367,9 @@ def _unpack_component(dc8, bmc, bmb, valn, esc8, aidx, aval, didx, dval, q):
     d32 = d32.reshape(n, bh, bw)
     col0 = jnp.cumsum(d32[:, :, 0], axis=1)
     dc = jnp.cumsum(d32.at[:, :, 0].set(col0), axis=2)
-    coef = coef.at[..., 0].set(dc.reshape(n, bl).astype(jnp.float32))
-    return (coef * q.astype(jnp.float32)).reshape(n, bl, 8, 8)
+    coef = coef.at[..., 0].set(dc.reshape(n, bl).astype(jnp.float32)
+                               * qf[0])
+    return coef.reshape(n, bl, 8, 8)
 
 
 def _idct_plane(coef, bh, bw):

@@ -313,3 +313,28 @@ def test_dct_huge_coefficients_int16_tier(tmp_path):
         diff = np.abs(np.asarray(g).astype(np.int16) - w.astype(np.int16))
         assert diff.max() <= 1, (name, diff.max())
     slide.close()
+
+
+def test_unpack_kernel_interpret_matches_xla_path(ycbcr_slide, monkeypatch):
+    """The VMEM-resident Pallas unpack (TPU production path, r5) must
+    produce BIT-IDENTICAL planes to the factorized-XLA path the CPU suite
+    validates against libjpeg — run here in Pallas interpreter mode.
+    (Hardware parity of the compiled kernel is asserted on-chip by the
+    bench profile runs.)"""
+    import jax
+    from hipt_abmil_atec23_tpu.ops import jpegdct as J
+
+    slide, _ = ycbcr_slide
+    coords = np.array([[0, 0], [256, 256], [512, 128]])
+    r = slide.read_regions_dct(coords, 0, (256, 256))
+    assert (r.status == 0).all()
+    qt = slide.dct_probe(0)
+    pack = tuple(r[:27]) + (qt, r.valid, r.off)
+
+    monkeypatch.setattr(J, "_FORCE_KERNEL", False)
+    ref = [np.asarray(p) for p in jax.jit(J.dct_regions_to_planes)(*pack)]
+    monkeypatch.setattr(J, "_FORCE_KERNEL", True)
+    monkeypatch.setattr(J, "_KERNEL_INTERPRET", True)
+    got = [np.asarray(p) for p in J.dct_regions_to_planes(*pack)]
+    for name, a, b in zip(("Y", "Cb", "Cr"), got, ref):
+        np.testing.assert_array_equal(a, b, err_msg=name)
