@@ -12,12 +12,13 @@ vs ~205ms for the full attention half).
 This kernel holds ONE group of images' tokens in VMEM and runs the whole
 block on them:
 
-  - heads never materialize: per head h the kernel computes q/k/v with
-    narrow [D, hd] weight slices (pre-split outside to [3, H, D, hd] so the
-    in-kernel index is a free leading-dim lookup), does the softmax in
-    registers, and accumulates (p @ v_h) @ W_proj[h] straight into the
-    [rows, D] accumulator — concat(heads) @ W_proj == sum_h o_h @ W_proj_h,
-    so the head-concat/transpose never exists;
+  - heads never materialize: ONE [rows, D] x [D, 3D] qkv GEMM (full MXU
+    lanes; r5 roofline measured it 6% faster than 18 narrow N=64 per-head
+    dots, bit-identical), then per head h the kernel lane-slices q/k/v
+    from the f32 product, does the softmax in registers, and accumulates
+    (p @ v_h) @ W_proj[h] straight into the [rows, D] accumulator —
+    concat(heads) @ W_proj == sum_h o_h @ W_proj_h, so the
+    head-concat/transpose never exists;
   - both LayerNorms, the exact-erf GELU (A&S 7.1.26 — Mosaic has no erf)
     and both residual adds happen in-register between MXU calls;
   - tokens pad once to a sublane multiple OUTSIDE the per-block loop
@@ -71,13 +72,16 @@ def _block_kernel(x_ref, ln1g_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     if n_valid < n_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, (g, n_pad, n_pad), 2)
         kmask = col < n_valid
+    # ONE [rows, D] x [D, 3D] qkv GEMM (full MXU lanes), then per-head
+    # lane slices of the f32 result: measured 6% faster than 18 narrow
+    # N=64 per-head dots at the production shape, bit-identical output
+    # (r5 roofline sweep). Column order is (3, H, hd) — torch layout.
+    qkv = jnp.dot(xn, wqkv_ref[...],
+                  preferred_element_type=jnp.float32) + bqkv_ref[...]
     for h in range(heads):  # static unroll; heads never concat
-        q = jnp.dot(xn, wqkv_ref[0, h],
-                    preferred_element_type=jnp.float32) + bqkv_ref[0, h]
-        k = jnp.dot(xn, wqkv_ref[1, h],
-                    preferred_element_type=jnp.float32) + bqkv_ref[1, h]
-        v = jnp.dot(xn, wqkv_ref[2, h],
-                    preferred_element_type=jnp.float32) + bqkv_ref[2, h]
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, (heads + h) * hd:(heads + h + 1) * hd]
+        v = qkv[:, (2 * heads + h) * hd:(2 * heads + h + 1) * hd]
         q3 = (q * scale).astype(jnp.bfloat16).reshape(g, n_pad, hd)
         k3 = k.astype(jnp.bfloat16).reshape(g, n_pad, hd)
         s = jax.lax.dot_general(q3, k3, (((2,), (2,)), ((0,), (0,))),
@@ -126,10 +130,11 @@ def fused_vit_block(
     assert n_pad % 8 == 0 and b % group == 0 and d % num_heads == 0
 
     cdt = jnp.bfloat16
-    # head-split weight layout: free leading-dim lookups inside the kernel
-    # (a [*, h*hd:(h+1)*hd] lane slice would relayout per head)
-    wqkv_r = wqkv.reshape(d, 3, num_heads, hd).transpose(1, 2, 0, 3)
-    bqkv_r = bqkv.reshape(3, num_heads, hd).astype(jnp.float32)
+    # qkv stays [D, 3D] for the single fused GEMM (column order 3, H, hd —
+    # per-head lane slices of the f32 product are cheaper than 18 narrow
+    # N=64 dots; r5 roofline); proj pre-splits per head so the [rows, hd]
+    # head outputs accumulate straight into the [rows, D] residual
+    bqkv_r = bqkv.astype(jnp.float32)
     wproj_r = wproj.reshape(num_heads, hd, d)
 
     f32 = lambda a: a.astype(jnp.float32)
@@ -151,7 +156,7 @@ def fused_vit_block(
             flops=flops_attn + flops_mlp,
             bytes_accessed=2 * b * n_pad * d * x.dtype.itemsize,
             transcendentals=b * n_pad * (n_pad + w1.shape[1])),
-    )(x, f32(ln1_g), f32(ln1_b), wqkv_r.astype(cdt), bqkv_r,
+    )(x, f32(ln1_g), f32(ln1_b), wqkv.astype(cdt), bqkv_r,
       wproj_r.astype(cdt), f32(bproj), f32(ln2_g), f32(ln2_b),
       w1.astype(cdt), f32(b1), w2.astype(cdt), f32(b2))
     return out
