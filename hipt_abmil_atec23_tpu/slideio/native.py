@@ -88,6 +88,8 @@ def get_lib() -> ctypes.CDLL:
         lib.ws_level_compression.restype = ctypes.c_int32
         lib.ws_compression_supported.argtypes = [ctypes.c_int32]
         lib.ws_compression_supported.restype = ctypes.c_int32
+        lib.ws_j2k_available.argtypes = []
+        lib.ws_j2k_available.restype = ctypes.c_int32
         _lib = lib
         return lib
 

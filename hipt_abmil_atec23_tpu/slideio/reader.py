@@ -34,19 +34,22 @@ _COMPRESSION_NAMES = {
 
 
 class UnsupportedCompressionError(IOError):
-    """The TIFF opened, but a pyramid level uses a compression scheme this
-    libtiff build has no codec for (e.g. Aperio JPEG2000 .svs, tags
-    33003/33005 — a large share of real TCGA). Raised AT OPEN so callers
-    can route to the OpenSlide fallback instead of failing mid-stream on
-    the first tile decode (VERDICT r4 weak #5; the reference reads these
-    through OpenSlide, reference: wsi_core/WholeSlideImage.py:31)."""
+    """The TIFF opened, but a pyramid level uses a compression scheme the
+    native engine cannot decode. Raised AT OPEN so callers can route to
+    the OpenSlide fallback instead of failing mid-stream on the first tile
+    decode (VERDICT r4 weak #5; the reference reads these through
+    OpenSlide, reference: wsi_core/WholeSlideImage.py:31). Aperio JPEG2000
+    .svs (tags 33003/33005 — a large share of real TCGA) decode natively
+    through openjpeg and only land here when libopenjp2 is missing."""
 
     def __init__(self, path: str, level: int, tag: int):
         name = _COMPRESSION_NAMES.get(tag, f"tag {tag}")
+        hint = (" (JPEG2000 decode needs libopenjp2.so at runtime)"
+                if tag in (33003, 33005, 34712) else "")
         super().__init__(
             f"{path!r} level {level} uses unsupported TIFF compression "
-            f"{tag} ({name}): the native engine decodes JPEG / deflate / "
-            f"LZW / uncompressed tiles only")
+            f"{tag} ({name}): the native engine decodes JPEG / JPEG2000 / "
+            f"deflate / LZW / uncompressed tiles only{hint}")
         self.path, self.level, self.tag = path, level, tag
 
 

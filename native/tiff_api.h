@@ -44,6 +44,7 @@ enum : uint32_t {
   TAG_PLANARCONFIG = 284,
   TAG_TILEWIDTH = 322,
   TAG_TILELENGTH = 323,
+  TAG_TILEBYTECOUNTS = 325,  // uint64[] via TIFFGetField (libtiff 4.x ABI)
   TAG_SAMPLEFORMAT = 339,
   TAG_JPEGTABLES = 347,
   TAG_YCBCRSUBSAMPLING = 530,

@@ -33,6 +33,16 @@
 // path (ws_read_regions_dct below); the header needs <cstdio> for FILE.
 #include <jpeglib.h>
 
+// libopenjp2: JPEG2000 tile decode for Aperio .svs (compression tags
+// 33003/33005 — a large share of real TCGA slides; the reference reads
+// them through OpenSlide, reference: wsi_core/WholeSlideImage.py:31).
+// The image ships libopenjp2.so.7 but no dev headers, so the minimal
+// public openjpeg 2.x ABI is declared by hand below and the library is
+// resolved lazily with dlopen — builds never need openjpeg present.
+#include <dlfcn.h>
+
+#include <cstdlib>
+
 namespace {
 
 void quiet_handler(const char*, const char*, va_list) {}
@@ -74,6 +84,239 @@ struct Slide {
   }
 };
 
+// ---------------------------------------------------------------------------
+// JPEG2000 tile decode (Aperio .svs, compression 33003 YCbCr / 33005 RGB,
+// plus the registered TIFF JP2K scheme 34712). libtiff has no codec for
+// these; tiles are raw J2K codestreams (SOC marker ff4fff51) or JP2 boxes,
+// decoded here through openjpeg.
+//
+// Minimal openjpeg 2.x public ABI (stable across the libopenjp2.so.7
+// soname, versions 2.1-2.5). opj_dparameters_t is treated as an OPAQUE
+// blob: we only ever pass it between opj_set_default_decoder_parameters
+// and opj_setup_decoder, so a zeroed buffer comfortably larger than the
+// real struct (~8.5 KB: two 4096-byte path fields + scalars) is ABI-safe
+// without declaring its layout.
+
+typedef int Opj_Bool;
+
+struct OpjImageComp {  // opj_image_comp_t
+  uint32_t dx, dy, w, h, x0, y0, prec, bpp, sgnd, resno_decoded, factor;
+  int32_t* data;
+  uint16_t alpha;
+};
+
+struct OpjImage {  // opj_image_t
+  uint32_t x0, y0, x1, y1, numcomps;
+  int32_t color_space;  // OPJ_COLOR_SPACE; 3 = OPJ_CLRSPC_SYCC
+  OpjImageComp* comps;
+  uint8_t* icc_profile_buf;
+  uint32_t icc_profile_len;
+};
+
+enum : int { OPJ_CODEC_J2K_ = 0, OPJ_CODEC_JP2_ = 2 };
+
+struct OpjApi {
+  void* (*create_decompress)(int fmt) = nullptr;
+  void (*set_default_decoder_parameters)(void* params) = nullptr;
+  Opj_Bool (*setup_decoder)(void* codec, void* params) = nullptr;
+  Opj_Bool (*read_header)(void* stream, void* codec, OpjImage** img) = nullptr;
+  Opj_Bool (*decode)(void* codec, void* stream, OpjImage* img) = nullptr;
+  Opj_Bool (*end_decompress)(void* codec, void* stream) = nullptr;
+  void (*destroy_codec)(void* codec) = nullptr;
+  void* (*stream_default_create)(Opj_Bool is_input) = nullptr;
+  void (*stream_destroy)(void* stream) = nullptr;
+  void (*stream_set_read_function)(void* s,
+                                   size_t (*fn)(void*, size_t, void*)) = nullptr;
+  void (*stream_set_skip_function)(void* s,
+                                   int64_t (*fn)(int64_t, void*)) = nullptr;
+  void (*stream_set_seek_function)(void* s,
+                                   Opj_Bool (*fn)(int64_t, void*)) = nullptr;
+  void (*stream_set_user_data)(void* s, void* data,
+                               void (*freefn)(void*)) = nullptr;
+  void (*stream_set_user_data_length)(void* s, uint64_t len) = nullptr;
+  void (*image_destroy)(OpjImage* img) = nullptr;
+  bool ok = false;
+};
+
+const OpjApi& opj_api() {
+  static const OpjApi api = [] {
+    OpjApi a;
+    if (std::getenv("WS_DISABLE_J2K")) return a;  // test/ops knob
+    void* h = dlopen("libopenjp2.so.7", RTLD_NOW | RTLD_LOCAL);
+    if (!h) h = dlopen("libopenjp2.so", RTLD_NOW | RTLD_LOCAL);
+    if (!h) return a;
+    auto S = [&](const char* n) { return dlsym(h, n); };
+    a.create_decompress =
+        reinterpret_cast<decltype(a.create_decompress)>(S("opj_create_decompress"));
+    a.set_default_decoder_parameters =
+        reinterpret_cast<decltype(a.set_default_decoder_parameters)>(
+            S("opj_set_default_decoder_parameters"));
+    a.setup_decoder =
+        reinterpret_cast<decltype(a.setup_decoder)>(S("opj_setup_decoder"));
+    a.read_header =
+        reinterpret_cast<decltype(a.read_header)>(S("opj_read_header"));
+    a.decode = reinterpret_cast<decltype(a.decode)>(S("opj_decode"));
+    a.end_decompress =
+        reinterpret_cast<decltype(a.end_decompress)>(S("opj_end_decompress"));
+    a.destroy_codec =
+        reinterpret_cast<decltype(a.destroy_codec)>(S("opj_destroy_codec"));
+    a.stream_default_create = reinterpret_cast<decltype(a.stream_default_create)>(
+        S("opj_stream_default_create"));
+    a.stream_destroy =
+        reinterpret_cast<decltype(a.stream_destroy)>(S("opj_stream_destroy"));
+    a.stream_set_read_function =
+        reinterpret_cast<decltype(a.stream_set_read_function)>(
+            S("opj_stream_set_read_function"));
+    a.stream_set_skip_function =
+        reinterpret_cast<decltype(a.stream_set_skip_function)>(
+            S("opj_stream_set_skip_function"));
+    a.stream_set_seek_function =
+        reinterpret_cast<decltype(a.stream_set_seek_function)>(
+            S("opj_stream_set_seek_function"));
+    a.stream_set_user_data = reinterpret_cast<decltype(a.stream_set_user_data)>(
+        S("opj_stream_set_user_data"));
+    a.stream_set_user_data_length =
+        reinterpret_cast<decltype(a.stream_set_user_data_length)>(
+            S("opj_stream_set_user_data_length"));
+    a.image_destroy =
+        reinterpret_cast<decltype(a.image_destroy)>(S("opj_image_destroy"));
+    a.ok = a.create_decompress && a.set_default_decoder_parameters &&
+           a.setup_decoder && a.read_header && a.decode && a.end_decompress &&
+           a.destroy_codec && a.stream_default_create && a.stream_destroy &&
+           a.stream_set_read_function && a.stream_set_skip_function &&
+           a.stream_set_seek_function && a.stream_set_user_data &&
+           a.stream_set_user_data_length && a.image_destroy;
+    return a;
+  }();
+  return api;
+}
+
+bool is_j2k_tag(int32_t comp) {
+  return comp == 33003 || comp == 33005 || comp == 34712;
+}
+
+// In-memory read-only stream for openjpeg (one codestream per tile).
+struct MemStream {
+  const uint8_t* buf;
+  size_t size, pos;
+};
+
+size_t opj_mem_read(void* dst, size_t n, void* user) {
+  auto* m = static_cast<MemStream*>(user);
+  if (m->pos >= m->size) return size_t(-1);  // openjpeg EOF convention
+  size_t k = std::min(n, m->size - m->pos);
+  std::memcpy(dst, m->buf + m->pos, k);
+  m->pos += k;
+  return k;
+}
+
+int64_t opj_mem_skip(int64_t n, void* user) {
+  auto* m = static_cast<MemStream*>(user);
+  if (n < 0) return -1;
+  size_t k = std::min<size_t>(size_t(n), m->size - m->pos);
+  m->pos += k;
+  return int64_t(k);
+}
+
+Opj_Bool opj_mem_seek(int64_t n, void* user) {
+  auto* m = static_cast<MemStream*>(user);
+  if (n < 0 || uint64_t(n) > m->size) return 0;
+  m->pos = size_t(n);
+  return 1;
+}
+
+// Scale one decoded component sample to unsigned 8-bit.
+inline int32_t comp_to_u8(int32_t v, const OpjImageComp& c) {
+  if (c.sgnd) v += 1 << (c.prec - 1);
+  if (c.prec > 8) v >>= (c.prec - 8);
+  else if (c.prec < 8) v <<= (8 - c.prec);
+  return std::min(255, std::max(0, v));
+}
+
+// Decode one J2K/JP2 tile codestream into an RGB scratch buffer.
+// comp_tag 33003 stores YCbCr samples (the J2K MCT is NOT used; the
+// encoder was fed YCC planes) -> convert; 33005/34712 decode as-is.
+// Chroma-subsampled components (dx/dy > 1) are nearest-upsampled.
+bool decode_tile_j2k(TIFF* tif, const LevelInfo& L, uint32_t tx, uint32_t ty,
+                     uint16_t comp_tag, uint8_t* rgb) {
+  const OpjApi& api = opj_api();
+  if (!api.ok) return false;
+  const uint32_t tile = TIFFComputeTile(tif, tx * L.tile_w, ty * L.tile_h, 0, 0);
+  uint64_t* counts = nullptr;
+  if (!TIFFGetField(tif, TAG_TILEBYTECOUNTS, &counts) || !counts) return false;
+  const uint64_t nbytes = counts[tile];
+  if (nbytes < 12) return false;
+  std::vector<uint8_t> raw(static_cast<size_t>(nbytes));
+  if (TIFFReadRawTile(tif, tile, raw.data(), tmsize_t(nbytes)) !=
+      tmsize_t(nbytes))
+    return false;
+
+  // Raw codestream (SOC marker) vs JP2 box container.
+  const bool is_jp2 = raw.size() >= 8 && raw[0] == 0 && raw[1] == 0 &&
+                      raw[2] == 0 && raw[3] == 0x0c &&
+                      std::memcmp(raw.data() + 4, "jP  ", 4) == 0;
+  void* codec = api.create_decompress(is_jp2 ? OPJ_CODEC_JP2_ : OPJ_CODEC_J2K_);
+  if (!codec) return false;
+  std::vector<uint8_t> params(32768, 0);  // opaque opj_dparameters_t blob
+  api.set_default_decoder_parameters(params.data());
+  if (!api.setup_decoder(codec, params.data())) {
+    api.destroy_codec(codec);
+    return false;
+  }
+  void* stream = api.stream_default_create(1 /* input */);
+  if (!stream) {
+    api.destroy_codec(codec);
+    return false;
+  }
+  MemStream mem{raw.data(), raw.size(), 0};
+  api.stream_set_read_function(stream, opj_mem_read);
+  api.stream_set_skip_function(stream, opj_mem_skip);
+  api.stream_set_seek_function(stream, opj_mem_seek);
+  api.stream_set_user_data(stream, &mem, nullptr);
+  api.stream_set_user_data_length(stream, mem.size);
+
+  OpjImage* img = nullptr;
+  bool ok = api.read_header(stream, codec, &img) && img && img->numcomps >= 1 &&
+            api.decode(codec, stream, img) && api.end_decompress(codec, stream);
+  if (ok) {
+    const uint32_t nc = img->numcomps;
+    const OpjImageComp& c0 = img->comps[0];
+    const OpjImageComp& c1 = img->comps[nc >= 3 ? 1 : 0];
+    const OpjImageComp& c2 = img->comps[nc >= 3 ? 2 : 0];
+    ok = c0.data && c1.data && c2.data && c0.w && c0.h;
+    if (ok) {
+      const bool ycc = nc >= 3 && (comp_tag == 33003 || img->color_space == 3);
+      for (uint32_t r = 0; r < L.tile_h; ++r) {
+        uint8_t* dst = rgb + size_t(r) * L.tile_w * 3;
+        for (uint32_t c = 0; c < L.tile_w; ++c) {
+          auto sample = [&](const OpjImageComp& cc) {
+            const uint32_t sy = std::min(r / std::max(1u, cc.dy), cc.h - 1);
+            const uint32_t sx = std::min(c / std::max(1u, cc.dx), cc.w - 1);
+            return comp_to_u8(cc.data[size_t(sy) * cc.w + sx], cc);
+          };
+          int32_t v0 = sample(c0), v1 = sample(c1), v2 = sample(c2);
+          if (ycc) {  // JPEG full-range YCbCr -> RGB
+            const int32_t y = v0, cb = v1 - 128, cr = v2 - 128;
+            v0 = y + ((91881 * cr) >> 16);                      // 1.402
+            v1 = y - ((22554 * cb + 46802 * cr) >> 16);         // .34414/.71414
+            v2 = y + ((116130 * cb) >> 16);                     // 1.772
+            v0 = std::min(255, std::max(0, v0));
+            v1 = std::min(255, std::max(0, v1));
+            v2 = std::min(255, std::max(0, v2));
+          }
+          dst[c * 3 + 0] = uint8_t(v0);
+          dst[c * 3 + 1] = uint8_t(v1);
+          dst[c * 3 + 2] = uint8_t(v2);
+        }
+      }
+    }
+  }
+  if (img) api.image_destroy(img);
+  api.stream_destroy(stream);
+  api.destroy_codec(codec);
+  return ok;
+}
+
 // Decode one tile (tx, ty are tile indices) into an RGB scratch buffer.
 // Primary path: 8-bit contiguous RGB tiles via TIFFReadEncodedTile.
 // Fallback: TIFFReadRGBATile (handles JPEG/YCbCr etc.), which returns
@@ -88,6 +331,8 @@ bool decode_tile_rgb(TIFF* tif, const LevelInfo& L, uint32_t tx, uint32_t ty,
   TIFFGetField(tif, TAG_COMPRESSION, &comp);
   const size_t npix = size_t(L.tile_w) * L.tile_h;
 
+  if (is_j2k_tag(comp))  // libtiff has no codec; openjpeg decodes the
+    return decode_tile_j2k(tif, L, tx, ty, comp, rgb);  // raw codestream
   if (photometric == PHOTOMETRIC_RGB_ && bps == 8 && spp == 3 &&
       planar == PLANARCONFIG_CONTIG_ && comp != COMPRESSION_JPEG_) {
     uint32_t tile = TIFFComputeTile(tif, tx * L.tile_w, ty * L.tile_h, 0, 0);
@@ -209,11 +454,17 @@ int32_t ws_level_compression(void* handle, int32_t level) {
   return int32_t(static_cast<Slide*>(handle)->levels[level].comp);
 }
 
-// 1 when this libtiff build has a configured codec for the compression
-// scheme (TIFFIsCODECConfigured) — the truth decode_tile_rgb will face.
+// 1 when this engine can decode tiles of the compression scheme — the
+// truth decode_tile_rgb will face: libtiff's configured codecs
+// (TIFFIsCODECConfigured), plus the JPEG2000 tags (Aperio 33003/33005 and
+// TIFF 34712) when libopenjp2 resolves at runtime (decode_tile_j2k).
 int32_t ws_compression_supported(int32_t comp) {
+  if (is_j2k_tag(comp)) return opj_api().ok ? 1 : 0;
   return TIFFIsCODECConfigured(uint16_t(comp)) ? 1 : 0;
 }
+
+// 1 when the openjpeg runtime loaded (J2K-compressed .svs decodable).
+int32_t ws_j2k_available() { return opj_api().ok ? 1 : 0; }
 
 // Single region read.
 int32_t ws_read_region(void* handle, int32_t level, int64_t x, int64_t y,
