@@ -170,6 +170,53 @@ def test_j2k_slide_takes_rgb_rung(tmp_path):
     s.close()
 
 
+@needs_openjpeg
+def test_j2k_slide_encodes_identically_to_tiff(tmp_path):
+    """Full encode stage on a J2K .svs: seg -> coords -> encode_slide must
+    produce features IDENTICAL to the same image stored as a deflate TIFF
+    (both paths lossless, so the J2K decode feeds the encoder the exact
+    same pixels; replaces reference extract_features_fp.py on OpenSlide-
+    read Aperio slides)."""
+    from hipt_abmil_atec23_tpu.engine.encode import (build_encoder,
+                                                     encode_slide)
+    from hipt_abmil_atec23_tpu.slideio.patching import enumerate_coords
+    from hipt_abmil_atec23_tpu.slideio.seg import segment_tissue
+    from hipt_abmil_atec23_tpu.slideio.synthetic import (
+        make_tissue_image, write_synthetic_slide)
+    from hipt_abmil_atec23_tpu.utils.config import (EncoderConfig,
+                                                    SegConfig, TileConfig)
+
+    img = make_tissue_image(1536, 1024, seed=9)
+    TILE = 256
+    tiles = []
+    for ty in range(4):
+        for tx in range(6):
+            t = np.full((TILE, TILE, 3), 255, np.uint8)
+            blk = img[ty * TILE:(ty + 1) * TILE, tx * TILE:(tx + 1) * TILE]
+            t[:blk.shape[0], :blk.shape[1]] = blk
+            tiles.append(_j2k_codestream(t))
+    j2k_path = str(tmp_path / "case.svs")
+    write_tiled_tiff_raw(j2k_path, 33005, 1536, 1024, TILE, tiles)
+    tif_path = str(tmp_path / "case.tif")
+    write_synthetic_slide(tif_path, 1536, 1024, n_levels=1,
+                          compression=native.COMPRESSION_DEFLATE, image=img)
+
+    enc = build_encoder(EncoderConfig(model_type="resnet18", batch_size=4,
+                                      dtype="float32"))
+    feats = {}
+    for name, path in (("j2k", j2k_path), ("tif", tif_path)):
+        s = TiffSlide(path)
+        seg = segment_tissue(s, SegConfig(use_otsu=True, close=4, a_t=1))
+        coords = enumerate_coords(s, seg, TileConfig(patch_size=256,
+                                                     step_size=256))
+        assert len(coords) > 0
+        feats[name] = (coords, encode_slide(s, coords, enc))
+        s.close()
+    np.testing.assert_array_equal(feats["j2k"][0], feats["tif"][0])
+    np.testing.assert_array_equal(feats["j2k"][1], feats["tif"][1])
+    assert np.isfinite(feats["j2k"][1]).all()
+
+
 def test_j2k_rejected_at_open_without_openjpeg(tmp_path):
     """With libopenjp2 disabled (WS_DISABLE_J2K knob), a J2K .svs must
     raise UnsupportedCompressionError AT OPEN, naming the codec and the
