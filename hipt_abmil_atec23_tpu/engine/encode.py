@@ -462,13 +462,76 @@ def _batches(coords: np.ndarray, batch: int) -> Iterable[np.ndarray]:
         yield coords[i:i + batch]
 
 
+_AESC_BUCKETS = (256, 1024, 4096, 16384, 65536, 262144)
+_DESC_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+
+
+def _esc_bucket(need, buckets):
+    return next((b for b in buckets if b >= need), 4 * buckets[-1])
+
+
+def _dct_group_fills(bmc, bmb, esc8, bl, n, _G):
+    """Per-group DEMAND distributions recovered from a MAX-cap probe pack
+    (nothing spilled there, so shipped == demanded): nonzero-coefficient
+    count (value slots), bitmap prefix bytes, and escape bytes — the three
+    group-padded streams whose caps the cost search sizes. `bl` is the
+    pack's ACTUAL block count (off-MCU grids pad the geometry, so it need
+    not divide evenly into groups)."""
+    ng = (bl + _G - 1) // _G
+    pl = np.stack([bmc & 0xF, (bmc >> 4) & 0xF],
+                  -1).reshape(n, -1)[:, :bl].astype(np.int64)
+    pad = ng * _G - bl
+    if pad:
+        pl = np.pad(pl, ((0, 0), (0, pad)))
+    capbm = bmb.shape[-1] // ng
+    bits = np.unpackbits(bmb.reshape(n, ng, capbm), axis=-1,
+                         bitorder="little")
+    gv = bits.reshape(n, ng, capbm * 8).sum(-1).astype(np.int64)
+    gb = pl.reshape(n, ng, _G).sum(-1)
+    ge = (esc8.reshape(n, ng, -1) != 0).sum(-1).astype(np.int64)
+    return gv, gb, ge
+
+
+def _dct_best_caps(gv, gb, ge, aesc_true, pb_buckets, bm_buckets,
+                   ge_buckets, ng, _G):
+    """Exact byte-cost argmin over (value, bitmap, escape) group caps for
+    one component class. The packer SPILLS any group-budget shortfall to
+    the explicit 6-B/slot aesc stream (wsireader.cpp pack_dct2_component,
+    r5), so the cost of a cap is its fixed group padding PLUS the bucketed
+    explicit stream absorbing the worst sampled region's spill (x2
+    headroom — probed on 3 regions; overcounting doubly-spilled
+    coefficients only adds margin). Returns (pb, bm, geb, aesc_cap)."""
+    coeff_per_bmbyte = max(1.0, float(gv.sum()) / max(1, gb.sum()))
+    sv = {pb: int(np.maximum(gv - pb * _G, 0).sum(-1).max())
+          for pb in pb_buckets}
+    sb = {bm: int(np.maximum(gb - bm * _G, 0).sum(-1).max() *
+                  coeff_per_bmbyte) for bm in bm_buckets}
+    se = {geb: int(np.maximum(ge - geb, 0).sum(-1).max())
+          for geb in ge_buckets}
+    best = None
+    for pb in pb_buckets:
+        for bm in bm_buckets:
+            for geb in ge_buckets:
+                spill = sv[pb] + sb[bm] + se[geb]
+                aesc = _esc_bucket(int(aesc_true) + spill * 2 + 64,
+                                   _AESC_BUCKETS)
+                cost = ng * (pb * _G / 2 + bm * _G + geb) + 6 * aesc
+                if best is None or cost < best[0]:
+                    best = (cost, pb, bm, geb, aesc)
+    return best[1], best[2], best[3], best[4]
+
+
 def probe_dct_caps(slide, coords, patch_level, size):
     """Probe a slide's sparse-DCT pack capacities for a region stream:
-    read 3 sample regions at maximal caps, then size the per-block value
-    budgets from the MAX GROUP FILL (value streams are padded per
-    ops/jpegdct._G-block group — the group max is the binding stat, not
-    the per-block average) and bucket the escape capacities so every
-    batch in the stream shares one compiled entry.
+    read 3 sample regions at maximal caps, recover the per-group demand
+    DISTRIBUTIONS (value slots / bitmap bytes / escape bytes per
+    ops/jpegdct._G-block group), then pick each group cap by exact
+    byte-cost argmin — the packer spills hot-group overflow to the
+    explicit aesc stream (6 B/coefficient), so caps are sized for the
+    typical group instead of the single hottest one (r5; ~2x smaller
+    packs on tissue than the max-fill rule they replace). Escape/DC
+    capacities are bucketed so every batch in the stream shares one
+    compiled entry.
 
     Returns (caps, bytes_per_px) — caps = (y_pb, c_pb, ge_y, ge_c,
     aesc_y, aesc_c, desc_y, desc_c, bm_y, bm_c) as read_regions_dct
@@ -494,49 +557,41 @@ def probe_dct_caps(slide, coords, patch_level, size):
         return None
     if r.status.any():
         return None
-    cnts = r.cnts  # [n, comp, {nnz, aesc, desc, gmax, gemax, gbmax}]
-    # 30% headroom + 1 — probed on 3 sample regions only
-    need_y = cnts[:, 0, 3].max() * 1.3 / _G + 1.0
-    need_c = cnts[:, 1:, 3].max() * 1.3 / _G + 1.0
-    y_pb = next((b for b in (4, 8, 16, 24, 32, 48) if b >= need_y), 63)
-    c_pb = next((b for b in (2, 4, 8, 12, 16, 24) if b >= need_c), 63)
-    # escape byte slots per 16-block group (|AC| > 7 rides the group-
-    # padded int8 stream; 50% headroom — group maxima vary more than
-    # value fills)
-    need_ge_y = cnts[:, 0, 4].max() * 1.5 + 2.0
-    need_ge_c = cnts[:, 1:, 4].max() * 1.5 + 2.0
-    ge_y = next((b for b in (4, 8, 16, 32, 64, 128, 256, 512)
-                 if b >= need_ge_y), 63 * _G)
-    ge_c = next((b for b in (2, 4, 8, 16, 32, 64, 128)
-                 if b >= need_ge_c), 63 * _G)
+    cnts = r.cnts  # [n, comp, {nnz, aesc, desc, gvdem, gedem, gbdem}]
+    n = len(sample)
+    # block geometry from the pack itself: off-MCU grids read an aligned
+    # window plus one MCU row/column, so the padded grid can exceed
+    # (size//8)^2 and need not divide evenly into groups
+    ybl = r.y_dc8.shape[1] * r.y_dc8.shape[2]
+    cbl = r.cb_dc8.shape[1] * r.cb_dc8.shape[2]
+    ng_y = (ybl + _G - 1) // _G
+    ng_c = (cbl + _G - 1) // _G
+    gv_y, gb_y, ge_y_f = _dct_group_fills(r.y_bmc, r.y_bmb, r.y_esc8,
+                                          ybl, n, _G)
+    cb_f = _dct_group_fills(r.cb_bmc, r.cb_bmb, r.cb_esc8, cbl, n, _G)
+    cr_f = _dct_group_fills(r.cr_bmc, r.cr_bmb, r.cr_esc8, cbl, n, _G)
+    gv_c, gb_c, ge_c_f = (np.concatenate([a, b])
+                          for a, b in zip(cb_f, cr_f))
 
-    # explicit-index slots: bucketed so every batch in the stream shares
-    # one compiled entry; |AC| > 127 / |dDC| > 127 are rare but
-    # border/edge regions spike them — 2x headroom + floor
-    def esc_cap(n):
-        need = int(n) * 2 + 64
-        return next((b for b in (256, 1024, 4096, 16384, 65536)
-                     if b >= need), 262144)
+    y_pb, bm_y, geb_y, aesc_y = _dct_best_caps(
+        gv_y, gb_y, ge_y_f, cnts[:, 0, 1].max(),
+        (4, 8, 12, 16, 24, 32, 48, 63), (2, 3, 4, 5, 6, 7, 8),
+        (4, 8, 16, 24, 32, 48, 64, 96, 128, 256), ng_y, _G)
+    c_pb, bm_c, geb_c, aesc_c = _dct_best_caps(
+        gv_c, gb_c, ge_c_f, cnts[:, 1:, 1].max(),
+        (2, 4, 6, 8, 12, 16, 24, 32), (1, 2, 3, 4, 5, 6, 7, 8),
+        (2, 4, 8, 16, 24, 32, 48, 64, 128), ng_c, _G)
 
-    # bitmap prefix-byte budget per block (group max / _G, 25% headroom);
-    # v3 ships only each block's nonzero bitmap prefix — the binding stat
-    # is again the GROUP max, not the average
-    need_bm_y = cnts[:, 0, 5].max() * 1.25 / _G + 0.5
-    need_bm_c = cnts[:, 1:, 5].max() * 1.25 / _G + 0.5
-    bm_y = next((b for b in (2, 3, 4, 5, 6, 7) if b >= need_bm_y), 8)
-    bm_c = next((b for b in (1, 2, 3, 4, 5, 6) if b >= need_bm_c), 8)
-
-    caps = (y_pb, c_pb, ge_y, ge_c,
-            esc_cap(cnts[:, 0, 1].max()), esc_cap(cnts[:, 1:, 1].max()),
-            esc_cap(cnts[:, 0, 2].max()), esc_cap(cnts[:, 1:, 2].max()),
+    desc_y = _esc_bucket(int(cnts[:, 0, 2].max()) * 2 + 64, _DESC_BUCKETS)
+    desc_c = _esc_bucket(int(cnts[:, 1:, 2].max()) * 2 + 64, _DESC_BUCKETS)
+    caps = (y_pb, c_pb, geb_y, geb_c, aesc_y, aesc_c, desc_y, desc_c,
             bm_y, bm_c)
     # exact per-region wire bytes at these caps (aligned grid; dc8 + bmc
     # = 1.5 B/block, bitmap prefixes bm B/block, nibbles pb/2 B/block,
     # escape bytes ge/_G B/block, explicit escapes 6 B/slot) -> bytes/px
-    ybl_a, cbl_a = (size // 8) ** 2, (size // 16) ** 2
-    nb = (ybl_a * (1.5 + bm_y + y_pb / 2 + ge_y / _G)
-          + 2 * cbl_a * (1.5 + bm_c + c_pb / 2 + ge_c / _G)
-          + 6 * (caps[4] + 2 * caps[5]) + 6 * (caps[6] + 2 * caps[7]))
+    nb = (ybl * (1.5 + bm_y + y_pb / 2 + geb_y / _G)
+          + 2 * cbl * (1.5 + bm_c + c_pb / 2 + geb_c / _G)
+          + 6 * (aesc_y + 2 * aesc_c) + 6 * (desc_y + 2 * desc_c))
     return caps, nb / float(size * size)
 
 

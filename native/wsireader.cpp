@@ -705,7 +705,9 @@ int32_t ws_read_regions_yuv420(void* handle, int32_t level,
 //                           tail slots get idx = -1.
 //   desc int32 idx + int16 val: DC-delta escapes keyed by BLOCK index;
 //                           unused tail slots get idx = -1.
-// Any cap overflow flags the region for pixel fallback.
+// GROUP-cap shortfalls (value slots, bitmap bytes, escape slots) SPILL the
+// affected coefficients to the explicit aesc stream (r5) — only an
+// aesc/desc overflow flags the region for pixel fallback.
 // Group padding is the TPU-native choice: the device recovers each value's
 // slot from bitmap popcounts with only 16/64-length scans and places the
 // values with a one-hot batched MATMUL over the capg axis (MXU work) —
@@ -738,9 +740,15 @@ constexpr int64_t kDctGroup = 16;
 // bitmap order, ~6x cheaper than explicit indices on edge-dense tissue;
 // the rare |v| > 127 stores the -128 sentinel there and the true int16
 // value rides `aesc` keyed by COEFFICIENT index block*64+k, so any libjpeg
-// JCOEF round-trips). Returns 0 ok, 1 = some cap overflowed -> the caller
-// flags the region for the pixel fallback. cnts out: {nnz, n_aesc, n_desc,
-// max_group_fill, max_group_esc_fill}.
+// JCOEF round-trips). When a GROUP's budget runs out — value slots, bitmap
+// prefix bytes, or escape slots — the affected coefficients SPILL to
+// `aesc` (clear bit / zero nibble + explicit device overwrite) rather than
+// overflowing, so every group cap is sized for the typical group, not the
+// hottest one (r5; probe_dct_caps picks caps by exact byte-cost argmin).
+// Returns 0 ok, 1 = the explicit aesc/desc cap overflowed -> the caller
+// flags the region for the pixel fallback. cnts out (DEMAND, not shipped —
+// a max-cap probe reads the true distribution): {nnz, n_aesc, n_desc,
+// max_group_value_demand, max_group_esc_demand, max_group_bitmap_demand}.
 int pack_dct2_component(const int16_t* dense, int64_t bw, int64_t bh,
                         int8_t* dc8, uint8_t* bmc, uint8_t* bmb,
                         int64_t capbm, uint8_t* valn,
@@ -755,17 +763,20 @@ int pack_dct2_component(const int16_t* dense, int64_t bw, int64_t bh,
   std::memset(bmb, 0, size_t(ngroups * capbm));
   std::memset(valn, 0, size_t(ngroups * capg / 2));
   std::memset(esc8, 0, size_t(ngroups * capge));
-  int64_t nnz = 0, na = 0, nd = 0, gfill = 0, gmax = 0;
-  int64_t gefill = 0, gemax = 0, gbfill = 0, gbmax = 0;
+  int64_t nnz = 0, na = 0, nd = 0;
+  // shipped fills (budget tracking) vs DEMAND (what the content needed —
+  // reported in cnts so a max-cap probe sees the true distribution)
+  int64_t gfill = 0, gefill = 0, gbfill = 0;
+  int64_t gvdem = 0, gedem = 0, gbdem = 0;
+  int64_t gmax = 0, gemax = 0, gbmax = 0;
   int32_t prev = 0, prev_row0 = 0;
   for (int64_t bi = 0; bi < bl; ++bi) {
     if (bi % kDctGroup == 0) {
-      gmax = std::max(gmax, gfill);
-      gemax = std::max(gemax, gefill);
-      gbmax = std::max(gbmax, gbfill);
-      gfill = 0;
-      gefill = 0;
-      gbfill = 0;
+      gmax = std::max(gmax, gvdem);
+      gemax = std::max(gemax, gedem);
+      gbmax = std::max(gbmax, gbdem);
+      gfill = gefill = gbfill = 0;
+      gvdem = gedem = gbdem = 0;
     }
     const int16_t* blk = dense + bi * 64;
     const bool row_start = bi % bw == 0;
@@ -782,51 +793,89 @@ int pack_dct2_component(const int16_t* dense, int64_t bw, int64_t bh,
     } else {
       dc8[bi] = int8_t(delta);
     }
+    // collect this block's nonzero ACs, then ship under the group budgets.
+    // ANY budget shortfall SPILLS the coefficient to the explicit aesc
+    // stream (6 B) instead of forcing the pixel fallback: a spilled
+    // coefficient's bitmap bit stays CLEAR (or its nibble ships 0 when
+    // only the escape slots ran out), it decodes as 0, and the device's
+    // `.at[idx].set` scatter (ops/jpegdct.py) overwrites it with the true
+    // value — so every group cap is sized for the TYPICAL group by exact
+    // byte-cost argmin (probe_dct_caps), not for the single hottest one.
+    int ks[63];
+    int16_t vs[63];
+    int ncoef = 0;
+    for (int k = 1; k < 64; ++k)
+      if (blk[k]) {
+        ks[ncoef] = k;
+        vs[ncoef] = blk[k];
+        ++ncoef;
+      }
+    nnz += ncoef;
+    gvdem += ncoef;
+    const int need_bytes = ncoef ? (ks[ncoef - 1] >> 3) + 1 : 0;
+    gbdem += need_bytes;
+    // shipped bitmap prefix = what the remaining group byte budget allows
+    int nbytes = int(std::min<int64_t>(need_bytes, capbm - gbfill));
     uint8_t b8[8] = {0, 0, 0, 0, 0, 0, 0, 0};
     const int64_t gbase = bi / kDctGroup * capg;
-    for (int k = 1; k < 64; ++k) {
-      const int v = blk[k];
-      if (!v) continue;
-      if (gfill >= capg) return 1;
+    for (int j = 0; j < ncoef; ++j) {
+      const int k = ks[j];
+      const int v = vs[j];
+      const bool is_esc = v < -7 || v > 7;
+      if (is_esc) ++gedem;
+      if ((k >> 3) >= nbytes || gfill >= capg) {
+        // bitmap-byte or value-slot budget exhausted: explicit pair,
+        // bit stays clear
+        if (na >= cap_aesc) return 1;
+        aesc_idx[na] = int32_t(bi * 64 + k);
+        aesc_val[na] = int16_t(v);
+        ++na;
+        continue;
+      }
       const int64_t slot = gbase + gfill;
       b8[k >> 3] |= uint8_t(1u << (k & 7));
       int8_t nib;
-      if (v < -7 || v > 7) {
-        if (gefill >= capge) return 1;
-        int8_t e8;
-        if (v < -127 || v > 127) {
+      if (is_esc) {
+        if (gefill >= capge) {
+          // escape slots exhausted: bit + zero nibble ship, true value
+          // rides the explicit stream
           if (na >= cap_aesc) return 1;
           aesc_idx[na] = int32_t(bi * 64 + k);
           aesc_val[na] = int16_t(v);
           ++na;
-          e8 = int8_t(-128);  // sentinel: true value in aesc
+          nib = 0;
         } else {
-          e8 = int8_t(v);
+          int8_t e8;
+          if (v < -127 || v > 127) {
+            if (na >= cap_aesc) return 1;
+            aesc_idx[na] = int32_t(bi * 64 + k);
+            aesc_val[na] = int16_t(v);
+            ++na;
+            e8 = int8_t(-128);  // sentinel: true value in aesc
+          } else {
+            e8 = int8_t(v);
+          }
+          esc8[bi / kDctGroup * capge + gefill] = e8;
+          ++gefill;
+          nib = -8;
         }
-        esc8[bi / kDctGroup * capge + gefill] = e8;
-        ++gefill;
-        nib = -8;
       } else {
         nib = int8_t(v);
       }
       valn[slot >> 1] |= uint8_t(uint8_t(nib) & 0xF) << ((slot & 1) * 4);
       ++gfill;
-      ++nnz;
     }
-    // bitmap prefix: tissue energy sits at low vertical frequency, so
-    // bytes past the last nonzero (byte i = block row i) are dropped —
-    // ship only the nbytes-byte prefix into the group-padded bmb stream
-    // plus a 4-bit count (vs 8 fixed bytes/block, ~30% of v2.1's wire)
-    int nbytes = 8;
+    // drop trailing bytes a value-slot spill may have emptied (tissue
+    // energy sits at low vertical frequency, so the natural prefix is
+    // already short: byte i = block row i)
     while (nbytes > 0 && !b8[nbytes - 1]) --nbytes;
-    if (gbfill + nbytes > capbm) return 1;
     std::memcpy(bmb + bi / kDctGroup * capbm + gbfill, b8, size_t(nbytes));
     gbfill += nbytes;
     bmc[bi >> 1] |= uint8_t(nbytes) << ((bi & 1) * 4);
   }
-  gmax = std::max(gmax, gfill);
-  gemax = std::max(gemax, gefill);
-  gbmax = std::max(gbmax, gbfill);
+  gmax = std::max(gmax, gvdem);
+  gemax = std::max(gemax, gedem);
+  gbmax = std::max(gbmax, gbdem);
   for (int64_t i = na; i < cap_aesc; ++i) aesc_idx[i] = -1;
   for (int64_t i = nd; i < cap_desc; ++i) desc_idx[i] = -1;
   cnts[0] = int32_t(nnz);

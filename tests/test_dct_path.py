@@ -315,6 +315,72 @@ def test_dct_huge_coefficients_int16_tier(tmp_path):
     slide.close()
 
 
+def test_dct_group_budget_spill_bit_exact(ycbcr_slide):
+    """r5 pack: group-budget shortfalls (value slots / bitmap bytes /
+    escape slots) SPILL the affected coefficients to the explicit aesc
+    stream instead of forcing the pixel fallback — caps sized for the
+    typical group, not the hottest (halves tissue packs). A pack under
+    starving caps must decode BIT-IDENTICALLY to a no-spill max-cap pack
+    (the explicit `.at[idx].set` scatter replaces the zeros)."""
+    import jax
+    from hipt_abmil_atec23_tpu.ops.jpegdct import dct_regions_to_rgb, _G
+
+    slide, _ = ycbcr_slide
+    coords = np.array([[0, 0], [512, 256]])
+    big = slide.read_regions_dct(coords, 0, (512, 512), cap_y_pb=63,
+                                 cap_c_pb=63, cap_ge_y=63 * _G,
+                                 cap_ge_c=63 * _G, cap_aesc_y=65536,
+                                 cap_aesc_c=16384, cap_desc_y=16384,
+                                 cap_desc_c=4096, cap_bm_y=8, cap_bm_c=8)
+    # starve all three group budgets at once (plus chroma)
+    tight = slide.read_regions_dct(coords, 0, (512, 512), cap_y_pb=4,
+                                   cap_c_pb=2, cap_ge_y=4, cap_ge_c=2,
+                                   cap_aesc_y=65536, cap_aesc_c=16384,
+                                   cap_desc_y=16384, cap_desc_c=4096,
+                                   cap_bm_y=2, cap_bm_c=1)
+    assert (big.status == 0).all() and (tight.status == 0).all()
+    assert (tight.cnts[:, :, 1] > big.cnts[:, :, 1]).any()  # spilled
+    # demand stats are cap-independent (max-cap probes read true demand)
+    np.testing.assert_array_equal(tight.cnts[:, :, 3:], big.cnts[:, :, 3:])
+    qt = slide.dct_probe(0)
+    f = jax.jit(dct_regions_to_rgb)
+    a = np.asarray(f(*big[:27], qt, big.valid, big.off))
+    b = np.asarray(f(*tight[:27], qt, tight.valid, tight.off))
+    np.testing.assert_array_equal(a, b)
+    # explicit-stream exhaustion is still a clean pixel-path fallback
+    r = slide.read_regions_dct(coords, 0, (512, 512), cap_y_pb=4,
+                               cap_c_pb=2, cap_ge_y=4, cap_ge_c=2,
+                               cap_aesc_y=16, cap_aesc_c=16,
+                               cap_bm_y=2, cap_bm_c=1)
+    assert (r.status == 1).all()
+
+
+def test_unpack_kernel_interpret_matches_spilled_pack(ycbcr_slide,
+                                                      monkeypatch):
+    """The Pallas unpack kernel must stay bit-identical to the XLA path on
+    a SPILLED pack too (cleared bits / zero nibbles are within the format;
+    the explicit scatter runs outside the kernel either way)."""
+    import jax
+    from hipt_abmil_atec23_tpu.ops import jpegdct as J
+
+    slide, _ = ycbcr_slide
+    coords = np.array([[0, 0], [512, 128]])
+    r = slide.read_regions_dct(coords, 0, (256, 256), cap_y_pb=4,
+                               cap_c_pb=2, cap_ge_y=4, cap_ge_c=2,
+                               cap_bm_y=2, cap_bm_c=1,
+                               cap_aesc_y=65536, cap_aesc_c=16384)
+    assert (r.status == 0).all() and (r.cnts[:, :, 1] > 0).any()
+    qt = slide.dct_probe(0)
+    pack = tuple(r[:27]) + (qt, r.valid, r.off)
+    monkeypatch.setattr(J, "_FORCE_KERNEL", False)
+    ref = [np.asarray(p) for p in jax.jit(J.dct_regions_to_planes)(*pack)]
+    monkeypatch.setattr(J, "_FORCE_KERNEL", True)
+    monkeypatch.setattr(J, "_KERNEL_INTERPRET", True)
+    got = [np.asarray(p) for p in J.dct_regions_to_planes(*pack)]
+    for name, a, b in zip(("Y", "Cb", "Cr"), got, ref):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_unpack_kernel_interpret_matches_xla_path(ycbcr_slide, monkeypatch):
     """The VMEM-resident Pallas unpack (TPU production path, r5) must
     produce BIT-IDENTICAL planes to the factorized-XLA path the CPU suite
