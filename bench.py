@@ -710,16 +710,18 @@ def bench_e2e(link_wait_s=2700.0, link_min_mbps=15.0):
         "train_cv5_wall_s_20epochs": round(cv_wall_s, 2),
         "train_cv5_bags_per_sec": round(S * F * EPOCHS / cv_wall_s, 1),
         "note": "tunnel-H2D-bound (25-55MB/s honest wire rate; droop "
-                "windows sink to 2-8); the sparse-DCT v3 path ships "
+                "windows sink to 2-8); the sparse-DCT v3.1 path ships "
                 "nibble/escape-packed quantized JPEG coefficients with "
-                "prefix-packed AC bitmaps "
-                "(~8.2-9.8MB/region vs 25 raw-YCbCr / 50 RGB) and the "
+                "prefix-packed AC bitmaps and group-budget spill to the "
+                "explicit stream "
+                "(~5.0-6.6MB/region vs 25 raw-YCbCr / 50 RGB) and the "
                 "device dequantizes + IDCTs inside the encoder forward. "
-                "Break-even for the 50/h target: ~5.4 MB/s wire at the "
-                "9.7 MB tissue pack, ~4.6 MB/s at the 8.2 MB worst-case "
+                "Break-even for the 50/h target: ~2.8 MB/s wire at the "
+                "5.05 MB tissue pack, ~3.7 MB/s at the 6.58 MB worst-case "
                 "pack; the throttled_floor extra MEASURES the 5 MB/s "
-                "droop-floor case. Decode/H2D/compute overlap across "
-                "slide boundaries — local TPU hosts feed ~100x faster",
+                "droop-floor case (r5: 87.9/h). Decode/H2D/compute "
+                "overlap across slide boundaries — local TPU hosts feed "
+                "~100x faster",
     })
 
 

@@ -216,7 +216,7 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
         # so building an encoder dispatches nothing to the device
         key = jax.random.PRNGKey(rng_seed)
 
-    # whole-block fused kernel (ops/fused_block.py): 85.5 TFLOP/s vs 44.6
+    # whole-block fused kernel (ops/fused_block.py): 94.7 TFLOP/s vs 44.6
     # for the separate flash-attention + fused-MLP kernels at the ViT-256
     # production shape. Pallas has no CPU lowering, so gate on the
     # backend — CPU tests run the jnp attention path

@@ -101,7 +101,7 @@ def make_hipt_encoder(dtype=jnp.bfloat16, use_flash: bool = False,
                       use_fused_block: bool = False) -> HIPT4K:
     """Production config: bfloat16 compute through both ViTs. On TPU,
     use_fused_block runs each transformer block as ONE Pallas kernel
-    (ops/fused_block.py, measured 85.5 TFLOP/s vs 44.6 for the separate
+    (ops/fused_block.py, measured 94.7 TFLOP/s vs 44.6 for the separate
     flash-attention + fused-MLP kernels); the older per-op kernels remain
     selectable for comparison."""
     v256 = dataclasses.replace(VIT_CONFIGS["vit_small"], dtype=dtype,
