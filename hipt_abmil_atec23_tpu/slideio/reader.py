@@ -66,11 +66,15 @@ def dct_group_size(lib) -> int:
 
 
 class DctRegions(NamedTuple):
-    """One batch of sparse quantized-DCT region packs, format v3
+    """One batch of sparse quantized-DCT region packs, format v3.1
     (read_regions_dct / native ws_read_regions_dct2): delta-coded int8 DC,
     prefix-packed AC bitmap (per-block 4-bit lengths + group-padded
     bytes), nibble-packed AC values, group-padded int8 escape bytes,
-    explicit-index int16 escape streams for the rare |v| > 127.
+    explicit-index int16 escape streams for the rare |v| > 127 — and, in
+    v3.1, for ANY coefficient whose 16-block group overflows its packed
+    budget (the spilled coeff's bitmap bit stays clear / nibble ships 0;
+    the device's explicit scatter overwrites the 0, so tight caps trade
+    wire bytes for aidx slots without changing decode).
     Block-grid arrays carry the geometry; `status[i] != 0` means region i
     must be re-read through a pixel path (see wsireader.cpp)."""
     y_dc8: np.ndarray   # [n, h/8, w/8] int8 DC deltas (raster; row starts
