@@ -97,8 +97,20 @@ RUNG_DEV_MS_PER_MPX = {"dct": 6.0, "yuv": 3.3, "rgb": 3.3}
 # the wire drains asynchronously (CLAUDE.md link model) — so put timings
 # taken before it are fiction and must never reach the wire EWMA (they
 # would seed the rate 30-500x high and flip the rung selector to
-# yuv/rgb on a 5-55 MB/s wire — ADVICE r4 medium).
-_FIRST_EXEC_DONE = False
+# yuv/rgb on a 5-55 MB/s wire — ADVICE r4 medium). Keyed by backend
+# PLATFORM: buffering is per backend client, so an earlier CPU-backend
+# execution in the same process must not mark the tunneled TPU link
+# synchronous.
+_FIRST_EXEC_DONE: set = set()  # platform names ('tpu', 'cpu', ...)
+
+
+def _mark_first_exec(out) -> None:
+    """Record that a jit execution completed on `out`'s platform — puts
+    to that backend are synchronous (honestly timed) from here on."""
+    try:
+        _FIRST_EXEC_DONE.add(next(iter(out.devices())).platform)
+    except Exception:
+        pass  # non-jax output (e.g. a mocked encoder): leave the gate shut
 
 
 def select_rung(feasible, wire_mbps, region_px, dct_bytes_per_px=None,
@@ -665,8 +677,7 @@ def encode_slide(
                 k = len(chunk)
                 feats[done:done + k] = np.asarray(out)[:k]
                 done += k
-                global _FIRST_EXEC_DONE
-                _FIRST_EXEC_DONE = True
+                _mark_first_exec(out)
         return feats
 
     # overlapped mode: one-slide stream through the shared pipeline
@@ -904,6 +915,7 @@ def encode_stream(
         device = next(iter(jax.tree.leaves(encoder.variables)[0].devices()))
     except Exception:
         device = jax.devices()[0]
+    plat = getattr(device, "platform", "unknown")
 
     window = max(1, prefetch)
 
@@ -951,11 +963,12 @@ def encode_stream(
                 inst = nb / 1e6 / max(tp, 1e-9)
                 # EWMA wire estimate for the rung selector — but ONLY once
                 # puts are synchronous: before this process's first jit
-                # execution the runtime buffers them and block_until_ready
-                # returns at an apparent ~1.4 GB/s (ADVICE r4 medium —
-                # such a sample would spike the estimate 30-500x and flip
-                # the selector off the byte-light rung on a slow wire)
-                if _FIRST_EXEC_DONE:
+                # execution ON THIS BACKEND the runtime buffers them and
+                # block_until_ready returns at an apparent ~1.4 GB/s
+                # (ADVICE r4 medium — such a sample would spike the
+                # estimate 30-500x and flip the selector off the
+                # byte-light rung on a slow wire)
+                if plat in _FIRST_EXEC_DONE:
                     link["mbps"] = (inst if link["mbps"] is None
                                     else 0.7 * link["mbps"] + 0.3 * inst)
                 if not _put(d):  # one serialized H2D stream (encode_slide)
@@ -965,12 +978,11 @@ def encode_stream(
             _put(None)
 
     def _collect(pend, q_wait=0.0):
-        global _FIRST_EXEC_DONE
         ji, k, out, kind = pend
         tc0 = time.perf_counter()
         feats[ji][offs[ji]:offs[ji] + k] = np.asarray(out)[:k]
         blocked = time.perf_counter() - tc0
-        _FIRST_EXEC_DONE = True  # puts are synchronous from here on
+        _FIRST_EXEC_DONE.add(plat)  # puts are synchronous from here on
         # device-compute calibration: in the steady compute-bound state
         # the collect BLOCK time is one full device step (the dispatch->
         # fetch span would double-count the batch queued ahead). Sample
@@ -1101,10 +1113,9 @@ def _encode_stream_staged(items, jobs, feats, remaining, offs, encoder,
             outs.append(compute(rec[2]))
             rec[2] = None  # free the staged HBM as the queue consumes it
         if outs:
-            global _FIRST_EXEC_DONE
             flat = np.asarray(jnp.concatenate(outs, axis=0)) \
                 if len(outs) > 1 else np.asarray(outs[0])
-            _FIRST_EXEC_DONE = True
+            _mark_first_exec(outs[0])
             row = 0
             for (ji, k, _), out in zip(staged, outs):
                 feats[ji][offs[ji]:offs[ji] + k] = flat[row:row + k]

@@ -225,7 +225,9 @@ Opj_Bool opj_mem_seek(int64_t n, void* user) {
   return 1;
 }
 
-// Scale one decoded component sample to unsigned 8-bit.
+// Scale one decoded component sample to unsigned 8-bit. Callers must
+// have validated 1 <= c.prec <= 31 (see decode_tile_j2k comp_ok) — a
+// malformed header's prec of 0 or >31 would make these shifts UB.
 inline int32_t comp_to_u8(int32_t v, const OpjImageComp& c) {
   if (c.sgnd) v += 1 << (c.prec - 1);
   if (c.prec > 8) v >>= (c.prec - 8);
@@ -283,7 +285,15 @@ bool decode_tile_j2k(TIFF* tif, const LevelInfo& L, uint32_t tx, uint32_t ty,
     const OpjImageComp& c0 = img->comps[0];
     const OpjImageComp& c1 = img->comps[nc >= 3 ? 1 : 0];
     const OpjImageComp& c2 = img->comps[nc >= 3 ? 2 : 0];
-    ok = c0.data && c1.data && c2.data && c0.w && c0.h;
+    // validate EVERY sampled component: a corrupt stream can decode a
+    // chroma plane with w/h == 0 (the `cc.h - 1` clamp would underflow
+    // and read out of bounds) or advertise a precision whose comp_to_u8
+    // shifts are UB — fail the tile (callers route it to a read error /
+    // pixel fallback) instead of crashing the 16-thread batch read.
+    auto comp_ok = [](const OpjImageComp& c) {
+      return c.data && c.w && c.h && c.prec >= 1 && c.prec <= 31;
+    };
+    ok = comp_ok(c0) && comp_ok(c1) && comp_ok(c2);
     if (ok) {
       const bool ycc = nc >= 3 && (comp_tag == 33003 || img->color_space == 3);
       for (uint32_t r = 0; r < L.tile_h; ++r) {
@@ -297,9 +307,11 @@ bool decode_tile_j2k(TIFF* tif, const LevelInfo& L, uint32_t tx, uint32_t ty,
           int32_t v0 = sample(c0), v1 = sample(c1), v2 = sample(c2);
           if (ycc) {  // JPEG full-range YCbCr -> RGB
             const int32_t y = v0, cb = v1 - 128, cr = v2 - 128;
-            v0 = y + ((91881 * cr) >> 16);                      // 1.402
-            v1 = y - ((22554 * cb + 46802 * cr) >> 16);         // .34414/.71414
-            v2 = y + ((116130 * cb) >> 16);                     // 1.772
+            // +32768 rounds the 16.16 fixed-point products half-up like
+            // libjpeg's DESCALE; plain >>16 would floor-bias every pixel
+            v0 = y + ((91881 * cr + 32768) >> 16);              // 1.402
+            v1 = y - ((22554 * cb + 46802 * cr + 32768) >> 16); // .34414/.71414
+            v2 = y + ((116130 * cb + 32768) >> 16);             // 1.772
             v0 = std::min(255, std::max(0, v0));
             v1 = std::min(255, std::max(0, v1));
             v2 = std::min(255, std::max(0, v2));

@@ -157,20 +157,29 @@ def test_stream_calibrates_slow_dct_decode(ycbcr_slide, monkeypatch):
 
 def test_wire_ewma_skips_buffered_puts(ycbcr_slide, monkeypatch):
     """ADVICE r4 medium: put timings taken before the process's first jit
-    execution are buffered (apparent ~GB/s while the wire drains async)
-    and must never reach the wire EWMA. A one-batch stream's only put
-    precedes its first execution, so the estimate must stay at the hint;
-    once an execution has completed, later streams' puts do update it."""
+    execution ON THE STREAM'S BACKEND are buffered (apparent ~GB/s while
+    the wire drains async) and must never reach the wire EWMA. A
+    one-batch stream's only put precedes its first execution, so the
+    estimate must stay at the hint; once an execution has completed on
+    that platform, later streams' puts do update it. An execution on a
+    DIFFERENT platform must not open the gate (buffering is per backend
+    client)."""
     from hipt_abmil_atec23_tpu.engine import encode as enc_mod
 
-    monkeypatch.setattr(enc_mod, "_FIRST_EXEC_DONE", False)
+    monkeypatch.setattr(enc_mod, "_FIRST_EXEC_DONE", set())
     one = np.array([[0, 0], [256, 0]])  # exactly one batch at bs=2
     stats = _stream_stats(ycbcr_slide, hint=4.0, coords=one)
     assert stats["wire_mbps_final"] == 4.0, stats["wire_mbps_final"]
-    # the first stream's execution flipped the flag: now samples count
-    # (CPU device_put reports far above the 4.0 hint)
+    # the first stream's execution marked this platform: now samples
+    # count (CPU device_put reports far above the 4.0 hint)
     stats2 = _stream_stats(ycbcr_slide, hint=4.0, coords=one)
     assert stats2["wire_mbps_final"] > 4.0, stats2["wire_mbps_final"]
+    # an execution recorded for ANOTHER backend keeps this one's gate
+    # shut: a prior tpu run must not mark the cpu stream synchronous
+    # (and vice versa on the production tunnel)
+    monkeypatch.setattr(enc_mod, "_FIRST_EXEC_DONE", {"tpu"})
+    stats3 = _stream_stats(ycbcr_slide, hint=4.0, coords=one)
+    assert stats3["wire_mbps_final"] == 4.0, stats3["wire_mbps_final"]
 
 
 def test_stream_respects_mocked_link(ycbcr_slide):
