@@ -115,7 +115,7 @@ def _mark_first_exec(out) -> None:
 
 def select_rung(feasible, wire_mbps, region_px, dct_bytes_per_px=None,
                 current=None, hysteresis=0.85,
-                host_ms_mpx=None, dev_ms_mpx=None):
+                host_ms_mpx=None, dev_ms_mpx=None, yuv_bytes_per_px=None):
     """Pick the transfer rung with the lowest predicted per-region cost.
 
     Cost model: the stream pipelines three serialized stages (host decode
@@ -133,13 +133,19 @@ def select_rung(feasible, wire_mbps, region_px, dct_bytes_per_px=None,
     ``host_ms_mpx`` / ``dev_ms_mpx``: per-rung stage-cost tables
     (ms per megapixel). Default to the dev-host priors above; streams
     pass their own EWMA-calibrated tables (VERDICT r4 #3).
+
+    ``yuv_bytes_per_px``: the plane rung's cost depends on the slide's
+    chroma layout — 1.5 for 4:2:0 (the table default), 2.0 for the 4:2:2
+    J2K layout (1 + 2/(sh*sv)). Streams pass the probed value.
     Returns (rung, costs_dict)."""
     host_tab = host_ms_mpx or RUNG_HOST_MS_PER_MPX
     dev_tab = dev_ms_mpx or RUNG_DEV_MS_PER_MPX
     mpx = region_px / 1e6
     costs = {}
     for r in feasible:
-        bpp = dct_bytes_per_px if r == "dct" else RUNG_BYTES_PER_PX[r]
+        bpp = (dct_bytes_per_px if r == "dct"
+               else yuv_bytes_per_px or RUNG_BYTES_PER_PX[r] if r == "yuv"
+               else RUNG_BYTES_PER_PX[r])
         if bpp is None:
             continue
         wire_s = (region_px * bpp / (wire_mbps * 1e6)
@@ -272,8 +278,10 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
 
         @jax.jit
         def _fwd_yuv(v, yp, cb, cr):
-            from hipt_abmil_atec23_tpu.ops.yuv import yuv420_to_rgb
-            x = yuv420_to_rgb(yp, cb, cr) / 127.5 - 1.0  # fused normalize
+            # shape-dispatching: JPEG 4:2:0 and J2K 4:2:2/4:2:0 planes
+            # share this entry (ops/yuv.py yuv_planes_to_rgb)
+            from hipt_abmil_atec23_tpu.ops.yuv import yuv_planes_to_rgb
+            x = yuv_planes_to_rgb(yp, cb, cr) / 127.5 - 1.0  # fused normalize
             return _run_hipt(v, x)
 
         @jax.jit
@@ -306,8 +314,8 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
 
         @jax.jit
         def _fwd_yuv(v, yp, cb, cr):
-            from hipt_abmil_atec23_tpu.ops.yuv import yuv420_to_rgb
-            x = yuv420_to_rgb(yp, cb, cr) / 127.5 - 1.0
+            from hipt_abmil_atec23_tpu.ops.yuv import yuv_planes_to_rgb
+            x = yuv_planes_to_rgb(yp, cb, cr) / 127.5 - 1.0
             return model.apply(v, x)
 
         @jax.jit
@@ -337,9 +345,9 @@ def build_encoder(cfg: EncoderConfig, rng_seed: int = 0) -> Encoder:
 
         @jax.jit
         def _fwd_yuv(v, yp, cb, cr):
-            from hipt_abmil_atec23_tpu.ops.yuv import yuv420_to_rgb
+            from hipt_abmil_atec23_tpu.ops.yuv import yuv_planes_to_rgb
             return model.apply(v, imagenet_normalize(
-                yuv420_to_rgb(yp, cb, cr)))
+                yuv_planes_to_rgb(yp, cb, cr)))
 
         @jax.jit
         def _fwd_dct(v, *pack):
@@ -448,11 +456,18 @@ def _decode_batch(slide, chunk, *, patch_level, size, bs, transform,
             pass  # unreadable through the coefficient path — pixels below
     if use_yuv and transform is None and not target_patch_size:
         # host transforms/resizes need RGB — callers gate use_yuv on this
-        # already (encode_stream), the guard keeps the helper misuse-proof
+        # already (encode_stream), the guard keeps the helper misuse-proof.
+        # use_yuv is the probed chroma layout tuple (sh, sv) — (2, 2) for
+        # JPEG/J2K 4:2:0, (2, 1) for J2K 4:2:2 — or legacy True (4:2:0).
         try:
-            yp, cb, cr = slide.read_regions_yuv420(
-                chunk, patch_level, (size, size),
-                n_threads=n_io_threads or k)
+            if use_yuv is not True and hasattr(slide, "read_regions_planes"):
+                yp, cb, cr = slide.read_regions_planes(
+                    chunk, patch_level, (size, size),
+                    n_threads=n_io_threads or k, layout=tuple(use_yuv))
+            else:
+                yp, cb, cr = slide.read_regions_yuv420(
+                    chunk, patch_level, (size, size),
+                    n_threads=n_io_threads or k)
             return (_pad_to(yp, k, bs), _pad_to(cb, k, bs),
                     _pad_to(cr, k, bs))
         except IOError:
@@ -816,10 +831,18 @@ def encode_stream(
 
     items = []
     for ji, (sid, slide, coords) in enumerate(jobs):
-        use_yuv = (encoder.apply_yuv is not None and transform is None
-                   and not target_patch_size and size % 2 == 0
-                   and getattr(slide, "supports_yuv420",
-                               lambda lvl: False)(patch_level))
+        # use_yuv: probed chroma layout (sh, sv) when the slide has a
+        # raw-plane read path at this level — JPEG 4:2:0 AND J2K
+        # subsampled-YCC codestreams (TiffSlide.yuv_layout) — else None.
+        use_yuv = None
+        if (encoder.apply_yuv is not None and transform is None
+                and not target_patch_size and size % 2 == 0):
+            probe = getattr(slide, "yuv_layout", None)
+            if probe is not None:
+                use_yuv = probe(patch_level)
+            elif getattr(slide, "supports_yuv420",
+                         lambda lvl: False)(patch_level):
+                use_yuv = (2, 2)  # duck-typed 4:2:0-only slide classes
         dct_ctx = None
         if (encoder.apply_dct is not None and transform is None
                 and not target_patch_size and size % 16 == 0
@@ -870,11 +893,14 @@ def encode_stream(
         if adaptive_rungs and link["mbps"] and (use_yuv or dct_ctx):
             feasible = ["rgb"] + (["yuv"] if use_yuv else []) \
                 + (["dct"] if dct_ctx is not None else [])
+            yuv_bpp = (1.0 + 2.0 / (use_yuv[0] * use_yuv[1])
+                       if isinstance(use_yuv, tuple) else None)
             rung, _ = select_rung(feasible, link["mbps"], size * size,
                                   dct_bytes_per_px=dct_bpp,
                                   current=link["rung"],
                                   host_ms_mpx=link["host_ms_mpx"],
-                                  dev_ms_mpx=link["dev_ms_mpx"])
+                                  dev_ms_mpx=link["dev_ms_mpx"],
+                                  yuv_bytes_per_px=yuv_bpp)
             if rung != "dct":
                 dct_ctx = None
             if rung == "rgb":

@@ -58,3 +58,35 @@ def yuv420_to_rgb(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
     g = yf - 0.344136 * cbu - 0.714136 * cru
     b = yf + 1.772 * cbu
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def yuv422_to_rgb(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
+    """uint8 planes Y [..., H, W], Cb/Cr [..., H, W/2] -> float32 RGB
+    [..., H, W, 3]. The 4:2:2 variant (horizontal-only chroma subsampling,
+    libjpeg h2v1_fancy_upsample) — Aperio JPEG2000 .svs commonly store YCC
+    components at this layout (comp dx=2, dy=1)."""
+    yf = y.astype(jnp.float32)
+    cbf = cb.astype(jnp.float32) - 128.0
+    crf = cr.astype(jnp.float32) - 128.0
+    w_axis = y.ndim - 1
+    cbu = _fancy_upsample_axis(cbf, w_axis)
+    cru = _fancy_upsample_axis(crf, w_axis)
+    r = yf + 1.402 * cru
+    g = yf - 0.344136 * cbu - 0.714136 * cru
+    b = yf + 1.772 * cbu
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def yuv_planes_to_rgb(y: jax.Array, cb: jax.Array,
+                      cr: jax.Array) -> jax.Array:
+    """Shape-dispatching plane reconstruction: 4:2:0 when the chroma row
+    count is half of Y's, 4:2:2 when it matches. Static-shape dispatch, so
+    each jit entry traces exactly one branch — the 4:2:0 trace is the same
+    graph yuv420_to_rgb always produced (compile-cache compatible)."""
+    if cb.shape[-2] * 2 == y.shape[-2]:
+        return yuv420_to_rgb(y, cb, cr)
+    if cb.shape[-2] == y.shape[-2] and cb.shape[-1] * 2 == y.shape[-1]:
+        return yuv422_to_rgb(y, cb, cr)
+    raise ValueError(
+        f"unsupported plane geometry: Y {y.shape}, chroma {cb.shape} "
+        "(expected 4:2:0 [H/2, W/2] or 4:2:2 [H, W/2])")

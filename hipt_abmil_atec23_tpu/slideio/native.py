@@ -90,6 +90,20 @@ def get_lib() -> ctypes.CDLL:
         lib.ws_compression_supported.restype = ctypes.c_int32
         lib.ws_j2k_available.argtypes = []
         lib.ws_j2k_available.restype = ctypes.c_int32
+        lib.ws_yuv_layout.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.ws_yuv_layout.restype = ctypes.c_int32
+        lib.ws_read_regions_planes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        lib.ws_read_regions_planes.restype = ctypes.c_int32
+        # test-fixture lossless J2K encoder (subsampled YCC components —
+        # the Aperio 33003 tile layout no Python encoder here can produce)
+        lib.ws_j2k_encode_planes.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]
+        lib.ws_j2k_encode_planes.restype = ctypes.c_int64
         _lib = lib
         return lib
 

@@ -259,6 +259,46 @@ class TiffSlide(BaseSlide):
             raise IOError(f"read_regions_yuv420 failed ({r})")
         return yp, cb, cr
 
+    def yuv_layout(self, level: int = 0):
+        """Chroma layout (sh, sv) when this level has a raw-plane read
+        path — (2, 2) for JPEG YCbCr 4:2:0 tiles AND for J2K codestreams
+        storing 4:2:0 YCC components, (2, 1) for 4:2:2 J2K — else None
+        (RGB reads only). The plane rung ships 1 + 2/(sh*sv) bytes/px
+        instead of RGB's 3; the device reconstructs by plane shape
+        (ops/yuv.py yuv_planes_to_rgb). Reference equivalent: the decode
+        half of extract_features_fp.py:144-171 (host RGB only)."""
+        layout = self._lib.ws_yuv_layout(self._h, level)
+        return ((layout >> 4) & 0xf, layout & 0xf) if layout else None
+
+    def read_regions_planes(self, locations, level, size,
+                            n_threads: int = 0, layout=None):
+        """Batched raw-plane reads at this level's probed chroma layout:
+        (Y [n,h,w], Cb/Cr [n,h/sv,w/2]) uint8 planes straight from the
+        codec (JPEG 4:2:0 or J2K subsampled YCC) — no host upsample, no
+        color conversion. Coords/size must be even."""
+        layout = layout or self.yuv_layout(level)
+        if layout is None:
+            raise IOError("no raw-plane path at this level")
+        sh, sv = layout
+        locations = np.asarray(locations, np.int64)
+        dx, dy = self.level_downsamples[level]
+        lvl_coords = np.ascontiguousarray(
+            np.stack([(locations[:, 0] / dx).astype(np.int64),
+                      (locations[:, 1] / dy).astype(np.int64)], axis=1))
+        w, h = size
+        n = len(locations)
+        yp = np.empty((n, h, w), np.uint8)
+        cb = np.empty((n, h // sv, w // sh), np.uint8)
+        cr = np.empty_like(cb)
+        r = self._lib.ws_read_regions_planes(
+            self._h, level, lvl_coords.ctypes.data_as(ctypes.c_void_p),
+            n, w, h, yp.ctypes.data_as(ctypes.c_void_p),
+            cb.ctypes.data_as(ctypes.c_void_p),
+            cr.ctypes.data_as(ctypes.c_void_p), sh, sv, n_threads)
+        if r != 0:
+            raise IOError(f"read_regions_planes failed ({r})")
+        return yp, cb, cr
+
     def dct_probe(self, level: int = 0):
         """Quantization tables [3, 64] uint16 (natural order) when this
         level can serve sparse DCT-coefficient reads (JPEG YCbCr 4:2:0,

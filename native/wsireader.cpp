@@ -115,6 +115,11 @@ struct OpjImage {  // opj_image_t
 
 enum : int { OPJ_CODEC_J2K_ = 0, OPJ_CODEC_JP2_ = 2 };
 
+// opj_image_cmptparm_t — 9 plain OPJ_UINT32 fields, stable across 2.x.
+struct OpjImageCmptparm {
+  uint32_t dx, dy, w, h, x0, y0, prec, bpp, sgnd;
+};
+
 struct OpjApi {
   void* (*create_decompress)(int fmt) = nullptr;
   void (*set_default_decoder_parameters)(void* params) = nullptr;
@@ -135,7 +140,24 @@ struct OpjApi {
                                void (*freefn)(void*)) = nullptr;
   void (*stream_set_user_data_length)(void* s, uint64_t len) = nullptr;
   void (*image_destroy)(OpjImage* img) = nullptr;
+  // Encode half — used ONLY by the test-fixture encoder
+  // ws_j2k_encode_planes (no production path encodes J2K). Separate ok
+  // flag: decode must work even on a library stripped of the encoder.
+  void* (*create_compress)(int fmt) = nullptr;
+  void (*set_default_encoder_parameters)(void* params) = nullptr;
+  Opj_Bool (*setup_encoder)(void* codec, void* params,
+                            OpjImage* img) = nullptr;
+  Opj_Bool (*start_compress)(void* codec, OpjImage* img,
+                             void* stream) = nullptr;
+  Opj_Bool (*encode)(void* codec, void* stream) = nullptr;
+  Opj_Bool (*end_compress)(void* codec, void* stream) = nullptr;
+  OpjImage* (*image_create)(uint32_t numcmpts, const OpjImageCmptparm* parms,
+                            int clrspc) = nullptr;
+  void (*stream_set_write_function)(void* s,
+                                    size_t (*fn)(void*, size_t,
+                                                 void*)) = nullptr;
   bool ok = false;
+  bool enc_ok = false;
 };
 
 const OpjApi& opj_api() {
@@ -180,12 +202,33 @@ const OpjApi& opj_api() {
             S("opj_stream_set_user_data_length"));
     a.image_destroy =
         reinterpret_cast<decltype(a.image_destroy)>(S("opj_image_destroy"));
+    a.create_compress =
+        reinterpret_cast<decltype(a.create_compress)>(S("opj_create_compress"));
+    a.set_default_encoder_parameters =
+        reinterpret_cast<decltype(a.set_default_encoder_parameters)>(
+            S("opj_set_default_encoder_parameters"));
+    a.setup_encoder =
+        reinterpret_cast<decltype(a.setup_encoder)>(S("opj_setup_encoder"));
+    a.start_compress =
+        reinterpret_cast<decltype(a.start_compress)>(S("opj_start_compress"));
+    a.encode = reinterpret_cast<decltype(a.encode)>(S("opj_encode"));
+    a.end_compress =
+        reinterpret_cast<decltype(a.end_compress)>(S("opj_end_compress"));
+    a.image_create =
+        reinterpret_cast<decltype(a.image_create)>(S("opj_image_create"));
+    a.stream_set_write_function =
+        reinterpret_cast<decltype(a.stream_set_write_function)>(
+            S("opj_stream_set_write_function"));
     a.ok = a.create_decompress && a.set_default_decoder_parameters &&
            a.setup_decoder && a.read_header && a.decode && a.end_decompress &&
            a.destroy_codec && a.stream_default_create && a.stream_destroy &&
            a.stream_set_read_function && a.stream_set_skip_function &&
            a.stream_set_seek_function && a.stream_set_user_data &&
            a.stream_set_user_data_length && a.image_destroy;
+    a.enc_ok = a.ok && a.create_compress &&
+               a.set_default_encoder_parameters && a.setup_encoder &&
+               a.start_compress && a.encode && a.end_compress &&
+               a.image_create && a.stream_set_write_function;
     return a;
   }();
   return api;
@@ -225,6 +268,102 @@ Opj_Bool opj_mem_seek(int64_t n, void* user) {
   return 1;
 }
 
+// Growable in-memory OUTPUT stream (ws_j2k_encode_planes only).
+struct MemWriteStream {
+  std::vector<uint8_t> buf;
+  size_t pos = 0;
+};
+
+size_t opj_memw_write(void* src, size_t n, void* user) {
+  auto* m = static_cast<MemWriteStream*>(user);
+  if (m->pos + n > m->buf.size()) m->buf.resize(m->pos + n);
+  std::memcpy(m->buf.data() + m->pos, src, n);
+  m->pos += n;
+  return n;
+}
+
+int64_t opj_memw_skip(int64_t n, void* user) {
+  auto* m = static_cast<MemWriteStream*>(user);
+  if (n < 0) return -1;
+  m->pos += size_t(n);
+  if (m->pos > m->buf.size()) m->buf.resize(m->pos);
+  return n;
+}
+
+Opj_Bool opj_memw_seek(int64_t n, void* user) {
+  auto* m = static_cast<MemWriteStream*>(user);
+  if (n < 0) return 0;
+  m->pos = size_t(n);
+  if (m->pos > m->buf.size()) m->buf.resize(m->pos);
+  return 1;
+}
+
+// Read one tile's raw (still-encoded) bytes. Every J2K path starts here:
+// libtiff has no codec for 33003/33005/34712, so the tile payload is
+// pulled verbatim and handed to openjpeg.
+bool read_raw_tile(TIFF* tif, const LevelInfo& L, uint32_t tx, uint32_t ty,
+                   std::vector<uint8_t>& raw) {
+  const uint32_t tile = TIFFComputeTile(tif, tx * L.tile_w, ty * L.tile_h, 0, 0);
+  uint64_t* counts = nullptr;
+  if (!TIFFGetField(tif, TAG_TILEBYTECOUNTS, &counts) || !counts) return false;
+  const uint64_t nbytes = counts[tile];
+  if (nbytes < 12) return false;
+  raw.resize(static_cast<size_t>(nbytes));
+  return TIFFReadRawTile(tif, tile, raw.data(), tmsize_t(nbytes)) ==
+         tmsize_t(nbytes);
+}
+
+// Decode one in-memory J2K/JP2 codestream. Returns the decoded image
+// (caller must opj_image_destroy it) or nullptr. With header_only the
+// pixel decode is skipped — component geometry (dx/dy/w/h/prec) is valid
+// after the header alone, which is what layout probes need.
+OpjImage* decode_j2k_stream(const uint8_t* bytes, size_t n,
+                            bool header_only) {
+  const OpjApi& api = opj_api();
+  if (!api.ok || n < 12) return nullptr;
+  // Raw codestream (SOC marker) vs JP2 box container.
+  const bool is_jp2 = n >= 8 && bytes[0] == 0 && bytes[1] == 0 &&
+                      bytes[2] == 0 && bytes[3] == 0x0c &&
+                      std::memcmp(bytes + 4, "jP  ", 4) == 0;
+  void* codec = api.create_decompress(is_jp2 ? OPJ_CODEC_JP2_ : OPJ_CODEC_J2K_);
+  if (!codec) return nullptr;
+  std::vector<uint8_t> params(32768, 0);  // opaque opj_dparameters_t blob
+  api.set_default_decoder_parameters(params.data());
+  if (!api.setup_decoder(codec, params.data())) {
+    api.destroy_codec(codec);
+    return nullptr;
+  }
+  void* stream = api.stream_default_create(1 /* input */);
+  if (!stream) {
+    api.destroy_codec(codec);
+    return nullptr;
+  }
+  MemStream mem{bytes, n, 0};
+  api.stream_set_read_function(stream, opj_mem_read);
+  api.stream_set_skip_function(stream, opj_mem_skip);
+  api.stream_set_seek_function(stream, opj_mem_seek);
+  api.stream_set_user_data(stream, &mem, nullptr);
+  api.stream_set_user_data_length(stream, mem.size);
+  OpjImage* img = nullptr;
+  bool ok = api.read_header(stream, codec, &img) && img && img->numcomps >= 1;
+  if (ok && !header_only)
+    ok = api.decode(codec, stream, img) && api.end_decompress(codec, stream);
+  api.stream_destroy(stream);
+  api.destroy_codec(codec);
+  if (!ok && img) {
+    api.image_destroy(img);
+    img = nullptr;
+  }
+  return img;
+}
+
+// Validate one decoded component before sampling it: a corrupt stream can
+// decode a plane with w/h == 0 (coordinate clamps would underflow and read
+// out of bounds) or advertise a precision whose comp_to_u8 shifts are UB.
+bool comp_ok(const OpjImageComp& c) {
+  return c.data && c.w && c.h && c.prec >= 1 && c.prec <= 31;
+}
+
 // Scale one decoded component sample to unsigned 8-bit. Callers must
 // have validated 1 <= c.prec <= 31 (see decode_tile_j2k comp_ok) — a
 // malformed header's prec of 0 or >31 would make these shifts UB.
@@ -243,90 +382,186 @@ bool decode_tile_j2k(TIFF* tif, const LevelInfo& L, uint32_t tx, uint32_t ty,
                      uint16_t comp_tag, uint8_t* rgb) {
   const OpjApi& api = opj_api();
   if (!api.ok) return false;
-  const uint32_t tile = TIFFComputeTile(tif, tx * L.tile_w, ty * L.tile_h, 0, 0);
-  uint64_t* counts = nullptr;
-  if (!TIFFGetField(tif, TAG_TILEBYTECOUNTS, &counts) || !counts) return false;
-  const uint64_t nbytes = counts[tile];
-  if (nbytes < 12) return false;
-  std::vector<uint8_t> raw(static_cast<size_t>(nbytes));
-  if (TIFFReadRawTile(tif, tile, raw.data(), tmsize_t(nbytes)) !=
-      tmsize_t(nbytes))
-    return false;
-
-  // Raw codestream (SOC marker) vs JP2 box container.
-  const bool is_jp2 = raw.size() >= 8 && raw[0] == 0 && raw[1] == 0 &&
-                      raw[2] == 0 && raw[3] == 0x0c &&
-                      std::memcmp(raw.data() + 4, "jP  ", 4) == 0;
-  void* codec = api.create_decompress(is_jp2 ? OPJ_CODEC_JP2_ : OPJ_CODEC_J2K_);
-  if (!codec) return false;
-  std::vector<uint8_t> params(32768, 0);  // opaque opj_dparameters_t blob
-  api.set_default_decoder_parameters(params.data());
-  if (!api.setup_decoder(codec, params.data())) {
-    api.destroy_codec(codec);
-    return false;
-  }
-  void* stream = api.stream_default_create(1 /* input */);
-  if (!stream) {
-    api.destroy_codec(codec);
-    return false;
-  }
-  MemStream mem{raw.data(), raw.size(), 0};
-  api.stream_set_read_function(stream, opj_mem_read);
-  api.stream_set_skip_function(stream, opj_mem_skip);
-  api.stream_set_seek_function(stream, opj_mem_seek);
-  api.stream_set_user_data(stream, &mem, nullptr);
-  api.stream_set_user_data_length(stream, mem.size);
-
-  OpjImage* img = nullptr;
-  bool ok = api.read_header(stream, codec, &img) && img && img->numcomps >= 1 &&
-            api.decode(codec, stream, img) && api.end_decompress(codec, stream);
+  std::vector<uint8_t> raw;
+  if (!read_raw_tile(tif, L, tx, ty, raw)) return false;
+  OpjImage* img = decode_j2k_stream(raw.data(), raw.size(), false);
+  if (!img) return false;
+  const uint32_t nc = img->numcomps;
+  const OpjImageComp& c0 = img->comps[0];
+  const OpjImageComp& c1 = img->comps[nc >= 3 ? 1 : 0];
+  const OpjImageComp& c2 = img->comps[nc >= 3 ? 2 : 0];
+  // validate EVERY sampled component (see comp_ok) — fail the tile
+  // (callers route it to a read error / pixel fallback) instead of
+  // crashing the 16-thread batch read on a corrupt stream.
+  bool ok = comp_ok(c0) && comp_ok(c1) && comp_ok(c2);
   if (ok) {
-    const uint32_t nc = img->numcomps;
-    const OpjImageComp& c0 = img->comps[0];
-    const OpjImageComp& c1 = img->comps[nc >= 3 ? 1 : 0];
-    const OpjImageComp& c2 = img->comps[nc >= 3 ? 2 : 0];
-    // validate EVERY sampled component: a corrupt stream can decode a
-    // chroma plane with w/h == 0 (the `cc.h - 1` clamp would underflow
-    // and read out of bounds) or advertise a precision whose comp_to_u8
-    // shifts are UB — fail the tile (callers route it to a read error /
-    // pixel fallback) instead of crashing the 16-thread batch read.
-    auto comp_ok = [](const OpjImageComp& c) {
-      return c.data && c.w && c.h && c.prec >= 1 && c.prec <= 31;
-    };
-    ok = comp_ok(c0) && comp_ok(c1) && comp_ok(c2);
-    if (ok) {
-      const bool ycc = nc >= 3 && (comp_tag == 33003 || img->color_space == 3);
-      for (uint32_t r = 0; r < L.tile_h; ++r) {
-        uint8_t* dst = rgb + size_t(r) * L.tile_w * 3;
-        for (uint32_t c = 0; c < L.tile_w; ++c) {
-          auto sample = [&](const OpjImageComp& cc) {
-            const uint32_t sy = std::min(r / std::max(1u, cc.dy), cc.h - 1);
-            const uint32_t sx = std::min(c / std::max(1u, cc.dx), cc.w - 1);
-            return comp_to_u8(cc.data[size_t(sy) * cc.w + sx], cc);
-          };
-          int32_t v0 = sample(c0), v1 = sample(c1), v2 = sample(c2);
-          if (ycc) {  // JPEG full-range YCbCr -> RGB
-            const int32_t y = v0, cb = v1 - 128, cr = v2 - 128;
-            // +32768 rounds the 16.16 fixed-point products half-up like
-            // libjpeg's DESCALE; plain >>16 would floor-bias every pixel
-            v0 = y + ((91881 * cr + 32768) >> 16);              // 1.402
-            v1 = y - ((22554 * cb + 46802 * cr + 32768) >> 16); // .34414/.71414
-            v2 = y + ((116130 * cb + 32768) >> 16);             // 1.772
-            v0 = std::min(255, std::max(0, v0));
-            v1 = std::min(255, std::max(0, v1));
-            v2 = std::min(255, std::max(0, v2));
-          }
-          dst[c * 3 + 0] = uint8_t(v0);
-          dst[c * 3 + 1] = uint8_t(v1);
-          dst[c * 3 + 2] = uint8_t(v2);
+    const bool ycc = nc >= 3 && (comp_tag == 33003 || img->color_space == 3);
+    for (uint32_t r = 0; r < L.tile_h; ++r) {
+      uint8_t* dst = rgb + size_t(r) * L.tile_w * 3;
+      for (uint32_t c = 0; c < L.tile_w; ++c) {
+        auto sample = [&](const OpjImageComp& cc) {
+          const uint32_t sy = std::min(r / std::max(1u, cc.dy), cc.h - 1);
+          const uint32_t sx = std::min(c / std::max(1u, cc.dx), cc.w - 1);
+          return comp_to_u8(cc.data[size_t(sy) * cc.w + sx], cc);
+        };
+        int32_t v0 = sample(c0), v1 = sample(c1), v2 = sample(c2);
+        if (ycc) {  // JPEG full-range YCbCr -> RGB
+          const int32_t y = v0, cb = v1 - 128, cr = v2 - 128;
+          // +32768 rounds the 16.16 fixed-point products half-up like
+          // libjpeg's DESCALE; plain >>16 would floor-bias every pixel
+          v0 = y + ((91881 * cr + 32768) >> 16);              // 1.402
+          v1 = y - ((22554 * cb + 46802 * cr + 32768) >> 16); // .34414/.71414
+          v2 = y + ((116130 * cb + 32768) >> 16);             // 1.772
+          v0 = std::min(255, std::max(0, v0));
+          v1 = std::min(255, std::max(0, v1));
+          v2 = std::min(255, std::max(0, v2));
         }
+        dst[c * 3 + 0] = uint8_t(v0);
+        dst[c * 3 + 1] = uint8_t(v1);
+        dst[c * 3 + 2] = uint8_t(v2);
       }
     }
   }
-  if (img) api.image_destroy(img);
-  api.stream_destroy(stream);
-  api.destroy_codec(codec);
+  api.image_destroy(img);
   return ok;
+}
+
+// ---------------------------------------------------------------------------
+// J2K raw-plane reads: the same host-link diet the JPEG 4:2:0 path gets
+// (ws_read_regions_yuv420 below), for Aperio JPEG2000 .svs whose
+// codestreams store YCC components with subsampled chroma (comp dx=2,
+// dy 1 or 2 — 4:2:2 / 4:2:0). The host ships the codec's planes verbatim
+// (2.0 / 1.5 bytes per pixel instead of 3) and the accelerator upsamples
+// + color-converts (ops/yuv.py yuv_planes_to_rgb). Full-resolution-chroma
+// codestreams keep the RGB path: shipping three full planes saves nothing.
+
+// Chroma layout of a J2K level, probed from tile (0,0)'s codestream
+// header. Returns (sh << 4) | sv for YCC components at dx == sh == 2 and
+// dy == sv in {1, 2} spanning the full tile — 0 otherwise.
+int32_t j2k_ycc_layout(TIFF* tif, const LevelInfo& L, uint16_t comp_tag) {
+  std::vector<uint8_t> raw;
+  if (!read_raw_tile(tif, L, 0, 0, raw)) return 0;
+  OpjImage* img = decode_j2k_stream(raw.data(), raw.size(), true);
+  if (!img) return 0;
+  int32_t layout = 0;
+  if (img->numcomps >= 3 && (comp_tag == 33003 || img->color_space == 3)) {
+    const OpjImageComp& c0 = img->comps[0];
+    const OpjImageComp& c1 = img->comps[1];
+    const OpjImageComp& c2 = img->comps[2];
+    const uint32_t sv = c1.dy;
+    if (c0.dx == 1 && c0.dy == 1 && c0.w == L.tile_w && c0.h == L.tile_h &&
+        c1.dx == 2 && c2.dx == 2 && c2.dy == sv && (sv == 1 || sv == 2) &&
+        !(L.tile_w & 1) && L.tile_h % sv == 0 &&
+        c1.w == L.tile_w / 2 && c1.h == L.tile_h / sv &&
+        c2.w == c1.w && c2.h == c1.h)
+      layout = (2 << 4) | int32_t(sv);
+  }
+  opj_api().image_destroy(img);
+  return layout;
+}
+
+// Decode one J2K tile into Y/Cb/Cr tile-plane scratch buffers
+// (yt: tile_w*tile_h, cbt/crt: (tile_w/2)*(tile_h/sv)). The codestream's
+// samples are YCC already (no MCT — probed by j2k_ycc_layout); no
+// upsampling or color conversion happens on the host at all, which makes
+// this CHEAPER per tile than decode_tile_j2k's RGB conversion loop.
+bool decode_tile_j2k_planes(TIFF* tif, const LevelInfo& L, uint32_t tx,
+                            uint32_t ty, uint32_t sv, uint8_t* yt,
+                            uint8_t* cbt, uint8_t* crt) {
+  const OpjApi& api = opj_api();
+  if (!api.ok) return false;
+  std::vector<uint8_t> raw;
+  if (!read_raw_tile(tif, L, tx, ty, raw)) return false;
+  OpjImage* img = decode_j2k_stream(raw.data(), raw.size(), false);
+  if (!img) return false;
+  const uint32_t cw = L.tile_w / 2, ch = L.tile_h / sv;
+  bool ok = img->numcomps >= 3;
+  if (ok) {
+    const OpjImageComp& c0 = img->comps[0];
+    const OpjImageComp& c1 = img->comps[1];
+    const OpjImageComp& c2 = img->comps[2];
+    // every tile must match the probed level layout — a mixed-geometry
+    // slide fails the tile rather than writing out of bounds
+    ok = comp_ok(c0) && comp_ok(c1) && comp_ok(c2) &&
+         c0.w >= L.tile_w && c0.h >= L.tile_h && c1.w >= cw && c1.h >= ch &&
+         c2.w >= cw && c2.h >= ch;
+    if (ok) {
+      for (uint32_t r = 0; r < L.tile_h; ++r)
+        for (uint32_t c = 0; c < L.tile_w; ++c)
+          yt[size_t(r) * L.tile_w + c] =
+              uint8_t(comp_to_u8(c0.data[size_t(r) * c0.w + c], c0));
+      for (uint32_t r = 0; r < ch; ++r)
+        for (uint32_t c = 0; c < cw; ++c) {
+          cbt[size_t(r) * cw + c] =
+              uint8_t(comp_to_u8(c1.data[size_t(r) * c1.w + c], c1));
+          crt[size_t(r) * cw + c] =
+              uint8_t(comp_to_u8(c2.data[size_t(r) * c2.w + c], c2));
+        }
+    }
+  }
+  api.image_destroy(img);
+  return ok;
+}
+
+// Region plane read over a J2K level (layout pre-probed: sh == 2,
+// sv in {1, 2}). x, y, w, h must be even — same caller contract as the
+// JPEG 4:2:0 path. yp: w*h; cbp/crp: (w/2)*(h/sv).
+bool read_region_planes_j2k_impl(Slide* s, TIFF* tif, int level, int64_t x,
+                                 int64_t y, int64_t w, int64_t h,
+                                 uint32_t sv, uint8_t* yp, uint8_t* cbp,
+                                 uint8_t* crp) {
+  const LevelInfo& L = s->levels[level];
+  if (!TIFFSetDirectory(tif, L.dir)) return false;
+  if ((x | y | w | h) & 1) return false;
+  if ((L.tile_w & 1) || L.tile_h % sv) return false;  // probed layouts only
+  // white background (RGB 255,255,255 in full-range YCC)
+  const int64_t cwr = w / 2, chr = h / int64_t(sv);
+  std::memset(yp, 0xff, size_t(w) * h);
+  std::memset(cbp, 0x80, size_t(cwr) * chr);
+  std::memset(crp, 0x80, size_t(cwr) * chr);
+  const int64_t x0 = std::max<int64_t>(x, 0), y0 = std::max<int64_t>(y, 0);
+  const int64_t x1 = std::min<int64_t>(x + w, L.width);
+  const int64_t y1 = std::min<int64_t>(y + h, L.height);
+  if (x0 >= x1 || y0 >= y1) return true;
+  const uint32_t cw = L.tile_w / 2, ch = L.tile_h / sv;
+  std::vector<uint8_t> yt(size_t(L.tile_w) * L.tile_h);
+  std::vector<uint8_t> cbt(size_t(cw) * ch), crt(size_t(cw) * ch);
+  const uint32_t tx0 = uint32_t(x0 / L.tile_w),
+                 tx1 = uint32_t((x1 - 1) / L.tile_w);
+  const uint32_t ty0 = uint32_t(y0 / L.tile_h),
+                 ty1 = uint32_t((y1 - 1) / L.tile_h);
+  for (uint32_t ty = ty0; ty <= ty1; ++ty) {
+    for (uint32_t tx = tx0; tx <= tx1; ++tx) {
+      if (!decode_tile_j2k_planes(tif, L, tx, ty, sv, yt.data(), cbt.data(),
+                                  crt.data()))
+        return false;
+      const int64_t tgx = int64_t(tx) * L.tile_w, tgy = int64_t(ty) * L.tile_h;
+      const int64_t gx0 = std::max<int64_t>(tgx, x0);
+      const int64_t gx1 = std::min<int64_t>(tgx + L.tile_w, x1);
+      const int64_t gy0 = std::max<int64_t>(tgy, y0);
+      const int64_t gy1 = std::min<int64_t>(tgy + L.tile_h, y1);
+      for (int64_t gy = gy0; gy < gy1; ++gy)
+        std::memcpy(yp + size_t(gy - y) * w + (gx0 - x),
+                    yt.data() + size_t(gy - tgy) * L.tile_w + (gx0 - tgx),
+                    size_t(gx1 - gx0));
+      // chroma-space intersection. gx0/gy0 land on even offsets (tile
+      // origins and x/y are even); the half-open upper bounds round UP so
+      // the chroma sample covering an odd final pixel column/row (odd
+      // slide dims end mid-unit) still ships.
+      const int64_t cc0 = gx0 / 2, cc1 = (gx1 + 1) / 2;
+      const int64_t cr0 = gy0 / int64_t(sv),
+                    cr1 = (gy1 + int64_t(sv) - 1) / int64_t(sv);
+      for (int64_t vr = cr0; vr < cr1; ++vr) {
+        const size_t trow = size_t(vr - tgy / int64_t(sv)) * cw;
+        const size_t rrow = size_t(vr - y / int64_t(sv)) * cwr;
+        std::memcpy(cbp + rrow + (cc0 - x / 2),
+                    cbt.data() + trow + (cc0 - tgx / 2), size_t(cc1 - cc0));
+        std::memcpy(crp + rrow + (cc0 - x / 2),
+                    crt.data() + trow + (cc0 - tgx / 2), size_t(cc1 - cc0));
+      }
+    }
+  }
+  return true;
 }
 
 // Decode one tile (tx, ty are tile indices) into an RGB scratch buffer.
@@ -664,6 +899,181 @@ int32_t ws_read_regions_yuv420(void* handle, int32_t level,
   for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return failed.load() ? -int32_t(failed.load()) : 0;
+}
+
+// ---------------------------------------------------------------------------
+// Generic raw-plane probe + batched reads: one entry over BOTH plane
+// sources — JPEG 4:2:0 (libtiff JPEGCOLORMODE_RAW, above) and J2K
+// subsampled-YCC codestreams (decode_tile_j2k_planes). The Python layer
+// sizes its chroma buffers from the probed layout, and the device picks
+// the matching reconstruction by plane shape (ops/yuv.py
+// yuv_planes_to_rgb).
+
+// Chroma layout of one level: (sh << 4) | sv when a raw-plane read path
+// exists — 0x22 for JPEG YCbCr 4:2:0, 0x22/0x21 for J2K YCC codestreams
+// with subsampled chroma — else 0 (full-RGB reads only).
+int32_t ws_yuv_layout(void* handle, int32_t level) {
+  Slide* s = static_cast<Slide*>(handle);
+  TIFF* tif = s->acquire();
+  if (!tif) return 0;
+  const LevelInfo& L = s->levels[level];
+  int32_t layout = 0;
+  if (TIFFSetDirectory(tif, L.dir)) {
+    uint16_t comp = 0;
+    TIFFGetField(tif, TAG_COMPRESSION, &comp);
+    if (is_j2k_tag(comp))
+      layout = j2k_ycc_layout(tif, L, comp);
+  }
+  s->release(tif);
+  if (!layout && ws_supports_yuv420(handle, level)) layout = 0x22;
+  return layout;
+}
+
+// Batched thread-pooled raw-plane reads at a probed layout. coords/w/h
+// must be even. y_out: uint8[n*h*w]; cb_out/cr_out:
+// uint8[n*(h/sv)*(w/2)]. sh must be 2 (the only probed value).
+int32_t ws_read_regions_planes(void* handle, int32_t level,
+                               const int64_t* coords, int32_t n, int64_t w,
+                               int64_t h, uint8_t* y_out, uint8_t* cb_out,
+                               uint8_t* cr_out, int32_t sh, int32_t sv,
+                               int32_t n_threads) {
+  Slide* s = static_cast<Slide*>(handle);
+  if (sh != 2 || (sv != 1 && sv != 2)) return -1;
+  uint16_t comp = 0;
+  {
+    TIFF* tif = s->acquire();
+    if (!tif) return -1;
+    if (TIFFSetDirectory(tif, s->levels[level].dir))
+      TIFFGetField(tif, TAG_COMPRESSION, &comp);
+    s->release(tif);
+  }
+  const bool j2k = is_j2k_tag(comp);
+  if (!j2k) {
+    if (sv != 2) return -1;  // the JPEG raw path is 4:2:0 only
+    return ws_read_regions_yuv420(handle, level, coords, n, w, h, y_out,
+                                  cb_out, cr_out, n_threads);
+  }
+  if (n_threads <= 0) n_threads = int32_t(std::thread::hardware_concurrency());
+  n_threads = std::max(1, std::min<int32_t>(n_threads, n));
+  std::atomic<int32_t> next(0), failed(0);
+  const size_t cplane = size_t(w / 2) * (h / sv);
+  auto worker = [&]() {
+    TIFF* tif = s->acquire();
+    if (!tif) {
+      failed.fetch_add(1);
+      return;
+    }
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) break;
+      if (!read_region_planes_j2k_impl(
+              s, tif, level, coords[2 * i], coords[2 * i + 1], w, h,
+              uint32_t(sv), y_out + size_t(i) * w * h,
+              cb_out + size_t(i) * cplane, cr_out + size_t(i) * cplane))
+        failed.fetch_add(1);
+    }
+    s->release(tif);
+  };
+  std::vector<std::thread> threads;
+  for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load() ? -int32_t(failed.load()) : 0;
+}
+
+// ---------------------------------------------------------------------------
+// Test-fixture J2K encoder: lossless (5/3 reversible, no MCT) encode of
+// YCC planes with subsampled chroma components — the tile layout real
+// Aperio 33003 .svs store, which NO Python encoder in this image can
+// produce (Pillow writes full-resolution components only). Production
+// never encodes J2K; this exists so tests/test_j2k_planes.py can assert
+// the plane read path bit-exactly. Returns the codestream length, or -1
+// on failure / insufficient out_cap.
+//
+// opj_cparameters_t is too layout-hazardous to declare (opj_poc_t arrays
+// precede the fields we need), so the three fields the lossless setup
+// requires are located INSIDE the defaults-initialized blob by
+// fingerprint: opj_set_default_encoder_parameters zeroes the struct and
+// sets numresolution=6, cblockw=64, cblockh=64, mode=0, irreversible=0,
+// roi_compno=-1 — the first non-zero int32 run in an otherwise zero
+// prefix. tcp_numlayers sits 804 bytes before numresolution (behind
+// tcp_rates[100] + tcp_distoratio[100]), cp_disto_alloc at fixed offset
+// 20 (only int scalars precede it). Fingerprint miss -> -2 (tests skip).
+int64_t ws_j2k_encode_planes(int64_t w, int64_t h, int32_t sh, int32_t sv,
+                             const uint8_t* y, const uint8_t* cb,
+                             const uint8_t* cr, int32_t color_space,
+                             uint8_t* out, int64_t out_cap) {
+  const OpjApi& api = opj_api();
+  if (!api.enc_ok || w <= 0 || h <= 0 || sh < 1 || sh > 2 || sv < 1 ||
+      sv > 2)
+    return -1;
+  std::vector<uint8_t> params(65536, 0);
+  api.set_default_encoder_parameters(params.data());
+  const int32_t fp[6] = {6, 64, 64, 0, 0, -1};
+  int64_t numres_off = -1;
+  for (size_t o = 24; o + sizeof(fp) <= params.size() - 4096; o += 4) {
+    if (std::memcmp(params.data() + o, fp, sizeof(fp)) == 0) {
+      numres_off = int64_t(o);
+      break;
+    }
+  }
+  if (numres_off < 804) return -2;
+  auto put_i32 = [&](int64_t off, int32_t v) {
+    std::memcpy(params.data() + off, &v, 4);
+  };
+  int32_t numlayers = 1;
+  std::memcpy(&numlayers, params.data() + numres_off - 804, 4);
+  if (numlayers != 0) return -2;  // layout drifted — refuse, don't corrupt
+  put_i32(numres_off - 804, 1);   // tcp_numlayers = 1
+  put_i32(20, 1);                 // cp_disto_alloc = 1 (rates[0]=0 -> lossless)
+  const int64_t cw = (w + sh - 1) / sh, ch = (h + sv - 1) / sv;
+  int32_t nr = 6;  // shrink resolutions until the smallest plane supports it
+  while (nr > 1 && (int64_t(1) << (nr - 1)) > std::min(cw, ch)) --nr;
+  put_i32(numres_off, nr);
+
+  OpjImageCmptparm parms[3] = {};
+  parms[0] = {1, 1, uint32_t(w), uint32_t(h), 0, 0, 8, 8, 0};
+  parms[1] = {uint32_t(sh), uint32_t(sv), uint32_t(cw), uint32_t(ch),
+              0,           0,            8,            8, 0};
+  parms[2] = parms[1];
+  OpjImage* img = api.image_create(3, parms, color_space);
+  if (!img) return -1;
+  img->x0 = 0;
+  img->y0 = 0;
+  img->x1 = uint32_t(w);
+  img->y1 = uint32_t(h);
+  const uint8_t* planes[3] = {y, cb, cr};
+  for (int c = 0; c < 3; ++c) {
+    const int64_t pw = c ? cw : w, ph = c ? ch : h;
+    if (!img->comps[c].data) {
+      api.image_destroy(img);
+      return -1;
+    }
+    for (int64_t i = 0; i < pw * ph; ++i)
+      img->comps[c].data[i] = planes[c][i];
+  }
+  void* codec = api.create_compress(OPJ_CODEC_J2K_);
+  void* stream = codec ? api.stream_default_create(0 /* output */) : nullptr;
+  MemWriteStream mem;
+  int64_t nbytes = -1;
+  if (stream) {
+    api.stream_set_write_function(stream, opj_memw_write);
+    api.stream_set_skip_function(stream, opj_memw_skip);
+    api.stream_set_seek_function(stream, opj_memw_seek);
+    api.stream_set_user_data(stream, &mem, nullptr);
+    if (api.setup_encoder(codec, params.data(), img) &&
+        api.start_compress(codec, img, stream) &&
+        api.encode(codec, stream) && api.end_compress(codec, stream)) {
+      nbytes = int64_t(mem.buf.size());
+      if (out_cap < nbytes)
+        nbytes = -1;
+      else
+        std::memcpy(out, mem.buf.data(), size_t(nbytes));
+    }
+  }
+  if (stream) api.stream_destroy(stream);
+  if (codec) api.destroy_codec(codec);
+  api.image_destroy(img);
+  return nbytes;
 }
 
 // ---------------------------------------------------------------------------
